@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting. All are
+  * pure `Column` expressions (codegen'd, no UDFs) and use only
+  * engine-portable primitives (md5, regexp, array ops) so every one of
+  * them has an exact DuckDB-oracle rendering.
+  *
+  * At 100 TB these run as map-side expressions inside whole-stage
+  * codegen — no shuffle, no driver involvement.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokenize(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Consecutive n-word shingles of a token array: standard MinHash
+    * input (Broder 1997). `transform(sequence(...))` keeps it inside
+    * codegen.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
+    transform(idx, i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+  }
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** Marker-word language ID: score each language by stopword hits and
+    * take the deterministic argmax (ties resolved by the fixed language
+    * order). A real n-gram model would plug in the same shape — this is
+    * the portable heuristic variant.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "de" -> Seq("der", "die", "und", "das", "mit", "ein"),
+    "zh" -> Seq("de", "le", "he", "shi", "zai", "wo"))
+
+  def langScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(m => m: Any): _*)))
+
+  def langId(text: Column): Column = {
+    val toks = tokenize(text)
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(toks, ms) }
+    // argmax with fixed-order tie-break: first language whose score
+    // equals the overall max.
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, sc), els) =>
+      when(sc === maxScore && maxScore > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Quality score in [0,1]: length saturation, alphanumeric purity,
+    * stopword presence — the length/punct/stopword-ratio family used by
+    * web-corpus quality filters (C4/Gopher-style rules).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenize(text)
+    val nTok = size(toks).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val lower_ = lower(text)
+    val clean = regexp_replace(lower_, "[^a-z0-9 ]", "")
+    val punctRatio = (length(lower_) - length(clean)).cast("double") / greatest(length(lower_), lit(1)).cast("double")
+    val stopRatio = langScore(toks, langMarkers.flatMap(_._2).distinct).cast("double") / greatest(nTok, lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.4) * (lit(1.0) - punctRatio) + lit(0.2) * least(stopRatio * 5.0, lit(1.0)), 6)
+  }
+
+  /** Normalization for fingerprinting: lowercase, collapse whitespace,
+    * trim.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), " +", " "))
+
+  /** Document fingerprint: md5 of the normalized text. Exact-dedup key
+    * that survives whitespace/case noise.
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+}

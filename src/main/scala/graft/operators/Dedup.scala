@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard. All hashing derives from md5
+  * (engine-portable, see `graft.queries.Q.tokenHash`) so every operator
+  * is DuckDB-oracle-checkable, and all are expressed as Column
+  * pipelines — integer arithmetic end to end, so results are
+  * bit-identical across engines.
+  *
+  * Scale design: the only quadratic step anywhere is *within an LSH
+  * bucket / band group*, never across the corpus. At 100 TB: shingling
+  * and signatures are map-side expressions; the band-bucket self-join
+  * shuffles once on the band key; candidate verification touches only
+  * bucket-cohabiting pairs.
+  */
+object Dedup {
+
+  /** 31-bit base hash shared bit-for-bit with DuckDB:
+    * `('0x' || substr(md5(x),1,8))::BIGINT % 2147483647`.
+    */
+  def h31(c: Column): Column =
+    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(2147483647L))
+
+  /** 2^31 - 1: products with 31-bit multipliers stay below 2^63, so the
+    * same expression is overflow-free in Spark longs and DuckDB BIGINTs.
+    */
+  val P = 2147483647L
+  val MinhashA: Seq[Long] = Seq(1299721L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L, 104395301L, 122949823L)
+  val MinhashB: Seq[Long] = Seq(7368787L, 104729L, 41729L, 6291469L, 193877777L, 10619863L, 413158511L, 201326611L)
+
+  def permuted(h: Column, i: Int): Column =
+    pmod(lit(MinhashA(i)) * h + lit(MinhashB(i)), lit(P))
+
+  /** Exact duplicate groups: one surviving id + copy count per distinct
+    * normalized text. Single hash-aggregate; at scale, grouping on the
+    * 128-bit fingerprint means the shuffle carries 16 bytes, not the
+    * document.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures over 3-word shingles: doc_id, mh0..mh{k-1}.
+    * One explode + one grouped min-aggregate (map-side combined), k
+    * permutations evaluated as expressions over the same base hash.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(shingles(tokenize(col(textCol)), 3)).as("shingle"))
+      .select(col("doc_id"), h31(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(permuted(col("h"), 0)).as("mh0"),
+        (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")): _*)
+
+  /** LSH banding: candidate pairs = docs agreeing on an entire band of
+    * the signature. Bands are hashed to one key column and self-joined
+    * on (band, band_key) — the shuffle key is the bucket, so
+    * cross-corpus pairs never materialize.
+    */
+  def minhashCandidates(sigs: DataFrame, k: Int = 8, bands: Int = 2): DataFrame = {
+    val rowsPerBand = k / bands
+    val banded = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      sigs.select(col("doc_id"), lit(b).as("band"), concat_ws("_", cols: _*).as("band_key"))
+    }.reduce(_.union(_))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for candidate pairs — the verify
+    * step after LSH banding.
+    */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(tokenize(col(textCol)), 3)).as("sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** `bits`-bit SimHash (Charikar 2002) from token hashes: per bit
+    * position, sign of the +1/-1 vote sum across tokens; pure integer
+    * arithmetic → engine-exact. The bit explode keeps it one grouped
+    * sum; `shiftright(h, bit)` with a column shift amount goes through
+    * `expr` (the Scala helper only accepts literal shifts).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokenize(col(textCol))).as("token"))
+      .select(col("doc_id"), h31(col("token")).as("h"))
+      .select(col("doc_id"), expr(s"explode(sequence(0, ${bits - 1}))").as("bit"), col("h"))
+      .select(col("doc_id"), col("bit"),
+        when(expr("shiftright(h, cast(bit as int)) % 2") === 1, 1L).otherwise(-1L).as("vote"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("votes"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("votes") > 0, pow(lit(2.0), col("bit")).cast("long")).otherwise(0L)).as("simhash"))
+
+  /** Token-level Jaccard similarity restricted to blocking buckets
+    * (same lang, similar length) — the bounded n-gram-Jaccard near-dup
+    * scan. Blocking turns the quadratic step into per-bucket work.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"),
+      (col("n_chars") / 64).cast("long").as("len_bucket"),
+      array_distinct(tokenize(col("text"))).as("toks"))
+    base.as("l").join(base.as("r"),
+        col("l.lang") === col("r.lang") && col("l.len_bucket") === col("r.len_bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        round(size(array_intersect(col("l.toks"), col("r.toks"))).cast("double") /
+          size(array_union(col("l.toks"), col("r.toks"))).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

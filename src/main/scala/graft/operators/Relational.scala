@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DataFrame-first relational operator pack (SURVEY.md §2.2-2.6, §2.9).
+  * These are the Catalyst-optimizable lowerings of the reference's DSL
+  * ops — filters/projections stay as `Column` expressions so predicate
+  * pushdown, column pruning and whole-stage codegen all survive.
+  */
+object Relational {
+
+  /** Global top-k: `topk` (`/root/reference/dampr/dampr.py:621-652`).
+    * `orderBy.limit(k)` plans as `TakeOrderedAndProject` — the same
+    * per-partition bounded heap + final merge the reference hand-rolls,
+    * but without materializing a total sort. O(n) scan, O(k) state per
+    * partition: holds at 100 TB since only k rows per partition reach
+    * the driver-side merge.
+    */
+  def topK(df: DataFrame, k: Int, ordering: Column*): DataFrame =
+    df.orderBy(ordering: _*).limit(k)
+
+  /** Per-group top-k via ranking window — the capability the reference
+    * composes by hand with block mappers/reducers
+    * (`/root/reference/tests/test_dampr.py:239-311`). One shuffle on
+    * the partition keys; rank filter is applied streaming per group.
+    */
+  def topKPerGroup(df: DataFrame, k: Int, partitionCols: Seq[Column], ordering: Seq[Column]): DataFrame =
+    df.withColumn("_rank", row_number().over(Window.partitionBy(partitionCols: _*).orderBy(ordering: _*)))
+      .filter(col("_rank") <= k)
+      .drop("_rank")
+
+  /** `filter_by_count` (`/root/reference/dampr/utils/common.py:2-15`):
+    * keep rows whose key frequency passes a predicate. Lowered to an
+    * aggregate + semi-join on the key — the aggregate output is tiny
+    * (distinct keys), so AQE turns the join broadcast when it fits.
+    */
+  def filterByCount(df: DataFrame, keyCols: Seq[String], countPred: Column => Column): DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .filter(countPred(col("_n")))
+      .select(keyCols.map(col): _*)
+    df.join(counts, keyCols, "left_semi")
+  }
+
+  /** Inverted index build (`/root/reference/dampr/utils/indexer.py:35-70`
+    * re-imagined relationally): token → sorted postings list of doc
+    * ids. Parquet-backed instead of per-file SQLite; `collect_list`
+    * after an explode keeps one shuffle on the token.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(sort_array(collect_set(col(idCol))).as("postings"), count(lit(1)).as("tf"))
+
+  /** Index retrieval, ANY-match — `Indexer.union`
+    * (`/root/reference/dampr/utils/indexer.py:72-92`).
+    */
+  def indexUnion(index: DataFrame, keys: Seq[String]): DataFrame =
+    index.filter(col("token").isin(keys: _*))
+      .select(explode(col("postings")).as("doc_id")).distinct()
+
+  /** Index retrieval, at-least-m-match — `Indexer.intersect`
+    * (`/root/reference/dampr/utils/indexer.py:94-125`).
+    */
+  def indexIntersect(index: DataFrame, keys: Seq[String], minMatch: Int): DataFrame =
+    index.filter(col("token").isin(keys: _*))
+      .select(explode(col("postings")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= minMatch)
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (one scan, TakeOrdered — no
+  * shuffle of the corpus). Scale paths: random-hyperplane LSH buckets
+  * (candidates only within a bucket) and an IVF-style coarse partition
+  * (search only the probed cell). Dot products are `aggregate` /
+  * `zip_with` higher-order functions — codegen'd, no UDFs.
+  *
+  * Engine-portability: hyperplane weights derive from md5 of
+  * (plane, dim) so the DuckDB oracle computes the identical planes;
+  * cosine scores are rounded to 6 decimals before any ordering or
+  * thresholding so last-ulp summation noise can't flip a comparison.
+  */
+object Similarity {
+
+  /** Cosine similarity of two `array<double>` columns (computed in
+    * double; cast float arrays first).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  def toDoubleVec(c: Column): Column = transform(c, v => v.cast("double"))
+
+  /** Brute-force cosine top-k against one query vector: broadcast the
+    * query, score map-side, TakeOrdered(k). At 100 TB this is the
+    * one-pass exact baseline — O(k) driver state.
+    */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(toDoubleVec(col("embedding")).as("q_emb"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(toDoubleVec(col("embedding")), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** k-NN join for a set of query ids: per query, top-k neighbors via a
+    * ranking window. Queries are broadcast; corpus is scanned once.
+    */
+  def knnJoin(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), toDoubleVec(col("embedding")).as("q_emb"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(toDoubleVec(col("embedding")), col("q_emb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * md5-derived integer mapped to [-1, 1). Engine-portable.
+    */
+  def planeWeight(plane: Column, dim: Column): Column =
+    (pmod(conv(substring(md5(concat_ws("_", lit("plane"), plane, dim)), 1, 8), 16, 10).cast("long"),
+      lit(2001L)) - 1000L).cast("double") / 1000.0
+
+  /** Random-hyperplane LSH bucket id (sign bits of `planes` projections
+    * packed into a long). Same-bucket vectors are ANN candidates.
+    */
+  def lshBucket(embDouble: Column, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(embDouble, sequence(lit(0), lit(dim - 1)),
+          (v, d) => v * planeWeight(lit(p), d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L) * (1L << p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** IVF-style ANN: coarse-partition the corpus by `label` (stands in
+    * for a k-means cell id), compute cell centroids, probe only the
+    * nearest cell(s) to the query. The scan touches 1/cells of the
+    * corpus — the 100 TB path.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, dim: Int): DataFrame = {
+    val embD = emb.select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("e"))
+    // centroid per cell: element-wise mean via explode + regroup
+    val cent = embD.select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("label")).agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+    val q = embD.filter(col("vec_id") === queryId).select(col("e").as("q_emb"))
+    val probe = cent.crossJoin(broadcast(q))
+      .select(col("label"), round(cosine(col("centroid"), col("q_emb")), 6).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("label")).limit(1)
+    embD.join(broadcast(probe.select(col("label"))), "label")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("e"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
+  }
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import Q._
+
+/** Dedup + similarity-search packs (beyond-reference, BASELINE.json
+  * north star): exact dedup, MinHash+LSH, SimHash, blocked n-gram
+  * Jaccard, embedding near-dup, brute-force/LSH/IVF ANN. Oracle SQL is
+  * generated from the same constants as the Spark expressions so the
+  * two can't drift.
+  */
+object DedupQueries {
+
+  /** DuckDB fragments shared by the dedup oracles. */
+  private val SqlToks =
+    s"SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk FROM $DocsPq"
+  private val SqlShingles =
+    s"""SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        FROM ($SqlToks), unnest(generate_series(1, len(tk) - 2)) AS u(i)"""
+  private def sqlH31(e: String) = s"((('0x' || substr(md5($e), 1, 8))::BIGINT) % ${Dedup.P})"
+  private def sqlPerm(i: Int) =
+    s"min((${Dedup.MinhashA(i)} * h + ${Dedup.MinhashB(i)}) % ${Dedup.P}) AS mh$i"
+  private val SqlSig =
+    s"""SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")}
+        FROM (SELECT doc_id, ${sqlH31("shingle")} AS h FROM ($SqlShingles)) GROUP BY doc_id"""
+  private def bandEq(side: String, b: Int, rows: Int) =
+    (b * rows until (b + 1) * rows).map(i => s"l.mh$i = r.mh$i").mkString("(", " AND ", ")")
+
+  val queries: Map[String, QFn] = Map(
+    // exact dedup: fingerprint groups with surviving id + copy count.
+    "q54_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id"))),
+
+    // MinHash signatures (8 perms over 3-word shingles).
+    "q50_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // LSH banding (2 bands x 4 rows) + exact-Jaccard verification.
+    "q51_minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val cand = Dedup.minhashCandidates(sigs)
+      Dedup.jaccardVerify(docs, cand, "doc_id", "text", 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // 16-bit SimHash per document.
+    "q52_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // blocked token-Jaccard near-dup pairs (same lang + length bucket).
+    "q53_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // embedding near-dup: same-label pairs above cosine 0.4 (clusters are weak in the synthetic data; threshold chosen to exercise the filter).
+    "q55_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Similarity.toDoubleVec(col("embedding")).as("e"))
+      e.as("l").join(e.as("r"),
+          col("l.label") === col("r.label") && col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+          round(Similarity.cosine(col("l.e"), col("r.e")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // brute-force exact ANN baseline: top-10 for vec 0.
+    "q56_ann_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), 0L, 10)),
+
+    // k-NN join: 5 neighbors for each of the first 10 vectors.
+    "q57_knn_join" -> ((s, dir) =>
+      Similarity.knnJoin(t(s, dir, "embeddings"), col("vec_id") < 10, 5)
+        .orderBy(col("query_id"), col("rn"))),
+
+    // random-hyperplane LSH bucket per vector (8 planes, 64 dims).
+    "q58_ann_lsh_bucket" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.lshBucket(Similarity.toDoubleVec(col("embedding")), 8, 64).as("bucket"))
+        .orderBy(col("vec_id"))),
+
+    // IVF-style probe ANN: nearest label-cell only, then exact top-10.
+    // No oracle (multi-stage centroid probe), rows-only check.
+    "q59_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), 0L, 10, 64)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q54_dedup_exact" ->
+      s"""SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+          min(doc_id) AS keep_id, count(*) AS n_copies
+          FROM $DocsPq GROUP BY 1 ORDER BY keep_id""",
+    "q50_minhash_sig" -> s"SELECT * FROM ($SqlSig) ORDER BY doc_id",
+    "q51_minhash_pairs" ->
+      s"""WITH sig AS ($SqlSig),
+          cand AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+            ON l.doc_id < r.doc_id AND (${bandEq("", 0, 4)} OR ${bandEq("", 1, 4)})),
+          sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sh FROM ($SqlShingles) GROUP BY doc_id)
+          SELECT doc_a, doc_b,
+            round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
+          FROM cand JOIN sets a ON a.doc_id = doc_a JOIN sets b ON b.doc_id = doc_b
+          WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 6) >= 0.6
+          ORDER BY doc_a, doc_b""",
+    "q52_simhash" ->
+      s"""WITH th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM
+            (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks))),
+          votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+            FROM th, unnest(generate_series(0, 15)) AS u(b) GROUP BY 1, 2)
+          SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id ORDER BY doc_id""",
+    "q53_ngram_jaccard" ->
+      s"""WITH base AS (SELECT doc_id, lang, n_chars // 64 AS len_bucket,
+            list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
+            FROM $DocsPq)
+          SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+            round(len(list_intersect(l.toks, r.toks))::DOUBLE /
+              (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks)))::DOUBLE, 6) AS jaccard
+          FROM base l JOIN base r ON l.lang = r.lang AND l.len_bucket = r.len_bucket
+            AND l.doc_id < r.doc_id
+          WHERE round(len(list_intersect(l.toks, r.toks))::DOUBLE /
+              (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks)))::DOUBLE, 6) >= 0.5
+          ORDER BY doc_a, doc_b""",
+    "q55_embedding_neardup" ->
+      s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+          round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos_sim
+          FROM $EmbPq l JOIN $EmbPq r ON l.label = r.label AND l.vec_id < r.vec_id
+          WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.4
+          ORDER BY vec_a, vec_b""",
+    "q56_ann_bruteforce" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM $EmbPq WHERE vec_id = 0)
+          SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS cos_sim
+          FROM $EmbPq, q WHERE vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q57_knn_join" ->
+      s"""WITH qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM $EmbPq WHERE vec_id < 10),
+          scored AS (SELECT query_id, vec_id,
+              round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS cos_sim
+            FROM $EmbPq, qs WHERE vec_id <> query_id),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM scored)
+          SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 5
+          ORDER BY query_id, rn""",
+    "q58_ann_lsh_bucket" ->
+      s"""WITH pw AS (SELECT p, d,
+            (((('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0 AS w
+            FROM unnest(generate_series(0, 7)) AS tp(p), unnest(generate_series(0, 63)) AS td(d)),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
+          proj AS (SELECT vec_id, p, sum(e.e[d + 1] * pw.w) AS proj
+            FROM e CROSS JOIN pw GROUP BY 1, 2)
+          SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+          FROM proj GROUP BY vec_id ORDER BY vec_id""")
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the oracle-checked query packs.
+  *
+  * Determinism rules (every query obeys them so the driver's
+  * DuckDB-hash compare is stable, SURVEY.md §7.3):
+  *  - money sums go through [[Q.cents]]: per-row conversion to integer
+  *    cents then BIGINT sum — exact in any summation order, identical
+  *    in Spark and DuckDB (prices in the testdata are exactly
+  *    2-decimal);
+  *  - float outputs (means, cosines, tf-idf) are rounded via
+  *    [[Q.r6]]/round so cross-engine last-ulp noise disappears;
+  *  - every result is fully ordered with complete tie-breaks
+  *    (Catalyst's `EliminateSorts` removes the sort under `count()`,
+  *    so the bench path does not pay for it).
+  */
+object Q {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Exact integer cents of a 2-decimal money column. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  def r6(c: Column): Column = round(c, 6)
+  def r4(c: Column): Column = round(c, 4)
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS) (pyarrow default), which
+    * Spark's parquet reader rejects. Read nanos as long (legacy conf)
+    * and truncate to microsecond timestamps — exactly what DuckDB does
+    * on read, so oracle timestamps agree. Integer `div` keeps the
+    * conversion exact (a double roundtrip would lose precision at
+    * nanosecond epoch scale ~1.7e18 > 2^53).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** documents/embeddings are not in the driver's registered-view list
+    * (TESTDATA.md names only the 8 star-schema tables), so their oracle
+    * SQL reads the sf0.01 parquet directly — verify always runs at
+    * sf0.01.
+    */
+  val DocsPq = "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+  val EmbPq  = "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+
+  /** Tokenization shared by every text query: lowercase, split on
+    * single spaces, drop empties. Mirrors the reference's idiom
+    * (`/root/reference/examples/wc.py:12`,
+    * `benchmarks/tf-idf-dampr.py:12-14`).
+    */
+  def tokens(textCol: Column): Column =
+    filter(split(lower(textCol), " "), tok => tok =!= "")
+
+  /** DuckDB-side equivalent of [[tokens]] exploded to rows:
+    * `SELECT doc_id, tok FROM docs, LATERAL unnest(...)`.
+    */
+  val SqlTok: String =
+    s"SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM $DocsPq"
+
+  /** 32-bit token hash shared bit-for-bit with DuckDB: first 8 hex
+    * chars of md5, parsed as an unsigned int. Engine-portable because
+    * md5 is standardized; used as the base hash for minhash/simhash.
+    */
+  def tokenHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** DuckDB rendering of [[tokenHash]]. */
+  def sqlTokenHash(expr: String): String =
+    s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
+}

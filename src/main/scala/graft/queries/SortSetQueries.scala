@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+import Q._
+
+/** Sorts, top-k, set ops, utility pipelines and the batch form of the
+  * windowed event analytics (SURVEY.md §2.5-2.6, §2.9-2.10).
+  */
+object SortSetQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // global sort (`sort_by`, /root/reference/dampr/dampr.py:412-422):
+    // range-partitioned total order, strictly stronger than the
+    // reference's read-time heap merge.
+    "q30_sort" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+        .orderBy(col("total_cents").desc, col("o_orderkey"))
+    }),
+
+    // global top-k (`topk`, dampr/dampr.py:621-652) — plans as
+    // TakeOrderedAndProject: O(k) state per partition, no total sort.
+    "q31_topk" -> ((s, dir) =>
+      Relational.topK(
+        t(s, dir, "part").select(col("p_partkey"), col("p_name"), col("p_retailprice")),
+        100, col("p_retailprice").desc, col("p_partkey"))),
+
+    // per-group top-k via ranking window — what the reference
+    // hand-builds with block mappers (tests/test_dampr.py:239-311).
+    "q32_topk_per_group" -> ((s, dir) =>
+      Relational.topKPerGroup(
+        t(s, dir, "customer").select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal")),
+        3, Seq(col("c_mktsegment")), Seq(col("c_acctbal").desc, col("c_custkey")))
+        .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))),
+
+    // distinct union (`read_input(a,b)` concat + unique, SURVEY §2.6).
+    "q33_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.union(su).distinct().orderBy(col("nationkey"))
+    }),
+
+    // intersect — absent in the reference (SURVEY §2.6), first-class here.
+    "q34_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(su).orderBy(col("nationkey"))
+    }),
+
+    // except
+    "q35_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.except(su).orderBy(col("nationkey"))
+    }),
+
+    // filter_by_count semi-join idiom (dampr/utils/common.py:2-15):
+    // orders of customers with >= 20 orders, then re-aggregated.
+    "q36_filter_by_count" -> ((s, dir) => {
+      Relational.filterByCount(t(s, dir, "orders"), Seq("o_custkey"), _ >= 20)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // tf-idf pipeline — the reference's flagship benchmark workload
+    // (benchmarks/tf-idf-dampr.py:9-21), idf = ln(1 + N/df). One
+    // shuffle for tf, one tiny df side joined broadcast.
+    "q37_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          r6(col("tf") * log(lit(1.0) + col("n_docs") / col("df"))).as("tfidf"))
+        .orderBy(col("doc_id"), col("token"))
+    }),
+
+    // inverted index build (dampr/utils/indexer.py:35-70): token →
+    // sorted postings + term frequency.
+    "q38_inverted_index" -> ((s, dir) =>
+      Relational.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("token"))),
+
+    // index intersect retrieval (dampr/utils/indexer.py:94-125): docs
+    // matching >= 2 of the probe tokens.
+    "q39_index_intersect" -> ((s, dir) => {
+      val idx = Relational.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+      Relational.indexIntersect(idx, Seq("spark", "query", "join"), 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // tumbling-window event aggregation — the batch semantics of the
+    // phase-9 streaming query (SURVEY §2.10; reference has no
+    // streaming at all). window() buckets == DuckDB time_bucket.
+    "q40_window_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("value_cents"))
+        .orderBy(col("wstart"), col("event_type"))
+    }),
+
+    // sessionization in batch (gap > 30 min starts a new session):
+    // lag + running sum window — the stateful-streaming shape
+    // (flatMapGroupsWithState) expressed relationally.
+    "q41_sessions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_sort" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+         FROM orders ORDER BY total_cents DESC, o_orderkey""",
+    "q31_topk" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+         ORDER BY p_retailprice DESC, p_partkey LIMIT 100""",
+    "q32_topk_per_group" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer) WHERE rn <= 3
+         ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""",
+    "q33_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "q34_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "q35_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "q36_filter_by_count" ->
+      """SELECT o_custkey, count(*) AS n FROM orders
+         GROUP BY o_custkey HAVING count(*) >= 20 ORDER BY o_custkey""",
+    "q37_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, token FROM ($SqlTok) WHERE token <> ''),
+          tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+          df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM $DocsPq)
+          SELECT tf.doc_id, tf.token, round(tf.tf * ln(1 + n.n_docs / df.df), 6) AS tfidf
+          FROM tf JOIN df USING (token) CROSS JOIN n
+          ORDER BY tf.doc_id, tf.token""",
+    "q38_inverted_index" ->
+      s"""SELECT token, list_sort(list(DISTINCT doc_id)) AS postings, count(*) AS tf
+          FROM ($SqlTok) WHERE token <> '' GROUP BY token ORDER BY token""",
+    "q39_index_intersect" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM ($SqlTok) WHERE token <> '')
+          SELECT doc_id, count(*) AS n_match FROM tok
+          WHERE token IN ('spark', 'query', 'join')
+          GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""",
+    "q40_window_events" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    "q41_sessions" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events)
+         SELECT user_id,
+           CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+         FROM x GROUP BY user_id ORDER BY user_id""")
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import Q._
+
+/** Text-analysis + multimodal-plumbing pack (beyond-reference,
+  * BASELINE.json north star): token stats, language ID, quality
+  * scoring, fingerprinting, binary-column metadata.
+  */
+object TextQueries {
+
+  private val SqlToks =
+    s"SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM $DocsPq"
+
+  private def sqlMarkers(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("(", ", ", ")")
+  private val langs = TextFunctions.langMarkers
+  private val allMarkers = langs.flatMap(_._2).distinct
+
+  val queries: Map[String, QFn] = Map(
+    // token counting: total, distinct, mean token length.
+    "q60_token_stats" -> ((s, dir) => {
+      val toks = TextFunctions.tokenize(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          r6(aggregate(col("toks"), lit(0.0), (acc, t) => acc + length(t).cast("double")) /
+            greatest(size(col("toks")), lit(1)).cast("double")).as("avg_tok_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // marker-word language ID (n-gram-heuristic shape).
+    "q61_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // C4/Gopher-style quality score.
+    "q62_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // normalized md5 fingerprint per document.
+    "q63_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // multimodal plumbing: opaque binary payload column + typed
+    // metadata extraction (byte length + content digest). The
+    // decode-side (image/audio) runs through
+    // graft.multimodal.Multimodal with a stubbed codec; this query
+    // checks the binary schema path end to end.
+    "q64_binary_meta" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("text"))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("text")).as("digest"))
+        .orderBy(col("doc_id"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q60_token_stats" ->
+      s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+          round(list_sum(list_transform(toks, t -> len(t)))::DOUBLE /
+            greatest(len(toks), 1)::DOUBLE, 6) AS avg_tok_len
+          FROM ($SqlToks) ORDER BY doc_id""",
+    "q61_lang_id" -> {
+      val scoreExprs = langs.map { case (l, ms) =>
+        s"len(list_filter(toks, t -> t IN ${sqlMarkers(ms)})) AS s_$l"
+      }.mkString(", ")
+      val caseArms = langs.map { case (l, _) =>
+        s"WHEN s_$l = gm AND gm > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH sc AS (SELECT doc_id, $scoreExprs FROM ($SqlToks)),
+          g AS (SELECT *, greatest(${langs.map("s_" + _._1).mkString(", ")}) AS gm FROM sc)
+          SELECT doc_id, CASE $caseArms ELSE 'und' END AS lang_pred FROM g ORDER BY doc_id"""
+    },
+    "q62_quality" ->
+      s"""WITH base AS (SELECT doc_id, lower(text) AS lt,
+            list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM $DocsPq),
+          m AS (SELECT doc_id,
+            len(toks)::DOUBLE AS n_tok,
+            len(list_filter(toks, t -> t IN ${sqlMarkers(allMarkers)}))::DOUBLE AS n_stop,
+            len(lt) AS n_ch,
+            len(regexp_replace(lt, '[^a-z0-9 ]', '', 'g')) AS n_clean FROM base)
+          SELECT doc_id,
+            round(0.4 * least(n_tok / 50.0, 1.0)
+              + 0.4 * (1.0 - (n_ch - n_clean)::DOUBLE / greatest(n_ch, 1)::DOUBLE)
+              + 0.2 * least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0), 6) AS quality
+          FROM m ORDER BY doc_id""",
+    "q63_fingerprint" ->
+      s"""SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+          FROM $DocsPq ORDER BY doc_id""",
+    "q64_binary_meta" ->
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS digest
+          FROM $DocsPq ORDER BY doc_id""")
+}

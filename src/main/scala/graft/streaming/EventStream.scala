@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming over the `events` table shape (SURVEY.md
+  * §2.10: the reference has no streaming at all — this is the
+  * beyond-parity extension). The same aggregations exist in batch form
+  * as q40/q41 so correctness is oracle-checked there; these entry
+  * points run them incrementally with watermarks and state.
+  */
+object EventStream {
+
+  /** Watermarked tumbling-window aggregation: the streaming form of
+    * q40_window_events. At scale: state is bounded by the watermark
+    * horizon; each window+type key holds one partial aggregate.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window event rate (5-minute hop over 1-hour window). */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("n"))
+
+  /** Session windows via the built-in session_window (gap-based). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("user_id"), col("n_events"))
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class UserRunning(user_id: Long, n_events: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count — the arbitrary-stateful-operator path
+    * (`KeyValueGroupedDataset.mapGroupsWithState`).
+    */
+  def runningUserCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_type")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[UserEvent], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val now = prev + evs.size
+          state.update(now)
+          UserRunning(uid, now)
+      }.toDF()
+  }
+
+  /** Drive a streaming query from a static parquet dir through the
+    * memory sink synchronously — the local smoke path (one parquet file
+    * per micro-batch via maxFilesPerTrigger).
+    */
+  def runToMemory(spark: SparkSession, dir: String, name: String,
+      build: DataFrame => DataFrame, outputMode: OutputMode = OutputMode.Append()): StreamingQuery = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/events.parquet")
+    build(stream).writeStream
+      .outputMode(outputMode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
