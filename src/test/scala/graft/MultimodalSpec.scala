@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.queries.Q
+
+/** Binary-column plumbing specs: schema, batch shape and determinism
+  * of the (stub-codec) decode path.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("media table carries binary payload with typed id") {
+    val media = Multimodal.asMediaTable(Q.t(spark, sf001, "documents"))
+    val schema = media.schema
+    assert(schema("payload").dataType.typeName === "binary")
+    assert(media.count() > 0)
+  }
+
+  test("decodeFeatures is deterministic and preserves row count") {
+    val media = Multimodal.asMediaTable(Q.t(spark, sf001, "documents"))
+    val a = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(a.length === media.count())
+    assert(a.map(_.n_bytes).toSeq === b.map(_.n_bytes).toSeq)
+    assert(a.map(_.features.toSeq).toSeq === b.map(_.features.toSeq).toSeq)
+    assert(a.forall(f => f.features.length == 8 && f.width >= 16 && f.height >= 16))
+  }
+
+  test("frameSample explodes payloads into bounded frames with stable keys") {
+    val media = Multimodal.asMediaTable(Q.t(spark, sf001, "documents")).limit(10)
+    val frames = Multimodal.frameSample(spark, media, 4)
+    val perDoc = frames.groupBy(col("doc_id")).count().collect().map(_.getLong(1))
+    assert(perDoc.forall(_ <= 4))
+    assert(frames.schema("frame_bytes").dataType.typeName === "binary")
+  }
+
+  test("decoded features support downstream relational ops") {
+    val media = Multimodal.asMediaTable(Q.t(spark, sf001, "documents"))
+    val feats = Multimodal.decodeFeatures(spark, media).toDF()
+    val agg = feats.groupBy(col("media_type")).agg(avg(col("n_bytes")).as("avg_bytes"))
+    assert(agg.collect().nonEmpty)
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Relational, Similarity}
+import graft.functions.TextFunctions
+
+/** Specs for the DataFrame-first operator/function packs on crafted
+  * inputs with exact expectations.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def docsDf = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+    (1L, "the quick brown fox jumps over the lazy cat", "en", "s", 43L),
+    (2L, "EL perro   corre en la calle de la ciudad hoy", "es", "s", 45L),
+    (3L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+    (4L, "completely different words entirely unrelated text here", "en", "s", 56L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exactDupGroups collapses identical normalized text") {
+    val groups = Dedup.exactDupGroups(docsDf, "doc_id", "text").collect()
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2L)
+    assert(dupGroup.isDefined && dupGroup.get.getAs[Long]("keep_id") === 0L)
+    assert(groups.length === 4) // 0==3, others distinct
+  }
+
+  test("minhash signatures are identical for identical docs, differ otherwise") {
+    val sigs = Dedup.minhashSignatures(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toVector).toMap
+    assert(sigs(0L) === sigs(3L))
+    assert(sigs(0L) !== sigs(4L))
+  }
+
+  test("minhash LSH + jaccard verify finds the near-dup pair") {
+    val sigs = Dedup.minhashSignatures(docsDf, "doc_id", "text")
+    val cand = Dedup.minhashCandidates(sigs)
+    val pairs = Dedup.jaccardVerify(docsDf, cand, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 1.0)) // exact dup
+    // docs 0 and 1 differ in last word: 7/9 shingles shared → jac ~0.56
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L))
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sh = Dedup.simhash(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(3L))
+    val hamming01 = java.lang.Long.bitCount(sh(0L) ^ sh(1L))
+    val hamming04 = java.lang.Long.bitCount(sh(0L) ^ sh(4L))
+    assert(hamming01 < hamming04)
+  }
+
+  test("cosine matches hand computation") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(1.0, 2.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+    val out = df.select(round(Similarity.cosine(col("a"), col("b")), 9)).as[Double].collect()
+    assert(out(0) === 0.0 && out(1) === 1.0)
+  }
+
+  test("bruteForceTopK returns nearest by cosine") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(1.0f, 0.05f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(emb, 0L, 2).collect().map(_.getLong(0))
+    assert(top === Array(3L, 1L)) // closest first
+  }
+
+  test("topKPerGroup keeps k rows per group in order") {
+    val df = Seq(("a", 1), ("a", 5), ("a", 3), ("b", 9)).toDF("g", "v")
+    val out = Relational.topKPerGroup(df, 2, Seq(col("g")), Seq(col("v").desc))
+      .collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    assert(out === Array(("a", 3), ("a", 5), ("b", 9)))
+  }
+
+  test("filterByCount keeps keys passing the frequency predicate") {
+    val df = Seq("x", "x", "x", "y", "z", "z").toDF("k")
+    val out = Relational.filterByCount(df, Seq("k"), _ >= 2).collect().map(_.getString(0))
+    assert(out.sorted === Array("x", "x", "x", "z", "z"))
+  }
+
+  test("invertedIndex postings are sorted distinct doc ids") {
+    val idx = Relational.invertedIndex(docsDf, "doc_id", "text")
+    val fox = idx.filter(col("token") === "fox").collect().head
+    assert(fox.getAs[Seq[Long]]("postings") === Seq(0L, 1L, 3L))
+  }
+
+  test("langId picks the marker-dominant language") {
+    val out = docsDf.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "en")
+    assert(out(2L) === "es")
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(("A  B c", 1), ("a b C", 2)).toDF("text", "id")
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) === fps(1))
+  }
+
+  test("shingles builds consecutive word n-grams") {
+    val df = Seq("a b c d").toDF("text")
+    val out = df.select(TextFunctions.shingles(TextFunctions.tokenize(col("text")), 3))
+      .as[Seq[String]].collect().head
+    assert(out === Seq("a b c", "b c d"))
+  }
+
+  test("qualityScore penalizes punctuation-heavy short text") {
+    val df = Seq(("the and of to in is " * 10, 0), ("@@@!!! ###", 1)).toDF("text", "id")
+    val scores = df.select(TextFunctions.qualityScore(col("text"))).as[Double].collect()
+    assert(scores(0) > scores(1))
+  }
+}

