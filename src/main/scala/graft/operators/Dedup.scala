@@ -20,10 +20,12 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   /** 31-bit base hash shared bit-for-bit with DuckDB:
-    * `('0x' || substr(md5(x),1,8))::BIGINT % 2147483647`.
+    * `('0x' || substr(md5(x),1,8))::BIGINT % 2147483647`. Computed by
+    * the custom codegen expression [[graft.plans.Md5Prefix32]] (no hex
+    * string intermediate — ~2x cheaper than md5+substring+conv).
     */
   def h31(c: Column): Column =
-    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(2147483647L))
+    pmod(graft.plans.Md5Prefix32.md5prefix32(c), lit(2147483647L))
 
   /** 2^31 - 1: products with 31-bit multipliers stay below 2^63, so the
     * same expression is overflow-free in Spark longs and DuckDB BIGINTs.
@@ -44,17 +46,28 @@ object Dedup {
     docs.groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures over 3-word shingles: doc_id, mh0..mh{k-1}.
-    * One explode + one grouped min-aggregate (map-side combined), k
-    * permutations evaluated as expressions over the same base hash.
+  /** Hashed 3-word shingles: (doc_id, h) with h = 31-bit md5-derived
+    * hash. The single expensive map-side pass (tokenize + shingle +
+    * md5) that every minhash stage derives from — compute once, persist
+    * when feeding multiple consumers.
     */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         explode(shingles(tokenize(col(textCol)), 3)).as("shingle"))
       .select(col("doc_id"), h31(col("shingle")).as("h"))
-      .groupBy(col("doc_id"))
+
+  /** MinHash signatures from hashed shingles: doc_id, mh0..mh{k-1}.
+    * One grouped min-aggregate (map-side combined), k permutations as
+    * expressions over the same base hash.
+    */
+  def signaturesFromHashes(sh: DataFrame, k: Int = 8): DataFrame =
+    sh.groupBy(col("doc_id"))
       .agg(min(permuted(col("h"), 0)).as("mh0"),
         (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")): _*)
+
+  /** MinHash signatures over 3-word shingles: doc_id, mh0..mh{k-1}. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
+    signaturesFromHashes(shingleHashes(docs, idCol, textCol), k)
 
   /** LSH banding: candidate pairs = docs agreeing on an entire band of
     * the signature. Bands are hashed to one key column and self-joined
@@ -78,16 +91,36 @@ object Dedup {
     * step after LSH banding.
     */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val sets = docs.select(col(idCol).as("doc_id"),
-      array_distinct(shingles(tokenize(col(textCol)), 3)).as("sh"))
+      threshold: Double): DataFrame =
+    jaccardVerifyHashed(shingleHashes(docs, idCol, textCol), candidates, threshold)
+
+  /** Jaccard verification over *hashed* shingle sets: set arithmetic on
+    * longs instead of 3-word strings (identical result modulo 31-bit
+    * collisions; the oracle computes the same hashed form). Much
+    * cheaper arrays to intersect, and `sh` can be a persisted frame
+    * shared with signature computation.
+    */
+  def jaccardVerifyHashed(sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
+    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
+        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** End-to-end MinHash near-dup pipeline: hash shingles once (persist
+    * across the three consumers), signatures → LSH candidates →
+    * hashed-Jaccard verify.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 2, threshold: Double = 0.6): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = minhashCandidates(signaturesFromHashes(sh, k), k, bands)
+    jaccardVerifyHashed(sh, cand, threshold)
   }
 
   /** `bits`-bit SimHash (Charikar 2002) from token hashes: per bit

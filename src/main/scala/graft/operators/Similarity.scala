@@ -64,7 +64,7 @@ object Similarity {
     * md5-derived integer mapped to [-1, 1). Engine-portable.
     */
   def planeWeight(plane: Column, dim: Column): Column =
-    (pmod(conv(substring(md5(concat_ws("_", lit("plane"), plane, dim)), 1, 8), 16, 10).cast("long"),
+    (pmod(graft.plans.Md5Prefix32.md5prefix32(concat_ws("_", lit("plane"), plane, dim)),
       lit(2001L)) - 1000L).cast("double") / 1000.0
 
   /** Random-hyperplane LSH bucket id (sign bits of `planes` projections

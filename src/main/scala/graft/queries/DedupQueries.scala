@@ -38,14 +38,11 @@ object DedupQueries {
       Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
-    // LSH banding (2 bands x 4 rows) + exact-Jaccard verification.
-    "q51_minhash_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
-      val cand = Dedup.minhashCandidates(sigs)
-      Dedup.jaccardVerify(docs, cand, "doc_id", "text", 0.6)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    // LSH banding (2 bands x 4 rows) + hashed-Jaccard verification;
+    // shingle hashes computed once and persisted across the stages.
+    "q51_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // 16-bit SimHash per document.
     "q52_simhash" -> ((s, dir) =>
@@ -97,16 +94,17 @@ object DedupQueries {
           FROM $DocsPq GROUP BY 1 ORDER BY keep_id""",
     "q50_minhash_sig" -> s"SELECT * FROM ($SqlSig) ORDER BY doc_id",
     "q51_minhash_pairs" ->
-      s"""WITH sig AS ($SqlSig),
+      s"""WITH sh AS (SELECT doc_id, ${sqlH31("shingle")} AS h FROM ($SqlShingles)),
+          sig AS (SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")} FROM sh GROUP BY doc_id),
           cand AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
             ON l.doc_id < r.doc_id AND (${bandEq("", 0, 4)} OR ${bandEq("", 1, 4)})),
-          sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sh FROM ($SqlShingles) GROUP BY doc_id)
+          sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id)
           SELECT doc_a, doc_b,
-            round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
+            round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+              (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6) AS jaccard
           FROM cand JOIN sets a ON a.doc_id = doc_a JOIN sets b ON b.doc_id = doc_b
-          WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 6) >= 0.6
+          WHERE round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+              (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6) >= 0.6
           ORDER BY doc_a, doc_b""",
     "q52_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM

@@ -26,8 +26,24 @@ object Q {
   def r6(c: Column): Column = round(c, 6)
   def r4(c: Column): Column = round(c, 4)
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" => events(spark, dir)
+    // documents/embeddings: heavy per-row compute (md5 shingling,
+    // cosine) over files small enough to arrive as ONE input split —
+    // widen so the map side parallelizes. At production scale the scan
+    // has thousands of splits and this branch is a no-op.
+    case "documents" | "embeddings" => widen(spark, spark.read.parquet(s"$dir/$name.parquet"))
+    case _ => spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Repartition up to the cluster's parallelism only when the scan
+    * produced fewer splits (single-row-group local files). Never
+    * shrinks, never shuffles an already-parallel scan.
+    */
+  def widen(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 
   /** `events.parquet` carries TIMESTAMP(NANOS) (pyarrow default), which
     * Spark's parquet reader rejects. Read nanos as long (legacy conf)
@@ -67,9 +83,9 @@ object Q {
   /** 32-bit token hash shared bit-for-bit with DuckDB: first 8 hex
     * chars of md5, parsed as an unsigned int. Engine-portable because
     * md5 is standardized; used as the base hash for minhash/simhash.
+    * Backed by the custom codegen expression [[graft.plans.Md5Prefix32]].
     */
-  def tokenHash(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def tokenHash(c: Column): Column = graft.plans.Md5Prefix32.md5prefix32(c)
 
   /** DuckDB rendering of [[tokenHash]]. */
   def sqlTokenHash(expr: String): String =

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal access bridge for custom Catalyst expressions: Spark 4 made
+  * Column↔Expression conversion `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`), so third-party
+  * expression libraries expose it from inside the package — the same
+  * pattern public Spark extension libraries use.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
