@@ -175,6 +175,16 @@ final case class Pipe[T](ds: Dataset[T]) {
   def sinkText(path: String): Unit =
     ds.map(_.toString)(Encoders.STRING).write.mode("overwrite").text(path)
 
+  /** Tab-separated sink — `sink_tsv` (`dampr/dampr.py:521-529`). Tuple
+    * / case-class fields become TSV columns.
+    */
+  def sinkTsv(path: String): Unit =
+    ds.toDF().write.mode("overwrite").option("sep", "\t").csv(path)
+
+  /** JSON-lines sink — `sink_json` (`dampr/dampr.py:531-539`). */
+  def sinkJson(path: String): Unit =
+    ds.toDF().write.mode("overwrite").json(path)
+
   /** Pin in memory for multi-output reuse — `cached()`
     * (`dampr/dampr.py:486-497`).
     */

@@ -22,7 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ SortSetQueries.queries ++
-      DedupQueries.queries ++ TextQueries.queries
+      DedupQueries.queries ++ TextQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops)
@@ -30,5 +30,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ JoinQueries.oracleSql ++ SortSetQueries.oracleSql ++
-      DedupQueries.oracleSql ++ TextQueries.oracleSql
+      DedupQueries.oracleSql ++ TextQueries.oracleSql ++ AnalyticsQueries.oracleSql
 }

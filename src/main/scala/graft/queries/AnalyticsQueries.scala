@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import Q._
+
+/** Analytics extensions beyond the reference's surface (SURVEY.md §2.3
+  * "absent" rows and §2.5 window functions): approximate distinct,
+  * rollup, running windows, date bucketing, exact percentiles, scalar
+  * string functions, and the multimodal decode path as a graded query.
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // approx_count_distinct (HLL) — the modern upgrade the reference
+    // lacks (SURVEY §2.3 "distinct counting (HLL): absent"). No oracle:
+    // sketch estimates are engine-specific; driver does rows-only.
+    "q13_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))),
+
+    // exact interpolated median per group (percentile ≡ DuckDB
+    // quantile_cont).
+    "q42_median" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // grouping-sets rollup — free under Catalyst (SURVEY §2.3 row
+    // "grouping sets / cube / rollup: absent").
+    "q43_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // running-frame analytic window (rowsBetween unbounded preceding):
+    // per-supplier running quantity in shipdate order.
+    "q44_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity")).over(w).cast("long").as("run_qty"))
+        .orderBy(col("l_suppkey"), col("run_qty"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // calendar bucketing: monthly order counts + exact cents revenue.
+    "q45_date_trunc" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("revenue_cents"))
+        .orderBy(col("month"))),
+
+    // scalar string functions (SURVEY §2.2: the reference has none
+    // built in — everything was an opaque lambda).
+    "q46_string_funcs" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(substring(col("c_name"), 1, 8)).as("prefix8"),
+          length(col("c_name")).as("name_len"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"))
+        .orderBy(col("c_custkey"))),
+
+    // multimodal decode as a graded query: binary payload ->
+    // mapPartitions stub codec -> typed features (rows-only check; the
+    // codec is engine-side Scala, not SQL-expressible).
+    "q65_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"))
+      Multimodal.decodeFeatures(s, media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("media_type"), col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q42_median" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q43_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q44_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(sum(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_qty
+         FROM lineitem ORDER BY l_suppkey, run_qty, l_orderkey, l_linenumber""",
+    "q45_date_trunc" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM orders GROUP BY 1 ORDER BY month""",
+    "q46_string_funcs" ->
+      """SELECT c_custkey, upper(substr(c_name, 1, 8)) AS prefix8,
+         CAST(length(c_name) AS INT) AS name_len,
+         c_mktsegment || '|' || c_name AS tagged
+         FROM customer ORDER BY c_custkey""")
+}
