@@ -224,6 +224,25 @@ object Pipe {
 
   def text(spark: SparkSession, path: String): Pipe[String] =
     Pipe(Tables.text(spark, path))
+
+  /** Re-wrap an existing Dataset — `Dampr.from_dataset`
+    * (`dampr/dampr.py:904-912`).
+    */
+  def fromDataset[T](ds: Dataset[T]): Pipe[T] = Pipe(ds)
+
+  /** Tuple-value helpers — `map_values` / `map_keys`
+    * (`dampr/dampr.py:290-314`): transform one side of a `(k, v)`
+    * value without touching the other.
+    */
+  implicit class KVPipe[K, V](val p: Pipe[(K, V)]) extends AnyVal {
+    def mapValues[W](f: V => W)(implicit e: Encoder[(K, W)]): Pipe[(K, W)] =
+      Pipe(p.ds.map { case (k, v) => (k, f(v)) })
+    def mapKeys[L](f: K => L)(implicit e: Encoder[(L, V)]): Pipe[(L, V)] =
+      Pipe(p.ds.map { case (k, v) => (f(k), v) })
+    /** Swap key and value. */
+    def swap(implicit e: Encoder[(V, K)]): Pipe[(V, K)] =
+      Pipe(p.ds.map { case (k, v) => (v, k) })
+  }
 }
 
 /** Grouped view after `group_by`/`a_group_by` — the reference's

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the scale properties the queries are
+  * designed around must actually materialize in the executed plan —
+  * filter/column pushdown into the parquet scan, broadcast joins for
+  * small dims, TakeOrderedAndProject for top-k, partial aggregation,
+  * and sort elimination under count-only actions.
+  */
+class PlanSpec extends SparkSpec {
+
+  def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf001)
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val p = plan(q("q02_filter_project"))
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity"), p)
+    // projection pruning: the scan must not read unused money columns
+    assert(!p.split("ReadSchema").last.contains("l_tax"), p)
+  }
+
+  test("q20 broadcast-joins the customer dimension") {
+    val p = plan(q("q20_join_inner"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q22 plans a left-semi broadcast or shuffle join, never a full join") {
+    val p = plan(q("q22_join_semi"))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q26 cross join is a broadcast nested loop") {
+    val p = plan(q("q26_cross_broadcast"))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q31 top-k plans as TakeOrderedAndProject (no total sort)") {
+    val p = plan(q("q31_topk"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q01 aggregation is partial+final (map-side combine)") {
+    val p = plan(q("q01_agg_lineitem"))
+    assert(p.split("HashAggregate").length >= 3, p) // partial + final
+  }
+
+  test("count() over a sorted query eliminates the sort (bench path)") {
+    val p = plan(q("q30_sort").groupBy().count())
+    assert(!p.contains("Sort "), p)
+  }
+
+  test("q37 tf-idf broadcasts the df/count sides") {
+    val p = plan(q("q37_tfidf"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
