@@ -143,11 +143,15 @@ object Dedup {
   /** Token-level Jaccard similarity restricted to blocking buckets
     * (same lang, similar length) — the bounded n-gram-Jaccard near-dup
     * scan. Blocking turns the quadratic step into per-bucket work.
+    * Token sets are 31-bit-hashed once map-side so the per-pair set
+    * arithmetic runs on sorted long arrays, not strings (identical
+    * Jaccard modulo hash collisions; the oracle hashes the same way).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val base = docs.select(col("doc_id"), col("lang"),
-      (col("n_chars") / 64).cast("long").as("len_bucket"),
-      array_distinct(tokenize(col("text"))).as("toks"))
+        (col("n_chars") / 64).cast("long").as("len_bucket"),
+        array_distinct(transform(tokenize(col("text")), t => h31(t))).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.as("l").join(base.as("r"),
         col("l.lang") === col("r.lang") && col("l.len_bucket") === col("r.len_bucket") &&
           col("l.doc_id") < col("r.doc_id"))

@@ -30,6 +30,20 @@ object Similarity {
 
   def toDoubleVec(c: Column): Column = transform(c, v => v.cast("double"))
 
+  /** L2 norm of an `array<double>` column. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  /** Cosine from precomputed norms: for pairwise workloads the norms
+    * are computed once per vector map-side instead of once per pair —
+    * 3x less per-pair work. Same expression shape as [[cosine]], so
+    * results are bit-identical.
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    dot / (na * nb)
+  }
+
   /** Brute-force cosine top-k against one query vector: broadcast the
     * query, score map-side, TakeOrdered(k). At 100 TB this is the
     * one-pass exact baseline — O(k) driver state.

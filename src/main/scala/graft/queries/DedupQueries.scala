@@ -58,10 +58,11 @@ object DedupQueries {
     "q55_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), Similarity.toDoubleVec(col("embedding")).as("e"))
+        .withColumn("nrm", Similarity.norm(col("e")))
       e.as("l").join(e.as("r"),
           col("l.label") === col("r.label") && col("l.vec_id") < col("r.vec_id"))
         .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-          round(Similarity.cosine(col("l.e"), col("r.e")), 6).as("cos_sim"))
+          round(Similarity.cosineWithNorms(col("l.e"), col("r.e"), col("l.nrm"), col("r.nrm")), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.4)
         .orderBy(col("vec_a"), col("vec_b"))
     }),
@@ -115,7 +116,9 @@ object DedupQueries {
           FROM votes GROUP BY doc_id ORDER BY doc_id""",
     "q53_ngram_jaccard" ->
       s"""WITH base AS (SELECT doc_id, lang, n_chars // 64 AS len_bucket,
-            list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
+            list_distinct(list_transform(
+              list_filter(string_split(lower(text), ' '), x -> x <> ''),
+              x -> ${sqlH31("x")})) AS toks
             FROM $DocsPq)
           SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
             round(len(list_intersect(l.toks, r.toks))::DOUBLE /

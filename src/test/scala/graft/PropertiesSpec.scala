@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Dedup
+
+/** Property tests for the algebraic laws the engine relies on
+  * (SURVEY.md §5: the reference only spot-checks these; we state them
+  * as laws). Raw ScalaCheck generators with a deterministic sampler
+  * (scalatestplus bridge isn't in the offline cache).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministically sample `n` values from a generator. */
+  def samples[A](gen: Gen[A], n: Int = 5): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default.withSize(30), Seed(42L + i)))
+
+  val intsGen: Gen[List[Int]] = Gen.listOf(Gen.chooseNum(-100, 100))
+  val kvGen: Gen[List[(Int, Int)]] = Gen.listOf(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 50)))
+
+  test("law: fused map chain ≡ unfused (Catalyst fusion is semantics-preserving)") {
+    for (xs <- samples(intsGen)) {
+      val fused = Pipe.memory(spark, xs).map(_ + 1).map(_ * 2).filter(_ % 3 != 0).collect().sorted
+      assert(fused.toList === xs.map(_ + 1).map(_ * 2).filter(_ % 3 != 0).sorted)
+    }
+  }
+
+  test("law: combiner-backed fold ≡ general reduce for associative ops") {
+    for (xs <- samples(intsGen) if xs.nonEmpty) {
+      val p = Pipe.memory(spark, xs)
+      val folded = p.foldBy(math.abs(_) % 3)(_ + _).collect().toMap
+      val reduced = p.groupBy(math.abs(_) % 3).reduce((k, it) => (k, it.sum)).collect().toMap
+      assert(folded === reduced)
+    }
+  }
+
+  test("law: cogroup inner join ≡ driver-side group + intersect") {
+    for ((ls, rs) <- samples(Gen.zip(kvGen, kvGen))) {
+      val cogrouped = Pipe.memory(spark, ls).joinOn(Pipe.memory(spark, rs))(_._1, _._1)
+        .reduce((k, lit, rit) => (k, lit.map(_._2).sum * rit.map(_._2).sum))
+        .collect().toMap
+      val lm = ls.groupBy(_._1); val rm = rs.groupBy(_._1)
+      val expected = (lm.keySet intersect rm.keySet)
+        .map(k => k -> lm(k).map(_._2).sum * rm(k).map(_._2).sum).toMap
+      assert(cogrouped === expected)
+    }
+  }
+
+  test("law: minhash signatures are partitioning-invariant") {
+    for (words <- samples(Gen.listOfN(6, Gen.alphaLowerStr.suchThat(_.nonEmpty)), 3)) {
+      val text = (words ++ words ++ words).mkString(" ")
+      val a = Dedup.minhashSignatures(Seq((0L, text)).toDF("doc_id", "text"), "doc_id", "text")
+        .collect().head.toSeq
+      val b = Dedup.minhashSignatures(
+          Seq((0L, text)).toDF("doc_id", "text").repartition(7), "doc_id", "text")
+        .collect().head.toSeq
+      assert(a === b)
+    }
+  }
+
+  test("law: union length adds; distinct is idempotent") {
+    for ((xs, ys) <- samples(Gen.zip(intsGen, intsGen))) {
+      val px = Pipe.memory(spark, xs); val py = Pipe.memory(spark, ys)
+      assert(px.union(py).len() === xs.length + ys.length)
+      val d = px.distinct()
+      assert(d.collect().sorted.toList === xs.distinct.sorted)
+      assert(d.distinct().len() === d.len())
+    }
+  }
+
+  test("law: meanBy equals arithmetic mean") {
+    for (xs <- samples(Gen.nonEmptyListOf(Gen.chooseNum(-1000, 1000)), 4) if xs.nonEmpty) {
+      val out = Pipe.memory(spark, xs).meanBy(_ => 0)(_.toDouble).collect().head._2
+      assert(math.abs(out - xs.map(_.toDouble).sum / xs.length) < 1e-9)
+    }
+  }
+
+  test("MeanAggregator registers as a SQL UDAF (udaf() path)") {
+    import org.apache.spark.sql.functions.udaf
+    spark.udf.register("graft_mean", udaf(new MeanAggregator[Double](identity)))
+    Seq(1.0, 2.0, 6.0).toDF("v").createOrReplaceTempView("_pv")
+    val got = spark.sql("SELECT graft_mean(v) FROM _pv").collect().head.getDouble(0)
+    assert(got === 3.0)
+  }
+}
