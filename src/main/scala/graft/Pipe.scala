@@ -190,6 +190,13 @@ final case class Pipe[T](ds: Dataset[T]) {
     */
   def cached(): Pipe[T] = Pipe(ds.persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Force a stage boundary / truncate lineage — `checkpoint(force)`
+    * (`dampr/dampr.py:128-153`). Mostly unnecessary under Catalyst
+    * (SURVEY §2.7); lazy local checkpoint for the cases it isn't
+    * (iterative lineage growth).
+    */
+  def checkpoint(): Pipe[T] = Pipe(ds.localCheckpoint(eager = false))
+
   /** Execute and stream k results to the driver — `ValueEmitter.read`
     * (`dampr/dampr.py:34-42`).
     */

@@ -68,6 +68,21 @@ object AnalyticsQueries {
           concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"))
         .orderBy(col("c_custkey"))),
 
+    // as-of join (point-in-time): each purchase matched to the user's
+    // most recent prior click. Composed union+window — one shuffle on
+    // user_id, no range-candidate explosion. DuckDB oracles it with a
+    // native ASOF JOIN.
+    "q47_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.AsOf.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        by = Seq("user_id"), tsCol = "ts",
+        leftId = "event_id", rightId = "event_id")
+        .select(col("user_id"), col("event_id"), col("matched_event_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // multimodal decode as a graded query: binary payload ->
     // mapPartitions stub codec -> typed features (rows-only check; the
     // codec is engine-side Scala, not SQL-expressible).
@@ -93,6 +108,12 @@ object AnalyticsQueries {
            ORDER BY l_shipdate, l_orderkey, l_linenumber
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_qty
          FROM lineitem ORDER BY l_suppkey, run_qty, l_orderkey, l_linenumber""",
+    "q47_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+         SELECT p.user_id, p.event_id, c.event_id AS matched_event_id
+         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
     "q45_date_trunc" ->
       """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
