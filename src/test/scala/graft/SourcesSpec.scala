@@ -46,4 +46,23 @@ class SourcesSpec extends SparkSpec {
     val hits = Relational.indexUnion(idx, Seq("alpha", "gamma")).as[Long].collect().sorted
     assert(hits === Array(1L, 2L))
   }
+
+  test("UrlsTap streams lines per URL partition, skipping bad URLs") {
+    val d = java.nio.file.Files.createTempDirectory("graft_urls")
+    java.nio.file.Files.writeString(d.resolve("a.txt"), "a1\na2")
+    java.nio.file.Files.writeString(d.resolve("b.txt"), "b1")
+    val urls = Seq(s"file://$d/a.txt", s"file://$d/b.txt", s"file://$d/missing.txt")
+    val df = spark.read.format("graft.sources.UrlsTap")
+      .option("urls", urls.mkString(",")).load()
+    assert(df.rdd.getNumPartitions === 3)
+    val lines = df.collect().map(r => (r.getString(0).split("/").last, r.getString(1)))
+    assert(lines.sorted === Array(("a.txt", "a1"), ("a.txt", "a2"), ("b.txt", "b1")))
+  }
+
+  test("UrlsTap skipOnError=false fails on a bad URL") {
+    val df = spark.read.format("graft.sources.UrlsTap")
+      .option("urls", "file:///nonexistent_graft_url.txt")
+      .option("skipOnError", "false").load()
+    intercept[org.apache.spark.SparkException](df.count())
+  }
 }

@@ -56,4 +56,23 @@ class StreamingSpec extends SparkSpec {
     val b = batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(l === b)
   }
+
+  test("flatMapGroupsWithState custom sessionizer emits gap-closed sessions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+    Q.events(spark, sf001).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val q = EventStream.runToMemory(spark, tmp, "csessout",
+      df => EventStream.customSessions(spark, df, gapSeconds = 1800),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("csessout").collect()
+    assert(sessions.nonEmpty)
+    // every emitted session is internally consistent
+    assert(sessions.forall { r =>
+      r.getAs[Long]("n_events") > 0 && r.getAs[Long]("end_ts") >= r.getAs[Long]("start_ts")
+    })
+    // closed sessions + open (unemitted) ones must account for all events
+    val emitted = sessions.map(_.getAs[Long]("n_events")).sum
+    val total = Q.events(spark, sf001).count()
+    assert(emitted <= total)
+  }
 }
