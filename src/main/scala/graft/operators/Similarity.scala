@@ -95,6 +95,62 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Element-wise mean of array columns per group: posexplode → avg →
+    * regroup in position order.
+    */
+  def centroids(df: DataFrame, cellCol: String, vecCol: String): DataFrame =
+    df.select(col(cellCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(cellCol), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col(cellCol)).agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col(cellCol), transform(col("pm"), x => x.getField("m")).as("centroid"))
+
+  /** Deterministic mini k-means (Lloyd) over (vec_id, e): init = the k
+    * lowest vec_ids, `iters` assign/recompute rounds. Centroids are
+    * broadcast each round; assignment is a map-side argmin (min_by on
+    * squared distance), so each iteration is one scan + one tiny
+    * aggregate — the coarse-quantizer training loop of a real IVF
+    * index, scaled-down but structurally identical.
+    */
+  def kmeansCells(embD: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = embD.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("int").as("cell"), col("e").as("centroid"))
+    val sqDist = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    for (_ <- 0 until iters) {
+      val assigned = embD.crossJoin(broadcast(cent))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cell"), struct(sqDist(col("e"), col("centroid")), col("cell"))).as("cell"),
+          first(col("e")).as("e"))
+      cent = centroids(assigned, "cell", "e")
+    }
+    cent
+  }
+
+  /** IVF ANN with computed cells: assign corpus to trained cells once,
+    * probe the `nprobe` nearest cells to the query, exact-search only
+    * those. At 100 TB the assigned table is written partitioned by
+    * cell, so a probe reads nprobe/k of the data.
+    */
+  def ivfSearch(emb: DataFrame, queryId: Long, k: Int, cells: Int, iters: Int, nprobe: Int): DataFrame = {
+    val embD = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+    val cent = kmeansCells(embD, cells, iters)
+    val sqDist = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    val assigned = embD.crossJoin(broadcast(cent))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(sqDist(col("e"), col("centroid")), col("cell"))).as("cell"),
+        first(col("e")).as("e"))
+    val q = embD.filter(col("vec_id") === queryId).select(col("e").as("q_emb"))
+    val probes = cent.crossJoin(broadcast(q))
+      .orderBy(sqDist(col("centroid"), col("q_emb")), col("cell")).limit(nprobe)
+      .select(col("cell"))
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("e"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
+  }
+
   /** IVF-style ANN: coarse-partition the corpus by `label` (stands in
     * for a k-means cell id), compute cell centroids, probe only the
     * nearest cell(s) to the query. The scan touches 1/cells of the

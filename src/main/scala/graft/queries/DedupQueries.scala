@@ -83,10 +83,13 @@ object DedupQueries {
           Similarity.lshBucket(Similarity.toDoubleVec(col("embedding")), 8, 64).as("bucket"))
         .orderBy(col("vec_id"))),
 
-    // IVF-style probe ANN: nearest label-cell only, then exact top-10.
-    // No oracle (multi-stage centroid probe), rows-only check.
+    // IVF ANN with computed cells: deterministic mini k-means coarse
+    // quantizer, probe the 2 nearest cells, exact-search only those.
+    // No oracle (multi-stage train+probe), rows-only check; recall vs
+    // brute force is asserted in OperatorsSpec.
     "q59_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(t(s, dir, "embeddings"), 0L, 10, 64)))
+      Similarity.ivfSearch(t(s, dir, "embeddings"), 0L, k = 10,
+        cells = 8, iters = 2, nprobe = 2)))
 
   val oracleSql: Map[String, String] = Map(
     "q54_dedup_exact" ->

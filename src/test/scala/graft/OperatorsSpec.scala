@@ -111,4 +111,17 @@ class OperatorsSpec extends SparkSpec {
     val scores = df.select(TextFunctions.qualityScore(col("text"))).as[Double].collect()
     assert(scores(0) > scores(1))
   }
+
+  test("kmeans-IVF ANN: deterministic and decent recall vs brute force") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val ivf1 = Similarity.ivfSearch(emb, 0L, 10, cells = 8, iters = 2, nprobe = 4)
+      .collect().map(_.getLong(0))
+    val ivf2 = Similarity.ivfSearch(emb, 0L, 10, cells = 8, iters = 2, nprobe = 4)
+      .collect().map(_.getLong(0))
+    assert(ivf1.toSeq === ivf2.toSeq) // deterministic end to end
+    val recall = (exact intersect ivf1.toSet).size / 10.0
+    info(s"recall@10 = $recall")
+    assert(recall >= 0.2) // nprobe=4 of 8 cells on weakly-clustered data
+  }
 }
