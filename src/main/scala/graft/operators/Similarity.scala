@@ -19,30 +19,29 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two `array<double>` columns (computed in
-    * double; cast float arrays first).
+    * double; cast float arrays first). Dot products go through the
+    * custom codegen kernel [[graft.plans.ArrayDotProduct]] — bit-equal
+    * to the `aggregate(zip_with(...))` fold but without per-row
+    * intermediate arrays.
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
-    dot / (na * nb)
+    import graft.plans.ArrayDotProduct.array_dot
+    array_dot(a, b) / (sqrt(array_dot(a, a)) * sqrt(array_dot(b, b)))
   }
 
   def toDoubleVec(c: Column): Column = transform(c, v => v.cast("double"))
 
   /** L2 norm of an `array<double>` column. */
   def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    sqrt(graft.plans.ArrayDotProduct.array_dot(a, a))
 
   /** Cosine from precomputed norms: for pairwise workloads the norms
     * are computed once per vector map-side instead of once per pair —
-    * 3x less per-pair work. Same expression shape as [[cosine]], so
-    * results are bit-identical.
+    * 3x less per-pair work. Same arithmetic as [[cosine]], so results
+    * are bit-identical.
     */
-  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    dot / (na * nb)
-  }
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    graft.plans.ArrayDotProduct.array_dot(a, b) / (na * nb)
 
   /** Brute-force cosine top-k against one query vector: broadcast the
     * query, score map-side, TakeOrdered(k). At 100 TB this is the

@@ -184,4 +184,18 @@ class PipeSpec extends SparkSpec {
     val back = Tables.text(spark, dir).collect().map(_.toInt).sorted
     assert(back === (10 until 20).toArray)
   }
+
+  // dampr/dampr.py:822-829 (per-key cross product)
+  test("JoinedPipe.cross crosses values within matching keys") {
+    val l = Pipe.memory(spark, Seq((1, "a"), (1, "b"), (2, "c")))
+    val r = Pipe.memory(spark, Seq((1, 10), (1, 20), (3, 30)))
+    val out = l.joinOn(r)(_._1, _._1).cross((x, y) => (x._2, y._2)).collect().sorted
+    assert(out === Array(("a", 10), ("a", 20), ("b", 10), ("b", 20)))
+  }
+
+  // dampr/dampr.py:128-153 (checkpoint stage boundary)
+  test("checkpoint truncates lineage without changing results") {
+    val p = ints.map(_ * 3).checkpoint().filter(_ % 2 == 0)
+    assert(p.collect().sorted === (10 until 20).map(_ * 3).filter(_ % 2 == 0).toArray)
+  }
 }

@@ -58,4 +58,11 @@ class PlanSpec extends SparkSpec {
     val p = plan(q("q37_tfidf"))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("AQE finalizes plans adaptively (coalesced shuffle read)") {
+    val df = q("q04_groupby_count")
+    df.collect() // execute THIS QueryExecution so AQE finalizes it
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), p)
+  }
 }
