@@ -111,16 +111,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** End-to-end MinHash near-dup pipeline: hash shingles once (persist
-    * across the three consumers), signatures → LSH candidates →
-    * hashed-Jaccard verify.
+  /** End-to-end MinHash near-dup pipeline, shuffle-minimal form: ONE
+    * grouped aggregation computes the k signature mins AND the shingle
+    * set per doc; the set rides along through the band self-join so
+    * Jaccard verification needs no further joins. Two shuffles total
+    * (doc aggregation + band-bucket join, whose two sides share a
+    * reused exchange).
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 2, threshold: Double = 0.6): DataFrame = {
     val sh = shingleHashes(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = minhashCandidates(signaturesFromHashes(sh, k), k, bands)
-    jaccardVerifyHashed(sh, cand, threshold)
+    val sigSets = sh.groupBy(col("doc_id"))
+      .agg(min(permuted(col("h"), 0)).as("mh0"),
+        (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")) :+
+          collect_set(col("h")).as("hs"): _*)
+    val rowsPerBand = k / bands
+    val banded = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      sigSets.select(col("doc_id"), col("hs"), lit(b).as("band"), concat_ws("_", cols: _*).as("band_key"))
+    }.reduce(_.union(_))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        round(size(array_intersect(col("l.hs"), col("r.hs"))).cast("double") /
+          size(array_union(col("l.hs"), col("r.hs"))).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates("doc_a", "doc_b") // pairs matching in both bands
   }
 
   /** `bits`-bit SimHash (Charikar 2002) from token hashes: per bit

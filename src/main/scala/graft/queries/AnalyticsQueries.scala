@@ -39,6 +39,13 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // full cube over two dimensions (all 4 grouping sets).
+    "q48_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("cents"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
     // running-frame analytic window (rowsBetween unbounded preceding):
     // per-supplier running quantity in shipdate order.
     "q44_window_running" -> ((s, dir) => {
@@ -102,6 +109,11 @@ object AnalyticsQueries {
          CAST(sum(l_quantity) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q48_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q44_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          CAST(sum(l_quantity) OVER (PARTITION BY l_suppkey
