@@ -67,6 +67,50 @@ object Multimodal {
       }
   }
 
+  /** STUB RESIZE — deterministic fake of an image resize: maps a
+    * payload to a fixed-size byte grid by strided sampling (a real
+    * deployment swaps in an actual scaler). Keeps the true contract:
+    * output size is constant regardless of input size.
+    */
+  def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    val n = math.max(1, payload.length)
+    var i = 0
+    while (i < out.length) { out(i) = payload((i.toLong * n / out.length).toInt % n); i += 1 }
+    out
+  }
+
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int, pixels: Array[Byte])
+
+  /** Batch resize over the media table — map-side, constant output
+    * schema `(doc_id, width, height, pixels binary)`.
+    */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => ResizedMedia(id, w, h, stubResize(p, w, h)) })
+  }
+
+  /** Per-frame feature pipeline: frame-sample → per-frame decode →
+    * per-doc feature aggregation (mean over frames). The video shape:
+    * features never shuffle raw bytes — only the 8-float vectors.
+    */
+  def frameFeatures(spark: SparkSession, media: DataFrame, frames: Int): DataFrame = {
+    import spark.implicits._
+    val perFrame = frameSample(spark, media, frames)
+      .select(col("doc_id"), col("frame_no"), col("frame_bytes")).as[(Long, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, f, bytes) =>
+        val (_, _, _, feats) = stubDecode(bytes)
+        (id, f, feats)
+      }).toDF("doc_id", "frame_no", "features")
+    perFrame
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("pos", "v")))
+      .groupBy(col("doc_id"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("doc_id"), transform(col("pm"), x => x.getField("m")).as("doc_features"))
+  }
+
   /** Frame-sample shape for video-like payloads: explode a payload into
     * n fixed-stride chunks (stand-in for frame extraction), keeping the
     * (id, frame_no) key so downstream per-frame features group

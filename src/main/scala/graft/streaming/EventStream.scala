@@ -59,6 +59,27 @@ object EventStream {
       }.toDF()
   }
 
+  /** Stream-stream interval join with watermarks: attribute each
+    * purchase to clicks by the same user within the preceding hour.
+    * Both sides are watermarked so join state is bounded — Spark drops
+    * buffered rows older than watermark + interval. The batch form of
+    * this query is the q47 as-of join's sibling (all clicks in window,
+    * not just the latest).
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("p_id"), col("c_id"))
+  }
+
   case class SessionOut(user_id: Long, n_events: Long, start_ts: Long, end_ts: Long)
 
   /** Custom gap-based sessionizer via `flatMapGroupsWithState` — the

@@ -40,4 +40,22 @@ class MultimodalSpec extends SparkSpec {
     val agg = feats.groupBy(col("media_type")).agg(avg(col("n_bytes")).as("avg_bytes"))
     assert(agg.collect().nonEmpty)
   }
+
+  test("resize produces constant-size output regardless of input size") {
+    val media = Multimodal.asMediaTable(Q.t(spark, sf001, "documents")).limit(20)
+    val resized = Multimodal.resize(spark, media, 8, 8).collect()
+    assert(resized.forall(_.pixels.length === 64))
+    // deterministic
+    val again = Multimodal.resize(spark, media, 8, 8).collect()
+    assert(resized.sortBy(_.doc_id).map(_.pixels.toSeq).toSeq ===
+      again.sortBy(_.doc_id).map(_.pixels.toSeq).toSeq)
+  }
+
+  test("frameFeatures aggregates per-frame vectors into one doc vector") {
+    val media = Multimodal.asMediaTable(Q.t(spark, sf001, "documents")).limit(10)
+    val feats = Multimodal.frameFeatures(spark, media, 4)
+    val rows = feats.collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[Seq[Double]]("doc_features").length === 8))
+  }
 }

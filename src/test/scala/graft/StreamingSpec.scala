@@ -75,4 +75,25 @@ class StreamingSpec extends SparkSpec {
     val total = Q.events(spark, sf001).count()
     assert(emitted <= total)
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream5").toString
+    Q.events(spark, sf001).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val q = EventStream.runToMemory(spark, tmp, "attrout",
+      df => EventStream.purchaseAttribution(df))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attrout").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val ev = Q.events(spark, sf001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val batch = p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("c_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
 }
