@@ -90,6 +90,31 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // zero-filled time buckets (training-pipeline resample): every
+    // (day, event_type) cell over the observed range, 0 where empty —
+    // sequence+explode generates the calendar spine, left join fills.
+    "q49_zero_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val counts = ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val range = ev.agg(date_trunc("day", min(col("ts"))).as("d0"), date_trunc("day", max(col("ts"))).as("d1"))
+      val days = range.select(explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+      val types = ev.select(col("event_type")).distinct()
+      days.crossJoin(broadcast(types))
+        .join(counts, Seq("day", "event_type"), "left_outer")
+        .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // text redaction (PII-scrub shape): digits masked, then
+    // fingerprinted — regexp_replace is engine-portable for this class.
+    "q66_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(col("text"), "[0-9]", "#")).as("redacted_fp"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digits"))
+        .orderBy(col("doc_id"))),
+
     // multimodal decode as a graded query: binary payload ->
     // mapPartitions stub codec -> typed features (rows-only check; the
     // codec is engine-side Scala, not SQL-expressible).
@@ -101,6 +126,20 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q49_zero_fill" ->
+      """WITH r AS (SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1 FROM events),
+         days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM r),
+         types AS (SELECT DISTINCT event_type FROM events),
+         counts AS (SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT days.day, types.event_type, coalesce(counts.n, 0) AS n
+         FROM days CROSS JOIN types
+         LEFT JOIN counts ON counts.day = days.day AND counts.event_type = types.event_type
+         ORDER BY days.day, types.event_type""",
+    "q66_redact" ->
+      s"""SELECT doc_id, md5(regexp_replace(text, '[0-9]', '#', 'g')) AS redacted_fp,
+          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits
+          FROM $DocsPq ORDER BY doc_id""",
     "q42_median" ->
       """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
