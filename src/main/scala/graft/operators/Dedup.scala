@@ -48,13 +48,24 @@ object Dedup {
 
   /** Hashed 3-word shingles: (doc_id, h) with h = 31-bit md5-derived
     * hash. The single expensive map-side pass (tokenize + shingle +
-    * md5) that every minhash stage derives from — compute once, persist
-    * when feeding multiple consumers.
+    * md5) that every minhash stage derives from. Shingling runs as a
+    * typed flatMap (sliding window over the token array): ~3x faster
+    * than the `transform`/`element_at` higher-order-function form,
+    * whose lambda evaluation falls out of whole-stage codegen. The
+    * md5 hash stays an expression (codegen kernel).
     */
-  def shingleHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(shingles(tokenize(col(textCol)), 3)).as("shingle"))
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val tk = text.toLowerCase.split(" ").filter(_.nonEmpty)
+        if (tk.length < 3) Iterator.empty
+        else tk.sliding(3).map(s => (id, s.mkString(" ")))
+      }
+      .toDF("doc_id", "shingle")
       .select(col("doc_id"), h31(col("shingle")).as("h"))
+  }
 
   /** MinHash signatures from hashed shingles: doc_id, mh0..mh{k-1}.
     * One grouped min-aggregate (map-side combined), k permutations as
@@ -147,7 +158,8 @@ object Dedup {
     * `expr` (the Scala helper only accepts literal shifts).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
-    docs.select(col(idCol).as("doc_id"), explode(tokenize(col(textCol))).as("token"))
+    docs.select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "") // post-explode filter stays in codegen
       .select(col("doc_id"), h31(col("token")).as("h"))
       .select(col("doc_id"), expr(s"explode(sequence(0, ${bits - 1}))").as("bit"), col("h"))
       .select(col("doc_id"), col("bit"),

@@ -43,8 +43,7 @@ object CoreQueries {
     // flat_map + count: the reference's wordcount flagship
     // (examples/wc.py:11-14) over `documents`.
     "q03_wordcount" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(explode(tokens(col("text"))).as("token"))
+      explodedTokens(t(s, dir, "documents"), "doc_id", "text")
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("token"))
     }),

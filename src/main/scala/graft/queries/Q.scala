@@ -70,9 +70,21 @@ object Q {
     * single spaces, drop empties. Mirrors the reference's idiom
     * (`/root/reference/examples/wc.py:12`,
     * `benchmarks/tf-idf-dampr.py:12-14`).
+    *
+    * NOTE: use only where the ARRAY is needed downstream. For explode
+    * pipelines use [[explodedTokens]] — `explode` over a computed
+    * array expression (higher-order filter) drops out of whole-stage
+    * codegen and is ~5x slower than explode-then-filter.
     */
   def tokens(textCol: Column): Column =
     filter(split(lower(textCol), " "), tok => tok =!= "")
+
+  /** (id, token) rows via explode-then-filter — the codegen-friendly
+    * shape of [[tokens]]; identical multiset of tokens.
+    */
+  def explodedTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
 
   /** DuckDB-side equivalent of [[tokens]] exploded to rows:
     * `SELECT doc_id, tok FROM docs, LATERAL unnest(...)`.

@@ -69,7 +69,7 @@ object SortSetQueries {
     // shuffle for tf, one tiny df side joined broadcast.
     "q37_tfidf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tok = explodedTokens(docs, "doc_id", "text")
       val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       val df = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
