@@ -169,6 +169,31 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sum(when(col("votes") > 0, pow(lit(2.0), col("bit")).cast("long")).otherwise(0L)).as("simhash"))
 
+  /** Duplicate-cluster assignment from near-dup pairs: `iters` rounds
+    * of min-label propagation over the symmetric pair graph. Each round
+    * is one join + one aggregate; after k rounds every node within
+    * graph distance k of its component minimum carries that minimum —
+    * exact for near-dup clusters (tiny diameters), deterministic, and
+    * unrollable to identical SQL. At 100 TB: near-dup components are
+    * overwhelmingly small; bounded rounds beat a full
+    * connected-components fixpoint (no driver-side convergence loop on
+    * the hot path).
+    */
+  def labelPropagate(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("label"))
+    for (_ <- 0 until iters) {
+      val viaNeighbor = edges
+        .join(labels.select(col("doc").as("dst"), col("label")), "dst")
+        .select(col("src").as("doc"), col("label"))
+      labels = labels.union(viaNeighbor)
+        .groupBy(col("doc")).agg(min(col("label")).as("label"))
+    }
+    labels
+  }
+
   /** Token-level Jaccard similarity restricted to blocking buckets
     * (same lang, similar length) — the bounded n-gram-Jaccard near-dup
     * scan. Blocking turns the quadratic step into per-bucket work.

@@ -27,6 +27,36 @@ object DedupQueries {
   private def bandEq(side: String, b: Int, rows: Int) =
     (b * rows until (b + 1) * rows).map(i => s"l.mh$i = r.mh$i").mkString("(", " AND ", ")")
 
+  /** Shared CTE chain: shingle hashes → signatures → band candidates →
+    * verified near-dup pairs (used by the q51 and q67 oracles).
+    */
+  private val SqlPairsCtes: String =
+    s"""sh AS (SELECT doc_id, ${sqlH31("shingle")} AS h FROM ($SqlShingles)),
+        sig AS (SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")} FROM sh GROUP BY doc_id),
+        cand AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+          ON l.doc_id < r.doc_id AND (${bandEq("", 0, 4)} OR ${bandEq("", 1, 4)})),
+        sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id),
+        jac AS (SELECT doc_a, doc_b,
+            round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+              (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6) AS jaccard
+          FROM cand JOIN sets a ON a.doc_id = doc_a JOIN sets b ON b.doc_id = doc_b),
+        pairs AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.6)"""
+
+  /** Unrolled min-label propagation rounds over `pairs`. */
+  private def sqlPropagation(iters: Int): String = {
+    val e = """e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+               l0 AS (SELECT DISTINCT src AS doc, src AS label FROM e)"""
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (SELECT doc, min(label) AS label FROM (
+            SELECT doc, label FROM l${i - 1}
+            UNION ALL
+            SELECT e.src AS doc, l${i - 1}.label FROM e JOIN l${i - 1} ON l${i - 1}.doc = e.dst
+          ) GROUP BY doc)"""
+    }
+    (e +: rounds).mkString(", ")
+  }
+
   val queries: Map[String, QFn] = Map(
     // exact dedup: fingerprint groups with surviving id + copy count.
     "q54_dedup_exact" -> ((s, dir) =>
@@ -43,6 +73,14 @@ object DedupQueries {
     "q51_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // duplicate clusters: min-label propagation (3 rounds) over the
+    // LSH-verified near-dup pairs — every clustered doc with its
+    // cluster representative (the component minimum).
+    "q67_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.labelPropagate(pairs, 3).orderBy(col("doc"))
+    }),
 
     // 16-bit SimHash per document.
     "q52_simhash" -> ((s, dir) =>
@@ -98,18 +136,10 @@ object DedupQueries {
           FROM $DocsPq GROUP BY 1 ORDER BY keep_id""",
     "q50_minhash_sig" -> s"SELECT * FROM ($SqlSig) ORDER BY doc_id",
     "q51_minhash_pairs" ->
-      s"""WITH sh AS (SELECT doc_id, ${sqlH31("shingle")} AS h FROM ($SqlShingles)),
-          sig AS (SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")} FROM sh GROUP BY doc_id),
-          cand AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
-            ON l.doc_id < r.doc_id AND (${bandEq("", 0, 4)} OR ${bandEq("", 1, 4)})),
-          sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id)
-          SELECT doc_a, doc_b,
-            round(len(list_intersect(a.hs, b.hs))::DOUBLE /
-              (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6) AS jaccard
-          FROM cand JOIN sets a ON a.doc_id = doc_a JOIN sets b ON b.doc_id = doc_b
-          WHERE round(len(list_intersect(a.hs, b.hs))::DOUBLE /
-              (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6) >= 0.6
-          ORDER BY doc_a, doc_b""",
+      s"WITH $SqlPairsCtes SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b",
+    "q67_dup_clusters" ->
+      s"""WITH $SqlPairsCtes, ${sqlPropagation(3)}
+          SELECT doc, label FROM l3 ORDER BY doc""",
     "q52_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM
             (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks))),

@@ -124,4 +124,11 @@ class OperatorsSpec extends SparkSpec {
     info(s"recall@10 = $recall")
     assert(recall >= 0.2) // nprobe=4 of 8 cells on weakly-clustered data
   }
+
+  test("labelPropagate assigns component minimum within round bound") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.labelPropagate(pairs, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
 }
