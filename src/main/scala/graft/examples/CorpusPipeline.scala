@@ -1,0 +1,49 @@
+package graft.examples
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** End-to-end training-corpus cleaning pipeline — the composition the
+  * individual operators exist for:
+  *
+  *   score (quality + lang-ID + token stats)
+  *     → quality filter
+  *     → exact dedup (normalized-fingerprint groups, keep min id)
+  *     → MinHash+LSH near-dedup (keep each cluster's representative,
+  *       via bounded min-label propagation)
+  *     → cleaned corpus with metadata columns.
+  *
+  * Every stage is a Column pipeline or a bounded-round join — no
+  * driver-side loops, no corpus-wide cross products; at 100 TB the
+  * expensive steps are one shuffle each (fingerprint group, minhash
+  * aggregate, band-bucket join, k propagation rounds).
+  */
+object CorpusPipeline {
+
+  def clean(docs: DataFrame, qualityMin: Double = 0.5, jaccardThreshold: Double = 0.6): DataFrame = {
+    // 1. score + quality gate (map-side only)
+    val scored = docs.select(col("doc_id"), col("text"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("quality") >= qualityMin)
+    // 2. exact dedup: keep the lowest doc_id per normalized fingerprint
+    val exactKept = scored
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1).drop("_rn", "fp")
+      // feeds both the minhash pipeline and the final representative
+      // join — persist so scoring + dedup window run once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 3. near-dedup: LSH pairs over the surviving docs, keep cluster
+    //    representatives (label == own id) and untouched docs
+    val pairs = Dedup.minhashPairs(exactKept, "doc_id", "text", threshold = jaccardThreshold)
+    val labels = Dedup.labelPropagate(pairs, 3)
+    exactKept.join(labels, exactKept("doc_id") === labels("doc"), "left_outer")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
+  }
+}

@@ -180,18 +180,23 @@ object Dedup {
     * the hot path).
     */
   def labelPropagate(pairs: DataFrame, iters: Int = 3): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    import org.apache.spark.storage.StorageLevel
+    // Path-expansion form: label(d) = min over nodes within graph
+    // distance <= iters — identical to round-based min-label
+    // propagation, but as ONE linear plan (chained hop joins + union +
+    // aggregate) instead of per-round materialization barriers. The
+    // (tiny) edge list is persisted: it appears once per hop level and
+    // would otherwise re-derive the upstream pair pipeline each time.
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .select(col("doc"), col("doc").as("label"))
-    for (_ <- 0 until iters) {
-      val viaNeighbor = edges
-        .join(labels.select(col("doc").as("dst"), col("label")), "dst")
-        .select(col("src").as("doc"), col("label"))
-      labels = labels.union(viaNeighbor)
-        .groupBy(col("doc")).agg(min(col("label")).as("label"))
-    }
-    labels
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var hops = List(e)
+    for (_ <- 2 to iters)
+      hops = hops.head.as("p").join(e.as("n"), col("p.dst") === col("n.src"))
+        .select(col("p.src").as("src"), col("n.dst").as("dst")) :: hops
+    val reach = (e.select(col("src"), col("src").as("dst")) :: hops).reduce(_.union(_))
+    reach.groupBy(col("src")).agg(min(col("dst")).as("label"))
+      .withColumnRenamed("src", "doc")
   }
 
   /** Token-level Jaccard similarity restricted to blocking buckets

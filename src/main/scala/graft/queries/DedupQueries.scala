@@ -12,26 +12,28 @@ import Q._
   */
 object DedupQueries {
 
-  /** DuckDB fragments shared by the dedup oracles. */
-  private val SqlToks =
-    s"SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk FROM $DocsPq"
-  private val SqlShingles =
+  /** DuckDB fragments shared by the dedup oracles, parameterized over
+    * the document-set SQL (`src` must yield (doc_id, text)).
+    */
+  private[queries] def sqlToks(src: String) =
+    s"SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk FROM ($src)"
+  private[queries] def sqlShingles(src: String) =
     s"""SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
-        FROM ($SqlToks), unnest(generate_series(1, len(tk) - 2)) AS u(i)"""
-  private def sqlH31(e: String) = s"((('0x' || substr(md5($e), 1, 8))::BIGINT) % ${Dedup.P})"
-  private def sqlPerm(i: Int) =
+        FROM (${sqlToks(src)}), unnest(generate_series(1, len(tk) - 2)) AS u(i)"""
+  private[queries] def sqlH31(e: String) = s"((('0x' || substr(md5($e), 1, 8))::BIGINT) % ${Dedup.P})"
+  private[queries] def sqlPerm(i: Int) =
     s"min((${Dedup.MinhashA(i)} * h + ${Dedup.MinhashB(i)}) % ${Dedup.P}) AS mh$i"
+  private val SqlToks = sqlToks(s"SELECT doc_id, text FROM $DocsPq")
+  private val SqlShingles = sqlShingles(s"SELECT doc_id, text FROM $DocsPq")
   private val SqlSig =
     s"""SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")}
         FROM (SELECT doc_id, ${sqlH31("shingle")} AS h FROM ($SqlShingles)) GROUP BY doc_id"""
-  private def bandEq(side: String, b: Int, rows: Int) =
+  private[queries] def bandEq(side: String, b: Int, rows: Int) =
     (b * rows until (b + 1) * rows).map(i => s"l.mh$i = r.mh$i").mkString("(", " AND ", ")")
 
-  /** Shared CTE chain: shingle hashes → signatures → band candidates →
-    * verified near-dup pairs (used by the q51 and q67 oracles).
-    */
-  private val SqlPairsCtes: String =
-    s"""sh AS (SELECT doc_id, ${sqlH31("shingle")} AS h FROM ($SqlShingles)),
+  /** Pair-derivation CTE chain over an arbitrary (doc_id, text) source. */
+  private[queries] def sqlPairsCtesFor(src: String, threshold: Double): String =
+    s"""sh AS (SELECT doc_id, ${sqlH31("shingle")} AS h FROM (${sqlShingles(src)})),
         sig AS (SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")} FROM sh GROUP BY doc_id),
         cand AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
           ON l.doc_id < r.doc_id AND (${bandEq("", 0, 4)} OR ${bandEq("", 1, 4)})),
@@ -40,21 +42,30 @@ object DedupQueries {
             round(len(list_intersect(a.hs, b.hs))::DOUBLE /
               (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6) AS jaccard
           FROM cand JOIN sets a ON a.doc_id = doc_a JOIN sets b ON b.doc_id = doc_b),
-        pairs AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.6)"""
+        pairs AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= $threshold)"""
 
-  /** Unrolled min-label propagation rounds over `pairs`. */
-  private def sqlPropagation(iters: Int): String = {
+  /** Shared CTE chain: shingle hashes → signatures → band candidates →
+    * verified near-dup pairs (used by the q51 and q67 oracles).
+    */
+  private val SqlPairsCtes: String =
+    sqlPairsCtesFor(s"SELECT doc_id, text FROM $DocsPq", 0.6)
+
+  /** Min-label propagation over `pairs` in path-expansion form
+    * (min over nodes within distance <= iters — same semantics as
+    * iterated rounds). Final CTE is named l{iters}.
+    */
+  private[queries] def sqlPropagation(iters: Int): String = {
     val e = """e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
-               l0 AS (SELECT DISTINCT src AS doc, src AS label FROM e)"""
-    val rounds = (1 to iters).map { i =>
-      s"""l$i AS (SELECT doc, min(label) AS label FROM (
-            SELECT doc, label FROM l${i - 1}
-            UNION ALL
-            SELECT e.src AS doc, l${i - 1}.label FROM e JOIN l${i - 1} ON l${i - 1}.doc = e.dst
-          ) GROUP BY doc)"""
+               p1 AS (SELECT src, dst FROM e)"""
+    val hops = (2 to iters).map { i =>
+      s"p$i AS (SELECT p${i - 1}.src, e.dst FROM p${i - 1} JOIN e ON p${i - 1}.dst = e.src)"
     }
-    (e +: rounds).mkString(", ")
+    val reach = (1 to iters).map(i => s"SELECT src, dst FROM p$i").mkString(" UNION ALL ")
+    val fin =
+      s"""l$iters AS (SELECT src AS doc, min(dst) AS label FROM (
+            SELECT src, src AS dst FROM e UNION ALL $reach) GROUP BY src)"""
+    (Seq(e) ++ hops :+ fin).mkString(", ")
   }
 
   val queries: Map[String, QFn] = Map(
@@ -81,6 +92,12 @@ object DedupQueries {
       val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")
       Dedup.labelPropagate(pairs, 3).orderBy(col("doc"))
     }),
+
+    // end-to-end corpus cleaning (quality gate -> exact dedup ->
+    // MinHash near-dedup keeping cluster representatives).
+    "q68_corpus_clean" -> ((s, dir) =>
+      graft.examples.CorpusPipeline.clean(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
 
     // 16-bit SimHash per document.
     "q52_simhash" -> ((s, dir) =>
@@ -129,7 +146,47 @@ object DedupQueries {
       Similarity.ivfSearch(t(s, dir, "embeddings"), 0L, k = 10,
         cells = 8, iters = 2, nprobe = 2)))
 
+  /** Oracle for the full cleaning pipeline: quality/lang scoring CTEs
+    * (same formulas as q61/q62) → fingerprint dedup → pair CTEs over
+    * the kept set → propagation → representative filter.
+    */
+  private val SqlCorpusClean: String = {
+    val langs = graft.functions.TextFunctions.langMarkers
+    val allMarkers = langs.flatMap(_._2).distinct.map(m => s"'$m'").mkString("(", ", ", ")")
+    def markers(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("(", ", ", ")")
+    val scoreExprs = langs.map { case (l, ms) =>
+      s"len(list_filter(toks, t -> t IN ${markers(ms)})) AS s_$l"
+    }.mkString(", ")
+    val caseArms = langs.map { case (l, _) => s"WHEN s_$l = gm AND gm > 0 THEN '$l'" }.mkString(" ")
+    s"""WITH base AS (SELECT doc_id, text, lower(text) AS lt,
+          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM $DocsPq),
+        m AS (SELECT doc_id, text, toks,
+          len(toks)::DOUBLE AS n_tok,
+          len(list_filter(toks, t -> t IN $allMarkers))::DOUBLE AS n_stop,
+          len(lt) AS n_ch,
+          len(regexp_replace(lt, '[^a-z0-9 ]', '', 'g')) AS n_clean,
+          $scoreExprs FROM base),
+        g AS (SELECT *, greatest(${langs.map("s_" + _._1).mkString(", ")}) AS gm FROM m),
+        scored AS (SELECT doc_id, text, CAST(len(toks) AS INT) AS n_tokens,
+          round(0.4 * least(n_tok / 50.0, 1.0)
+            + 0.4 * (1.0 - (n_ch - n_clean)::DOUBLE / greatest(n_ch, 1)::DOUBLE)
+            + 0.2 * least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0), 6) AS quality,
+          CASE $caseArms ELSE 'und' END AS lang_pred FROM g),
+        qual AS (SELECT * FROM scored WHERE quality >= 0.5),
+        kept AS (SELECT doc_id, text, quality, lang_pred, n_tokens FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+            ORDER BY doc_id) AS rn FROM qual) WHERE rn = 1),
+        ${sqlPairsCtesFor("SELECT doc_id, text FROM kept", 0.6)},
+        ${sqlPropagation(3)}
+        SELECT k.doc_id, k.lang_pred, k.quality, k.n_tokens FROM kept k
+        LEFT JOIN l3 ON l3.doc = k.doc_id
+        WHERE l3.label IS NULL OR l3.label = k.doc_id
+        ORDER BY k.doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q68_corpus_clean" -> SqlCorpusClean,
     "q54_dedup_exact" ->
       s"""SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
           min(doc_id) AS keep_id, count(*) AS n_copies
