@@ -169,6 +169,31 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sum(when(col("votes") > 0, pow(lit(2.0), col("bit")).cast("long")).otherwise(0L)).as("simhash"))
 
+  /** SimHash near-dup pairs via byte-band blocking: split the `bits`-bit
+    * simhash into 4 bands; by pigeonhole, docs within hamming distance
+    * <= 3 agree on at least one full band, so the union of 4 band-equality
+    * self-joins is a COMPLETE candidate set for distance <= 3. Exact
+    * hamming (xor + bit_count) filters candidates. Same banding idea as
+    * MinHash LSH — the quadratic step only happens inside a band bucket.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, maxHamming: Int = 3): DataFrame = {
+    val bandBits = bits / 4
+    val sh = simhash(docs, idCol, textCol, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = (0 until 4).map { b =>
+      sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+        expr(s"(simhash >> ${b * bandBits}) % ${1L << bandBits}").as("band_key"))
+    }.reduce(_.union(_))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        expr("bit_count(l.simhash ^ r.simhash)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** Duplicate-cluster assignment from near-dup pairs: `iters` rounds
     * of min-label propagation over the symmetric pair graph. Each round
     * is one join + one aggregate; after k rounds every node within

@@ -104,6 +104,11 @@ object DedupQueries {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // SimHash near-dup pairs: byte-band blocking + exact hamming <= 3.
+    "q69_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // blocked token-Jaccard near-dup pairs (same lang + length bucket).
     "q53_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.5)
@@ -204,6 +209,22 @@ object DedupQueries {
             FROM th, unnest(generate_series(0, 15)) AS u(b) GROUP BY 1, 2)
           SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
           FROM votes GROUP BY doc_id ORDER BY doc_id""",
+    "q69_simhash_pairs" ->
+      s"""WITH th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM
+            (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks))),
+          votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+            FROM th, unnest(generate_series(0, 31)) AS u(b) GROUP BY 1, 2),
+          sh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id),
+          banded AS (
+            SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) % 256 AS band_key
+            FROM sh, unnest(generate_series(0, 3)) AS u(b)),
+          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+              CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+            FROM banded l JOIN banded r
+            ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
+          SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+          ORDER BY doc_a, doc_b""",
     "q53_ngram_jaccard" ->
       s"""WITH base AS (SELECT doc_id, lang, n_chars // 64 AS len_bucket,
             list_distinct(list_transform(

@@ -131,4 +131,11 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
+
+  test("simhashPairs finds hamming-close docs via byte-band blocking") {
+    val pairs = Dedup.simhashPairs(docsDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // identical docs 0 and 3 -> hamming 0
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0))
+  }
 }
