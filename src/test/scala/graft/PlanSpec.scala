@@ -65,4 +65,25 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), p)
   }
+
+  test("q51 band self-join reuses one exchange for both sides") {
+    val df = q("q51_minhash_pairs")
+    df.collect() // AQE stitches exchange reuse during execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"), p)
+  }
+
+  test("partitioned writes enable partition pruning at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
+    graft.queries.Q.t(spark, sf001, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+    // only the en partition is read
+    assert(pruned.count() ===
+      graft.queries.Q.t(spark, sf001, "documents")
+        .filter(org.apache.spark.sql.functions.col("lang") === "en").count())
+  }
 }
