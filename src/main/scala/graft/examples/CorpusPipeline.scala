@@ -24,11 +24,14 @@ import graft.operators.Dedup
 object CorpusPipeline {
 
   def clean(docs: DataFrame, qualityMin: Double = 0.5, jaccardThreshold: Double = 0.6): DataFrame = {
-    // 1. score + quality gate (map-side only)
-    val scored = docs.select(col("doc_id"), col("text"),
-        TextFunctions.qualityScore(col("text")).as("quality"),
-        TextFunctions.langId(col("text")).as("lang_pred"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    // 1. score + quality gate (codegen'd token aggregation, one
+    //    shuffle on doc_id)
+    val aggs = TextFunctions.tokenAggregates(docs, "doc_id", "text")
+    val scored = docs.join(aggs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("text"),
+        TextFunctions.qualityFromScores(col("text")).as("quality"),
+        TextFunctions.langIdFromScores.as("lang_pred"),
+        coalesce(col("n_tok"), lit(0L)).cast("int").as("n_tokens"))
       .filter(col("quality") >= qualityMin)
     // 2. exact dedup: keep the lowest doc_id per normalized fingerprint
     val exactKept = scored

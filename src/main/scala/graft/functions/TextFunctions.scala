@@ -71,6 +71,54 @@ object TextFunctions {
     round(lit(0.4) * lenScore + lit(0.4) * (lit(1.0) - punctRatio) + lit(0.2) * least(stopRatio * 5.0, lit(1.0)), 6)
   }
 
+  /** Per-doc token aggregates via explode + codegen'd conditional sums
+    * — the fast path for corpus-wide scoring. The higher-order
+    * `filter`/`aggregate` lambdas in [[langScore]]/[[qualityScore]] are
+    * interpreted per element; over a corpus this aggregation computes
+    * the same counts inside whole-stage codegen with one shuffle on
+    * doc_id. Docs with zero tokens are absent — left-join + coalesce 0.
+    *
+    * Columns: n_tok, n_uniq, sum_tok_len, n_stop, s_<lang> per language.
+    */
+  def tokenAggregates(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val allMarkers = langMarkers.flatMap(_._2).distinct
+    val rest = Seq(
+      countDistinct(col("token")).as("n_uniq"),
+      sum(length(col("token"))).as("sum_tok_len"),
+      sum(when(col("token").isin(allMarkers.map(m => m: Any): _*), 1L).otherwise(0L)).as("n_stop")) ++
+      langMarkers.map { case (lang, ms) =>
+        sum(when(col("token").isin(ms.map(m => m: Any): _*), 1L).otherwise(0L)).as(s"s_$lang")
+      }
+    tok.groupBy(col(idCol)).agg(count(lit(1)).as("n_tok"), rest: _*)
+  }
+
+  /** Language argmax from precomputed s_<lang> columns — same
+    * first-wins tie-break as [[langId]].
+    */
+  def langIdFromScores: Column = {
+    val scores = langMarkers.map { case (lang, _) => lang -> coalesce(col(s"s_$lang"), lit(0L)) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, sc), els) =>
+      when(sc === maxScore && maxScore > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Quality score from precomputed aggregates + the raw text column —
+    * identical arithmetic to [[qualityScore]] (same operand order), so
+    * results are bit-equal.
+    */
+  def qualityFromScores(text: Column): Column = {
+    val nTok = coalesce(col("n_tok"), lit(0L)).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val lower_ = lower(text)
+    val clean = regexp_replace(lower_, "[^a-z0-9 ]", "")
+    val punctRatio = (length(lower_) - length(clean)).cast("double") / greatest(length(lower_), lit(1)).cast("double")
+    val stopRatio = coalesce(col("n_stop"), lit(0L)).cast("double") / greatest(nTok, lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.4) * (lit(1.0) - punctRatio) + lit(0.2) * least(stopRatio * 5.0, lit(1.0)), 6)
+  }
+
   /** Normalization for fingerprinting: lowercase, collapse whitespace,
     * trim.
     */

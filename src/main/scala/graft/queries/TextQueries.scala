@@ -17,30 +17,35 @@ object TextQueries {
   private val langs = TextFunctions.langMarkers
   private val allMarkers = langs.flatMap(_._2).distinct
 
+  /** docs left-joined to the codegen'd per-doc token aggregates (the
+    * fast corpus-scoring path; see TextFunctions.tokenAggregates).
+    */
+  private def withAggs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = t(s, dir, "documents")
+    docs.join(TextFunctions.tokenAggregates(docs, "doc_id", "text"), Seq("doc_id"), "left_outer")
+  }
+
   val queries: Map[String, QFn] = Map(
     // token counting: total, distinct, mean token length.
-    "q60_token_stats" -> ((s, dir) => {
-      val toks = TextFunctions.tokenize(col("text"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), toks.as("toks"))
+    "q60_token_stats" -> ((s, dir) =>
+      withAggs(s, dir)
         .select(col("doc_id"),
-          size(col("toks")).as("n_tokens"),
-          size(array_distinct(col("toks"))).as("n_uniq"),
-          r6(aggregate(col("toks"), lit(0.0), (acc, t) => acc + length(t).cast("double")) /
-            greatest(size(col("toks")), lit(1)).cast("double")).as("avg_tok_len"))
-        .orderBy(col("doc_id"))
-    }),
+          coalesce(col("n_tok"), lit(0L)).cast("int").as("n_tokens"),
+          coalesce(col("n_uniq"), lit(0L)).cast("int").as("n_uniq"),
+          r6(coalesce(col("sum_tok_len"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_tok"), lit(0L)), lit(1L)).cast("double")).as("avg_tok_len"))
+        .orderBy(col("doc_id"))),
 
     // marker-word language ID (n-gram-heuristic shape).
     "q61_lang_id" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      withAggs(s, dir)
+        .select(col("doc_id"), TextFunctions.langIdFromScores.as("lang_pred"))
         .orderBy(col("doc_id"))),
 
     // C4/Gopher-style quality score.
     "q62_quality" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+      withAggs(s, dir)
+        .select(col("doc_id"), TextFunctions.qualityFromScores(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
     // normalized md5 fingerprint per document.
