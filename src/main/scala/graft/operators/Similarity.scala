@@ -150,6 +150,23 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
   }
 
+  /** Cross-modal retrieval: expand a seed set of documents (matched by
+    * text) into similar items in embedding space — seed vectors →
+    * centroid → top-k nearest non-seed vectors. The "find more data
+    * like this slice" primitive of corpus curation. Seeds/centroid are
+    * broadcast; the corpus is scanned once.
+    */
+  def expandByCentroid(emb: DataFrame, seedIds: DataFrame, k: Int): DataFrame = {
+    val embD = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+    val seedVecs = embD.join(seedIds, "vec_id")
+    val centroid = centroids(seedVecs.select(lit(1).as("g"), col("e")), "g", "e")
+      .select(col("centroid"))
+    embD.join(seedIds.select(col("vec_id"), lit(1).as("_seed")), Seq("vec_id"), "left_anti")
+      .crossJoin(broadcast(centroid))
+      .select(col("vec_id"), round(cosine(col("e"), col("centroid")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
+  }
+
   /** IVF-style ANN: coarse-partition the corpus by `label` (stands in
     * for a k-means cell id), compute cell centroids, probe only the
     * nearest cell(s) to the query. The scan touches 1/cells of the

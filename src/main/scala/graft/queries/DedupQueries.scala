@@ -143,6 +143,16 @@ object DedupQueries {
           Similarity.lshBucket(Similarity.toDoubleVec(col("embedding")), 8, 64).as("bucket"))
         .orderBy(col("vec_id"))),
 
+    // cross-modal retrieval: docs containing 'spark' (text filter) →
+    // their embeddings (doc_id = vec_id in the testdata) → centroid →
+    // top-10 nearest non-seed vectors.
+    "q70_crossmodal_expand" -> ((s, dir) => {
+      val seeds = explodedTokens(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("token") === "spark")
+        .select(col("doc_id").as("vec_id")).distinct()
+      Similarity.expandByCentroid(t(s, dir, "embeddings"), seeds, 10)
+    }),
+
     // IVF ANN with computed cells: deterministic mini k-means coarse
     // quantizer, probe the 2 nearest cells, exact-search only those.
     // No oracle (multi-stage train+probe), rows-only check; recall vs
@@ -245,6 +255,15 @@ object DedupQueries {
           FROM $EmbPq l JOIN $EmbPq r ON l.label = r.label AND l.vec_id < r.vec_id
           WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.4
           ORDER BY vec_a, vec_b""",
+    "q70_crossmodal_expand" ->
+      s"""WITH seeds AS (SELECT DISTINCT doc_id AS vec_id FROM
+            (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks)) WHERE token = 'spark'),
+          sv AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS e FROM $EmbPq e JOIN seeds USING (vec_id)),
+          cent AS (SELECT i, avg(e[i]) AS m FROM sv, unnest(generate_series(1, 64)) AS u(i) GROUP BY i),
+          c AS (SELECT list(m ORDER BY i) AS centroid FROM cent)
+          SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) AS cos_sim
+          FROM $EmbPq e, c WHERE e.vec_id NOT IN (SELECT vec_id FROM seeds)
+          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q56_ann_bruteforce" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM $EmbPq WHERE vec_id = 0)
           SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS cos_sim
