@@ -174,11 +174,7 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, dim: Int): DataFrame = {
     val embD = emb.select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("e"))
-    // centroid per cell: element-wise mean via explode + regroup
-    val cent = embD.select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("m"))
-      .groupBy(col("label")).agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+    val cent = centroids(embD.select(col("label"), col("e")), "label", "e")
     val q = embD.filter(col("vec_id") === queryId).select(col("e").as("q_emb"))
     val probe = cent.crossJoin(broadcast(q))
       .select(col("label"), round(cosine(col("centroid"), col("q_emb")), 6).as("c_sim"))

@@ -138,4 +138,12 @@ class OperatorsSpec extends SparkSpec {
     // identical docs 0 and 3 -> hamming 0
     assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0))
   }
+
+  test("label-cell ivfTopK probes one cell and returns ranked neighbors") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val out = Similarity.ivfTopK(emb, 0L, 5, 64).collect()
+    assert(out.length === 5)
+    val sims = out.map(_.getDouble(1))
+    assert(sims.sorted.reverse.toSeq === sims.toSeq) // descending
+  }
 }
