@@ -230,6 +230,12 @@ object Dedup {
     * Token sets are 31-bit-hashed once map-side so the per-pair set
     * arithmetic runs on sorted long arrays, not strings (identical
     * Jaccard modulo hash collisions; the oracle hashes the same way).
+    *
+    * Scale honesty: bucket population grows linearly with the corpus,
+    * so within-bucket pairs grow quadratically — this exact variant is
+    * for corpora/buckets that fit the budget; at 100 TB use
+    * [[minhashPairs]] (LSH bands bound bucket cohabitation by
+    * similarity, not by corpus size).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val base = docs.select(col("doc_id"), col("lang"),

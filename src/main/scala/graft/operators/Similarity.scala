@@ -80,6 +80,23 @@ object Similarity {
     (pmod(graft.plans.Md5Prefix32.md5prefix32(concat_ws("_", lit("plane"), plane, dim)),
       lit(2001L)) - 1000L).cast("double") / 1000.0
 
+  /** All same-LSH-bucket vector pairs above a cosine threshold — the
+    * scale path for embedding near-dup (the label-blocked exact variant
+    * in q55 is quadratic within a label cell, which grows with the
+    * corpus; hyperplane buckets subdivide by direction, so increasing
+    * `planes` keeps buckets small at any corpus size).
+    */
+  def nearDupByLsh(emb: DataFrame, planes: Int, dim: Int, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+      .withColumn("bucket", lshBucket(col("e"), planes, dim))
+      .withColumn("nrm", norm(col("e")))
+    e.as("l").join(e.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        round(cosineWithNorms(col("l.e"), col("r.e"), col("l.nrm"), col("r.nrm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Random-hyperplane LSH bucket id (sign bits of `planes` projections
     * packed into a long). Same-bucket vectors are ANN candidates.
     */

@@ -146,4 +146,13 @@ class OperatorsSpec extends SparkSpec {
     val sims = out.map(_.getDouble(1))
     assert(sims.sorted.reverse.toSeq === sims.toSeq) // descending
   }
+
+  test("nearDupByLsh only pairs bucket cohabitants and respects the threshold") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val pairs = Similarity.nearDupByLsh(emb, planes = 4, dim = 64, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.forall(p => p._3 >= 0.3 && p._1 < p._2))
+    // sign-agreeing vectors correlate: pairs exist at this threshold
+    assert(pairs.nonEmpty)
+  }
 }
