@@ -117,6 +117,26 @@ object EventStream {
         }).toDF()
   }
 
+  /** Durable file-sink run with checkpointing: the exactly-once path.
+    * The checkpoint dir records processed input files + sink epochs, so
+    * a restarted query resumes from the last committed batch — rerun
+    * after new files arrive and only the new data is processed. Returns
+    * the started query (AvailableNow: drains current input and stops).
+    */
+  def runToParquet(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String, build: DataFrame => DataFrame): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir)
+    build(stream).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Drive a streaming query from a static parquet dir through the
     * memory sink synchronously — the local smoke path (one parquet file
     * per micro-batch via maxFilesPerTrigger).

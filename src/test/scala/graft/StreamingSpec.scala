@@ -96,4 +96,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.nonEmpty)
   }
+
+  test("checkpointed file sink is exactly-once across restarts") {
+    val base = java.nio.file.Files.createTempDirectory("graft_eo").toString
+    val ev = Q.events(spark, sf001)
+    val total = ev.count()
+    val firstHalf = ev.filter(col("event_id") % 2 === 0)
+    val secondHalf = ev.filter(col("event_id") % 2 === 1)
+    firstHalf.write.mode("overwrite").parquet(s"$base/in")
+    val q1 = EventStream.runToParquet(spark, s"$base/in", s"$base/out", s"$base/ckpt",
+      df => df.select(col("event_id"), col("user_id"), col("event_type")))
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$base/out").count() === firstHalf.count())
+    // new files arrive; restart with the SAME checkpoint
+    secondHalf.write.mode("append").parquet(s"$base/in")
+    val q2 = EventStream.runToParquet(spark, s"$base/in", s"$base/out", s"$base/ckpt",
+      df => df.select(col("event_id"), col("user_id"), col("event_type")))
+    q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() === total)                    // nothing reprocessed
+    assert(out.select("event_id").distinct().count() === total) // no dups
+  }
 }
