@@ -80,7 +80,7 @@ object DedupQueries {
         .orderBy(col("doc_id"))),
 
     // LSH banding (2 bands x 4 rows) + hashed-Jaccard verification;
-    // shingle hashes computed once and persisted across the stages.
+    // signatures and shingle sets fused into one aggregation.
     "q51_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
