@@ -198,4 +198,10 @@ class PipeSpec extends SparkSpec {
     val p = ints.map(_ * 3).checkpoint().filter(_ % 2 == 0)
     assert(p.collect().sorted === (10 until 20).map(_ * 3).filter(_ % 2 == 0).toArray)
   }
+
+  // dampr/dampr.py:34-42 (ValueEmitter.read(k)) and :469-484 (inspect)
+  test("read(k) takes k values; inspect passes through unchanged") {
+    assert(ints.read(3).length === 3)
+    assert(ints.inspect("dbg: ").collect().sorted === (10 until 20).toArray)
+  }
 }
