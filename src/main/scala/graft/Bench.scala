@@ -20,21 +20,37 @@ object Bench {
     // fraction of it); second run is steady-state. Report warm as the
     // headline (a 100 TB cluster amortizes compilation), cold in
     // queries_cold for transparency.
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    // A failing query must be VISIBLE in the output, not silently fast:
+    // its elapsed time is still recorded and the error lands in the
+    // "errors" object (sanitized for JSON).
+    def timed(f: => Unit): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err = try { f; None } catch {
+        case e: Throwable =>
+          Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
+            .replaceAll("[\"\\\\]", "'").replaceAll("\\s+", " "))
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = timed(try fn(spark, sfDir).count() catch { case _: Throwable => () })
-      val warm = timed(try fn(spark, sfDir).count() catch { case _: Throwable => () })
-      (name, cold, warm)
+      val (cold, coldErr) = timed(fn(spark, sfDir).count())
+      val (warm, warmErr) = timed(fn(spark, sfDir).count())
+      (name, cold, warm, coldErr.orElse(warmErr))
     }
     def fmt(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val warmQs = fmt(results.map(r => r._1 -> r._3))
     val coldQs = fmt(results.map(r => r._1 -> r._2))
+    val errs = results.collect { case (n, _, _, Some(e)) => "\"" + n + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
     val warmTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$warmQs,"cold_total":$coldTotal,"queries_cold":$coldQs,"mode":"warm(steady-state); cold=first-run incl. codegen compile","sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$warmQs,"cold_total":$coldTotal,"queries_cold":$coldQs,"errors":$errs,"mode":"warm(steady-state); cold=first-run incl. codegen compile","sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: stdout alone is fragile under sbt's log
+    // interleaving (the driver saw "parsed": null two rounds running).
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -55,9 +55,13 @@ final case class Pipe[T](ds: Dataset[T]) {
     */
   def sample(prob: Double, seed: Long = 42L): Pipe[T] = Pipe(ds.sample(prob, seed))
 
-  /** Debug pass-through — `PMap.inspect` (`dampr/dampr.py:469-484`). */
-  def inspect(prefixStr: String = ""): Pipe[T] = {
+  /** Debug pass-through — `PMap.inspect` (`dampr/dampr.py:469-484`).
+    * With `exit=true`, mirrors the reference's abort flag: print and
+    * terminate the process (tests swap [[Pipe.exitHook]]).
+    */
+  def inspect(prefixStr: String = "", exit: Boolean = false): Pipe[T] = {
     ds.take(20).foreach(t => println(s"$prefixStr$t"))
+    if (exit) Pipe.exitHook(0)
     this
   }
 
@@ -113,10 +117,23 @@ final case class Pipe[T](ds: Dataset[T]) {
     * For big×big cartesian use `Dataset.crossJoin` directly.
     */
   def crossLeft[U: ClassTag, V: Encoder](other: Pipe[U])(cross: (T, U) => V): Pipe[V] = {
-    val rightB = spark.sparkContext.broadcast(other.ds.collect())
+    val rightB = spark.sparkContext.broadcast(Pipe.collectBounded(other.ds, "crossLeft right"))
     Pipe(ds.mapPartitions { it =>
       val right = rightB.value
       it.flatMap(t => right.iterator.map(u => cross(t, u)))
+    })
+  }
+
+  /** Mirror of [[crossLeft]] — `cross_right`
+    * (`dampr/dampr.py:543-564`): THIS side is collected + broadcast and
+    * crossed against each row of `other`, whose partitioning drives the
+    * job. Same output element shape `cross(t, u)` as `crossLeft`.
+    */
+  def crossRight[U: Encoder, V: Encoder](other: Pipe[U])(cross: (T, U) => V)(implicit ct: ClassTag[T]): Pipe[V] = {
+    val leftB = spark.sparkContext.broadcast(Pipe.collectBounded(ds, "crossRight left"))
+    Pipe(other.ds.mapPartitions { it =>
+      val left = leftB.value
+      it.flatMap(u => left.iterator.map(t => cross(t, u)))
     })
   }
 
@@ -124,7 +141,7 @@ final case class Pipe[T](ds: Dataset[T]) {
     * `cross_set` (`dampr/dampr.py:590-619`).
     */
   def crossSet[U: ClassTag, A: ClassTag, V: Encoder](other: Pipe[U])(agg: Array[U] => A)(cross: (T, A) => V): Pipe[V] = {
-    val aggB = spark.sparkContext.broadcast(agg(other.ds.collect()))
+    val aggB = spark.sparkContext.broadcast(agg(Pipe.collectBounded(other.ds, "crossSet right")))
     Pipe(ds.mapPartitions { it =>
       val a = aggB.value
       it.map(t => cross(t, a))
@@ -220,6 +237,23 @@ final class MeanAggregator[T](value: T => Double) extends Aggregator[T, (Double,
 }
 
 object Pipe {
+  /** Process-exit hook for `inspect(exit=true)` — swappable in tests. */
+  private[graft] var exitHook: Int => Unit = code => sys.exit(code)
+
+  /** Driver-side collect with an OOM guard: the `memory=True` cross ops
+    * are only sound for genuinely small sides, so refuse anything past
+    * `graft.cross.maxRows` (session conf, default 5M) with an
+    * actionable error instead of silently OOMing the driver.
+    */
+  private[graft] def collectBounded[U](ds: Dataset[U], what: String): Array[U] = {
+    val limit = ds.sparkSession.conf.getOption("graft.cross.maxRows").map(_.toInt).getOrElse(5000000)
+    val arr = ds.limit(limit + 1).collect()
+    if (arr.length > limit)
+      throw new IllegalArgumentException(
+        s"$what side exceeds graft.cross.maxRows=$limit rows; use Dataset.crossJoin for big-by-big cartesians")
+    arr
+  }
+
   /** Parallelize a local collection — `Dampr.memory`
     * (`dampr/dampr.py:845-855`). The reference defaults to 50
     * partitions; we leave partitioning to Spark unless asked.

@@ -20,12 +20,15 @@ object TextFunctions {
 
   /** Consecutive n-word shingles of a token array: standard MinHash
     * input (Broder 1997). `transform(sequence(...))` keeps it inside
-    * codegen.
+    * codegen. Documents shorter than n tokens yield an empty array:
+    * without the guard, `sequence(1, size-n+1)` turns descending and
+    * `element_at(toks, 0)` throws under ANSI 1-based indexing.
     */
-  def shingles(toks: Column, n: Int): Column = {
-    val idx = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
-    transform(idx, i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-  }
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(typedLit(Seq.empty[String]))
 
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokenize(text))

@@ -130,8 +130,14 @@ object Dedup {
     * reused exchange).
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, bands: Int = 2, threshold: Double = 0.6): DataFrame = {
-    val sh = shingleHashes(docs, idCol, textCol)
+      k: Int = 8, bands: Int = 2, threshold: Double = 0.6): DataFrame =
+    pairsFromHashes(shingleHashes(docs, idCol, textCol), k, bands, threshold)
+
+  /** The fused MinHash+LSH pair pipeline over any (doc_id, h) hashed
+    * feature frame — shared by the shingle variant ([[minhashPairs]])
+    * and the token variant ([[ngramJaccardPairsLsh]]).
+    */
+  def pairsFromHashes(sh: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
     val sigSets = sh.groupBy(col("doc_id"))
       .agg(min(permuted(col("h"), 0)).as("mh0"),
         (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")) :+
@@ -150,6 +156,20 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .dropDuplicates("doc_a", "doc_b") // pairs matching in both bands
   }
+
+  /** LSH-banded token-Jaccard near-dup pairs — the 100 TB alternative
+    * to [[ngramJaccardPairs]]: same verified token-set Jaccard, but
+    * candidates come from MinHash bands over the token hashes instead
+    * of (lang, len_bucket) blocking, so bucket cohabitation is bounded
+    * by similarity, not by corpus size.
+    */
+  def ngramJaccardPairsLsh(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 8, bands: Int = 4): DataFrame =
+    pairsFromHashes(
+      docs.select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .select(col("doc_id"), h31(col("token")).as("h")),
+      k, bands, threshold)
 
   /** `bits`-bit SimHash (Charikar 2002) from token hashes: per bit
     * position, sign of the +1/-1 vote sum across tokens; pure integer
@@ -215,10 +235,15 @@ object Dedup {
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each hop frame is reduced to distinct NODE pairs before feeding
+    // the next hop: without this, the chain enumerates all <=k-hop
+    // PATHS, which is O(d^2)-O(d^3) rows for a degree-d near-clique
+    // (boilerplate dup clusters) — the scale-killer at 100 TB.
     var hops = List(e)
     for (_ <- 2 to iters)
       hops = hops.head.as("p").join(e.as("n"), col("p.dst") === col("n.src"))
-        .select(col("p.src").as("src"), col("n.dst").as("dst")) :: hops
+        .select(col("p.src").as("src"), col("n.dst").as("dst"))
+        .distinct() :: hops
     val reach = (e.select(col("src"), col("src").as("dst")) :: hops).reduce(_.union(_))
     reach.groupBy(col("src")).agg(min(col("dst")).as("label"))
       .withColumnRenamed("src", "doc")

@@ -148,7 +148,11 @@ object Similarity {
     * cell, so a probe reads nprobe/k of the data.
     */
   def ivfSearch(emb: DataFrame, queryId: Long, k: Int, cells: Int, iters: Int, nprobe: Int): DataFrame = {
+    // Persisted: scanned once per Lloyd round plus the final assignment
+    // — without this every round re-derives the float→double projection
+    // from the parquet scan.
     val embD = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cent = kmeansCells(embD, cells, iters)
     val sqDist = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)

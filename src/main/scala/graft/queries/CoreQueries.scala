@@ -71,11 +71,12 @@ object CoreQueries {
     }),
 
     // per-key distinct values (`PReduce.unique`, dampr/dampr.py:727-746)
-    // as a sorted set per key.
+    // as a sorted set per key. Emitted as a joined string: the driver's
+    // comparer cannot hash array-typed columns.
     "q07_unique_set" -> ((s, dir) => {
       t(s, dir, "customer")
         .groupBy(col("c_nationkey"))
-        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"))
+        .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"))
         .orderBy(col("c_nationkey"))
     }),
 
@@ -145,7 +146,7 @@ object CoreQueries {
       """SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
     "q07_unique_set" ->
-      """SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+      """SELECT c_nationkey, array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
          FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q08_global_count" ->
       "SELECT count(*) AS n FROM lineitem",

@@ -31,18 +31,28 @@ object DedupQueries {
   private[queries] def bandEq(side: String, b: Int, rows: Int) =
     (b * rows until (b + 1) * rows).map(i => s"l.mh$i = r.mh$i").mkString("(", " AND ", ")")
 
-  /** Pair-derivation CTE chain over an arbitrary (doc_id, text) source. */
-  private[queries] def sqlPairsCtesFor(src: String, threshold: Double): String =
-    s"""sh AS (SELECT doc_id, ${sqlH31("shingle")} AS h FROM (${sqlShingles(src)})),
+  /** Pair-derivation CTE chain over an arbitrary (doc_id, h) hashed
+    * feature SQL — mirrors [[graft.operators.Dedup.pairsFromHashes]].
+    */
+  private[queries] def sqlPairsCtesFromHashes(hashSql: String, threshold: Double, bands: Int): String = {
+    val rows = 8 / bands
+    val bandCond = (0 until bands).map(b => bandEq("", b, rows)).mkString(" OR ")
+    s"""sh AS ($hashSql),
         sig AS (SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")} FROM sh GROUP BY doc_id),
         cand AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
-          ON l.doc_id < r.doc_id AND (${bandEq("", 0, 4)} OR ${bandEq("", 1, 4)})),
+          ON l.doc_id < r.doc_id AND ($bandCond)),
         sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id),
         jac AS (SELECT doc_a, doc_b,
             round(len(list_intersect(a.hs, b.hs))::DOUBLE /
               (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6) AS jaccard
           FROM cand JOIN sets a ON a.doc_id = doc_a JOIN sets b ON b.doc_id = doc_b),
         pairs AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= $threshold)"""
+  }
+
+  /** Pair-derivation CTE chain over an arbitrary (doc_id, text) source. */
+  private[queries] def sqlPairsCtesFor(src: String, threshold: Double): String =
+    sqlPairsCtesFromHashes(
+      s"SELECT doc_id, ${sqlH31("shingle")} AS h FROM (${sqlShingles(src)})", threshold, 2)
 
   /** Shared CTE chain: shingle hashes → signatures → band candidates →
     * verified near-dup pairs (used by the q51 and q67 oracles).
@@ -59,7 +69,7 @@ object DedupQueries {
                UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
                p1 AS (SELECT src, dst FROM e)"""
     val hops = (2 to iters).map { i =>
-      s"p$i AS (SELECT p${i - 1}.src, e.dst FROM p${i - 1} JOIN e ON p${i - 1}.dst = e.src)"
+      s"p$i AS (SELECT DISTINCT p${i - 1}.src, e.dst FROM p${i - 1} JOIN e ON p${i - 1}.dst = e.src)"
     }
     val reach = (1 to iters).map(i => s"SELECT src, dst FROM p$i").mkString(" UNION ALL ")
     val fin =
@@ -113,6 +123,25 @@ object DedupQueries {
     "q53_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // LSH-banded token-Jaccard pairs — q53's 100 TB-safe twin: MinHash
+    // bands over token hashes replace (lang, len) blocking, so bucket
+    // population is bounded by similarity, not corpus size. One band of
+    // all 8 rows (full-signature match) + threshold 0.95: the synthetic
+    // corpus has ~31 distinct tokens, so token Jaccard is only
+    // discriminative near 1.0.
+    "q72_ngram_jaccard_lsh" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsLsh(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.95, bands = 1)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // embedding near-dup, LSH scale path — q55's 100 TB-safe twin:
+    // hyperplane buckets subdivide by direction, so increasing planes
+    // keeps buckets small at any corpus size. Threshold 0.25: the
+    // synthetic clusters are weak; same-bucket cosine tops out ~0.4.
+    "q71_embedding_neardup_lsh" -> ((s, dir) =>
+      Similarity.nearDupByLsh(t(s, dir, "embeddings"), planes = 8, dim = 64, threshold = 0.25)
+        .orderBy(col("vec_a"), col("vec_b"))),
 
     // embedding near-dup: same-label pairs above cosine 0.4 (clusters are weak in the synthetic data; threshold chosen to exercise the filter).
     "q55_embedding_neardup" -> ((s, dir) => {
@@ -249,6 +278,27 @@ object DedupQueries {
           WHERE round(len(list_intersect(l.toks, r.toks))::DOUBLE /
               (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks)))::DOUBLE, 6) >= 0.5
           ORDER BY doc_a, doc_b""",
+    "q72_ngram_jaccard_lsh" ->
+      s"""WITH ${sqlPairsCtesFromHashes(
+        s"SELECT doc_id, ${sqlH31("token")} AS h FROM (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks))",
+        0.95, 1)}
+          SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
+    "q71_embedding_neardup_lsh" ->
+      s"""WITH pw AS (SELECT p, d,
+            (((('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0 AS w
+            FROM unnest(generate_series(0, 7)) AS tp(p), unnest(generate_series(0, 63)) AS td(d)),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
+          proj AS (SELECT vec_id, p, sum(e.e[d + 1] * pw.w) AS proj
+            FROM e CROSS JOIN pw GROUP BY 1, 2),
+          bk AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id)
+          SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+            round(list_cosine_similarity(le.embedding::DOUBLE[], re.embedding::DOUBLE[]), 6) AS cos_sim
+          FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+          JOIN $EmbPq le ON le.vec_id = l.vec_id
+          JOIN $EmbPq re ON re.vec_id = r.vec_id
+          WHERE round(list_cosine_similarity(le.embedding::DOUBLE[], re.embedding::DOUBLE[]), 6) >= 0.25
+          ORDER BY vec_a, vec_b""",
     "q55_embedding_neardup" ->
       s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
           round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos_sim

@@ -80,9 +80,13 @@ object SortSetQueries {
     }),
 
     // inverted index build (dampr/utils/indexer.py:35-70): token →
-    // sorted postings + term frequency.
+    // sorted postings + term frequency. Postings joined to a string for
+    // the driver's comparer (cannot hash array columns).
     "q38_inverted_index" -> ((s, dir) =>
       Relational.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("token"),
+          array_join(col("postings").cast("array<string>"), ",").as("postings"),
+          col("tf"))
         .orderBy(col("token"))),
 
     // index intersect retrieval (dampr/utils/indexer.py:94-125): docs
@@ -153,7 +157,7 @@ object SortSetQueries {
           FROM tf JOIN df USING (token) CROSS JOIN n
           ORDER BY tf.doc_id, tf.token""",
     "q38_inverted_index" ->
-      s"""SELECT token, list_sort(list(DISTINCT doc_id)) AS postings, count(*) AS tf
+      s"""SELECT token, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings, count(*) AS tf
           FROM ($SqlTok) WHERE token <> '' GROUP BY token ORDER BY token""",
     "q39_index_intersect" ->
       s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM ($SqlTok) WHERE token <> '')

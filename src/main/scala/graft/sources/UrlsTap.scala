@@ -53,22 +53,28 @@ class UrlsTapTable(urls: Array[String], skipOnError: Boolean) extends Table with
           (partition: InputPartition) => {
             val UrlPartition(url, skip) = partition
             new PartitionReader[InternalRow] {
+              private var src: scala.io.Source = _
               private val lines: Iterator[String] =
                 try {
-                  val src = scala.io.Source.fromURL(url)
-                  src.getLines() // source closed on JVM exit; bounded use
+                  src = scala.io.Source.fromURL(url)
+                  src.getLines()
                 } catch {
                   case e: Exception =>
                     if (skip) Iterator.empty
                     else throw new RuntimeException(s"failed to read $url", e)
                 }
               private var current: String = _
-              override def next(): Boolean = {
-                if (lines.hasNext) { current = lines.next(); true } else false
-              }
+              override def next(): Boolean =
+                try {
+                  if (lines.hasNext) { current = lines.next(); true } else false
+                } catch {
+                  // mid-stream read failure: with skip_on_error the
+                  // reference truncates the bad URL and moves on
+                  case _: Exception if skip => false
+                }
               override def get(): InternalRow =
                 InternalRow(UTF8String.fromString(url), UTF8String.fromString(current))
-              override def close(): Unit = ()
+              override def close(): Unit = if (src != null) src.close()
             }
           }
       }

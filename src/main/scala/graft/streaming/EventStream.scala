@@ -85,35 +85,54 @@ object EventStream {
   /** Custom gap-based sessionizer via `flatMapGroupsWithState` — the
     * fully-custom stateful operator path (SURVEY §7.3's "genuinely
     * stateful-hard item"): per-user state holds the open session;
-    * events extend it while within `gapSeconds`; a larger gap (or
-    * event-time timeout at the watermark) emits the completed session.
+    * events extend it while within `gapSeconds`; a larger gap emits the
+    * completed session, and an EVENT-TIME TIMEOUT emits the open
+    * session once the watermark passes its gap horizon — so trailing
+    * sessions are flushed and state is dropped, not retained forever.
     * State per key is O(1) — only the open session's bounds.
     */
-  def customSessions(spark: SparkSession, events: DataFrame, gapSeconds: Long): DataFrame = {
+  def customSessions(spark: SparkSession, events: DataFrame, gapSeconds: Long,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     events.select(col("user_id"), col("ts"), col("event_type")).as[UserEvent]
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (uid: Long, evs: Iterator[UserEvent], state: GroupState[(Long, Long, Long)]) => {
           // state = (n_events, start_epochSec, last_epochSec)
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          var out = List.empty[SessionOut]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val sec = e.ts.getTime / 1000
-            cur match {
-              case Some((n, s0, last)) if sec - last <= gapSeconds =>
-                cur = Some((n + 1, s0, sec))
-              case Some((n, s0, last)) =>
-                out ::= SessionOut(uid, n, s0, last)
-                cur = Some((1L, sec, sec))
-              case None =>
-                cur = Some((1L, sec, sec))
+          if (state.hasTimedOut) {
+            // Watermark passed last_ts + gap: nothing can extend the
+            // open session any more — emit it and drop the state.
+            val out = state.getOption.map { case (n, s0, last) => SessionOut(uid, n, s0, last) }
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some((n, s0, last)) if sec - last <= gapSeconds =>
+                  cur = Some((n + 1, s0, sec))
+                case Some((n, s0, last)) =>
+                  out ::= SessionOut(uid, n, s0, last)
+                  cur = Some((1L, sec, sec))
+                case None =>
+                  cur = Some((1L, sec, sec))
+              }
             }
+            cur.foreach { c =>
+              state.update(c)
+              // Schedule the flush for when the watermark passes the
+              // session's gap horizon (clamped: setTimeoutTimestamp
+              // rejects timestamps at/behind the current watermark).
+              val horizon = c._3 * 1000 + gapSeconds * 1000
+              state.setTimeoutTimestamp(math.max(horizon, state.getCurrentWatermarkMs() + 1))
+            }
+            out.reverseIterator
           }
-          cur.foreach(state.update)
-          out.reverseIterator
         }).toDF()
   }
 

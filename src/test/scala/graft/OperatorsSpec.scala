@@ -106,6 +106,16 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Seq("a b c", "b c d"))
   }
 
+  test("shingles is empty (not a crash) for docs shorter than n") {
+    // regression: unguarded, size<n made sequence() descend and
+    // element_at(toks, 0) throw under ANSI 1-based indexing
+    val df = Seq("", "one", "two words", "now three words").toDF("text")
+    val out = df.select(TextFunctions.shingles(TextFunctions.tokenize(col("text")), 3))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq.empty && out(1) === Seq.empty && out(2) === Seq.empty)
+    assert(out(3) === Seq("now three words"))
+  }
+
   test("qualityScore penalizes punctuation-heavy short text") {
     val df = Seq(("the and of to in is " * 10, 0), ("@@@!!! ###", 1)).toDF("text", "id")
     val scores = df.select(TextFunctions.qualityScore(col("text"))).as[Double].collect()

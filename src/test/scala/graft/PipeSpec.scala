@@ -110,10 +110,25 @@ class PipeSpec extends SparkSpec {
     assert(out.sorted.head === 100 && out.sorted.last === 209)
   }
 
+  // dampr/dampr.py:543-564 (cross_right: left side broadcast, right drives)
+  test("crossRight broadcasts the left side over the right") {
+    val out = Pipe.memory(spark, Seq(100, 200)).crossRight(ints2)((a, b) => a + b).collect()
+    assert(out.length === 20)
+    assert(out.sorted.head === 100 && out.sorted.last === 209)
+  }
+
   // dampr/dampr.py:590-619 (cross_set aggregate broadcast)
   test("crossSet passes whole aggregated right side") {
     val out = ints2.crossSet(Pipe.memory(spark, Seq(1, 2, 3)))(_.toSet)((t, s) => (t, s.size)).collect()
     assert(out.length === 10 && out.forall(_._2 == 3))
+  }
+
+  // driver-OOM guard on the memory=True cross ops
+  test("cross ops refuse an oversized broadcast side") {
+    spark.conf.set("graft.cross.maxRows", "5")
+    try intercept[IllegalArgumentException] {
+      ints.crossLeft(ints2)((a, b) => a + b)
+    } finally spark.conf.unset("graft.cross.maxRows")
   }
 
   // tests/test_dampr.py:71-73 (sort)
@@ -203,5 +218,16 @@ class PipeSpec extends SparkSpec {
   test("read(k) takes k values; inspect passes through unchanged") {
     assert(ints.read(3).length === 3)
     assert(ints.inspect("dbg: ").collect().sorted === (10 until 20).toArray)
+  }
+
+  // dampr/dampr.py:479-482 (inspect(exit=True) aborts after printing)
+  test("inspect(exit=true) invokes the process-exit hook") {
+    val saved = Pipe.exitHook
+    var code = -1
+    try {
+      Pipe.exitHook = c => code = c
+      ints.inspect("dbg: ", exit = true)
+      assert(code === 0)
+    } finally Pipe.exitHook = saved
   }
 }

@@ -76,6 +76,32 @@ class StreamingSpec extends SparkSpec {
     assert(emitted <= total)
   }
 
+  test("event-time timeout flushes the trailing open session") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventStream.UserEvent]
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val q = EventStream.customSessions(spark, input.toDF(), gapSeconds = 30,
+        watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("trailsess").outputMode("append").start()
+    try {
+      input.addData(EventStream.UserEvent(1L, ts(1000), "click"),
+        EventStream.UserEvent(1L, ts(1010), "click"))
+      q.processAllAvailable()
+      // a far-later event from ANOTHER user pushes the watermark past
+      // user 1's gap horizon — the open session must flush via timeout,
+      // not wait forever for a user-1 event that never comes
+      input.addData(EventStream.UserEvent(2L, ts(100000), "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("trailsess").collect().filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length === 1)
+    assert(u1.head.getAs[Long]("n_events") === 2L)
+    assert(u1.head.getAs[Long]("start_ts") === 1000L)
+    assert(u1.head.getAs[Long]("end_ts") === 1010L)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream5").toString
     Q.events(spark, sf001).write.mode("overwrite").parquet(s"$tmp/events.parquet")
