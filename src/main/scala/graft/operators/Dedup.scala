@@ -133,28 +133,41 @@ object Dedup {
       k: Int = 8, bands: Int = 2, threshold: Double = 0.6): DataFrame =
     pairsFromHashes(shingleHashes(docs, idCol, textCol), k, bands, threshold)
 
-  /** The fused MinHash+LSH pair pipeline over any (doc_id, h) hashed
-    * feature frame — shared by the shingle variant ([[minhashPairs]])
-    * and the token variant ([[ngramJaccardPairsLsh]]).
+  /** The MinHash+LSH pair pipeline over any (doc_id, h) hashed feature
+    * frame — shared by the shingle variant ([[minhashPairs]]) and the
+    * token variant ([[ngramJaccardPairsLsh]]). ONE aggregation computes
+    * the k signature mins AND the shingle set per doc (persisted, so
+    * both derivations read it once); the band self-join then carries
+    * only (doc_id, band_key) — candidate pairs are deduped while still
+    * skinny, and the hash sets are attached by two hash joins (AQE
+    * broadcasts the set side when it fits) so per-pair arrays never
+    * cross a shuffle. On high-collision corpora this is the difference
+    * between shuffling kilobytes and shuffling the candidate arrays.
     */
   def pairsFromHashes(sh: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
     val sigSets = sh.groupBy(col("doc_id"))
       .agg(min(permuted(col("h"), 0)).as("mh0"),
         (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")) :+
           collect_set(col("h")).as("hs"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsPerBand = k / bands
     val banded = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      sigSets.select(col("doc_id"), col("hs"), lit(b).as("band"), concat_ws("_", cols: _*).as("band_key"))
+      sigSets.select(col("doc_id"), lit(b).as("band"), concat_ws("_", cols: _*).as("band_key"))
     }.reduce(_.union(_))
-    banded.as("l").join(banded.as("r"),
+    val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
           col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        round(size(array_intersect(col("l.hs"), col("r.hs"))).cast("double") /
-          size(array_union(col("l.hs"), col("r.hs"))).cast("double"), 6).as("jaccard"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct() // pairs matching in multiple bands, deduped while skinny
+    val sets = sigSets.select(col("doc_id"), col("hs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .dropDuplicates("doc_a", "doc_b") // pairs matching in both bands
   }
 
   /** LSH-banded token-Jaccard near-dup pairs — the 100 TB alternative
@@ -229,12 +242,14 @@ object Dedup {
     // Path-expansion form: label(d) = min over nodes within graph
     // distance <= iters — identical to round-based min-label
     // propagation, but as ONE linear plan (chained hop joins + union +
-    // aggregate) instead of per-round materialization barriers. The
-    // (tiny) edge list is persisted: it appears once per hop level and
-    // would otherwise re-derive the upstream pair pipeline each time.
-    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // aggregate) instead of per-round materialization barriers.
+    // PAIRS is what gets persisted, not the symmetrized edge list: the
+    // union below reads `pairs` twice (once per direction), and every
+    // hop level reads it again — unpersisted, each read would re-derive
+    // the whole upstream near-dup pipeline.
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val e = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // Each hop frame is reduced to distinct NODE pairs before feeding
     // the next hop: without this, the chain enumerates all <=k-hop
     // PATHS, which is O(d^2)-O(d^3) rows for a degree-d near-clique

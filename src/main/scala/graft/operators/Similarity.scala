@@ -120,32 +120,56 @@ object Similarity {
       .groupBy(col(cellCol)).agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col(cellCol), transform(col("pm"), x => x.getField("m")).as("centroid"))
 
-  /** Deterministic mini k-means (Lloyd) over (vec_id, e): init = the k
-    * lowest vec_ids, `iters` assign/recompute rounds. Centroids are
-    * broadcast each round; assignment is a map-side argmin (min_by on
-    * squared distance), so each iteration is one scan + one tiny
-    * aggregate — the coarse-quantizer training loop of a real IVF
-    * index, scaled-down but structurally identical.
+  /** Map-side cell assignment against DRIVER-HELD centroids: squared
+    * distance to each centroid is an expression over array literals, so
+    * assignment is a pure scan — no crossJoin, no shuffle. Ties break
+    * to the lowest cell id (struct ordering on (dist, cell)).
     */
-  def kmeansCells(embD: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cent = embD.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").cast("int").as("cell"), col("e").as("centroid"))
-    val sqDist = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
-    for (_ <- 0 until iters) {
-      val assigned = embD.crossJoin(broadcast(cent))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("cell"), struct(sqDist(col("e"), col("centroid")), col("cell"))).as("cell"),
-          first(col("e")).as("e"))
-      cent = centroids(assigned, "cell", "e")
+  def assignCells(embD: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val scored = cents.map { case (cell, cvec) =>
+      val carr = array(cvec.map(lit): _*)
+      val d = aggregate(zip_with(col("e"), carr, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(d.as("d"), lit(cell).as("cell"))
     }
-    cent
+    embD.withColumn("cell", array_min(array(scored: _*)).getField("cell"))
+  }
+
+  /** Deterministic mini k-means (Lloyd) over (vec_id, e), returning the
+    * trained centroids as local data: init = the k lowest vec_ids,
+    * `iters` assign/recompute rounds. Like a production coarse-quantizer
+    * trainer (MLlib KMeans does the same), the k tiny centroids live on
+    * the driver between rounds and assignment is a map-side expression
+    * — each round costs ONE scan + ONE k×dim-group aggregate instead of
+    * a crossJoin + vector shuffle.
+    */
+  def kmeansCellsLocal(embD: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    def collectCents(df: DataFrame, cellCol: String, vecCol: String): Seq[(Int, Seq[Double])] =
+      df.collect().map(r => r.getAs[Int](cellCol) -> r.getSeq[Double](r.fieldIndex(vecCol))).toSeq
+        .sortBy(_._1)
+    var cents = collectCents(
+      embD.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").cast("int").as("cell"), col("e").as("centroid")),
+      "cell", "centroid")
+    for (_ <- 0 until iters)
+      cents = collectCents(centroids(assignCells(embD, cents), "cell", "e"),
+        "cell", "centroid") // centroids() names its vector column "centroid"
+    cents
+  }
+
+  /** [[kmeansCellsLocal]] re-exposed as a (cell, centroid) DataFrame. */
+  def kmeansCells(embD: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = embD.sparkSession
+    import spark.implicits._
+    kmeansCellsLocal(embD, k, iters).toDF("cell", "centroid")
   }
 
   /** IVF ANN with computed cells: assign corpus to trained cells once,
     * probe the `nprobe` nearest cells to the query, exact-search only
-    * those. At 100 TB the assigned table is written partitioned by
-    * cell, so a probe reads nprobe/k of the data.
+    * those. Assignment and probe filter are both map-side (centroids
+    * are driver-held literals), so the whole search is scan → filter →
+    * TakeOrdered. At 100 TB the assigned table is written partitioned
+    * by cell, so a probe reads nprobe/k of the data.
     */
   def ivfSearch(emb: DataFrame, queryId: Long, k: Int, cells: Int, iters: Int, nprobe: Int): DataFrame = {
     // Persisted: scanned once per Lloyd round plus the final assignment
@@ -153,19 +177,15 @@ object Similarity {
     // from the parquet scan.
     val embD = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cent = kmeansCells(embD, cells, iters)
-    val sqDist = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
-    val assigned = embD.crossJoin(broadcast(cent))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cell"), struct(sqDist(col("e"), col("centroid")), col("cell"))).as("cell"),
-        first(col("e")).as("e"))
+    val cents = kmeansCellsLocal(embD, cells, iters)
+    val qv = embD.filter(col("vec_id") === queryId).select(col("e"))
+      .collect().head.getSeq[Double](0)
+    def sqLocal(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    val probes = cents.map { case (c, cv) => (sqLocal(cv, qv), c) }.sorted.take(nprobe).map(_._2)
     val q = embD.filter(col("vec_id") === queryId).select(col("e").as("q_emb"))
-    val probes = cent.crossJoin(broadcast(q))
-      .orderBy(sqDist(col("centroid"), col("q_emb")), col("cell")).limit(nprobe)
-      .select(col("cell"))
-    assigned.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= queryId)
+    assignCells(embD, cents)
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(cosine(col("e"), col("q_emb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
