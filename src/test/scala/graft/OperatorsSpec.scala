@@ -116,6 +116,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3) === Seq("now three words"))
   }
 
+  test("ngramJaccardPairsLsh verifies exactly and always finds identical token sets") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"), // same token set as 0 — identical
+      // minhash signature, so a 1-band config MUST surface the pair
+      (2L, "delta gamma beta alpha extra"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val lsh = Dedup.ngramJaccardPairsLsh(docs, "doc_id", "text", threshold = 0.9, bands = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    assert(lsh.forall(_._3 >= 0.9)) // verification step is exact
+  }
+
   test("qualityScore penalizes punctuation-heavy short text") {
     val df = Seq(("the and of to in is " * 10, 0), ("@@@!!! ###", 1)).toDF("text", "id")
     val scores = df.select(TextFunctions.qualityScore(col("text"))).as[Double].collect()

@@ -66,6 +66,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), p)
   }
 
+  test("ivfSearch plans the probe as scan -> filter -> TakeOrdered (no agg shuffle)") {
+    val df = q("q59_ann_ivf")
+    val p = plan(df)
+    // assignment + probe filter are map-side over driver-held centroid
+    // literals: the search itself needs no hash-partition exchange and
+    // no aggregation — only the bounded top-k.
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("q51 band self-join reuses one exchange for both sides") {
     val df = q("q51_minhash_pairs")
     df.collect() // AQE stitches exchange reuse during execution
