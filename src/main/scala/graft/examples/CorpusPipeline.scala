@@ -1,7 +1,6 @@
 package graft.examples
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.Dedup
@@ -33,13 +32,16 @@ object CorpusPipeline {
         TextFunctions.langIdFromScores.as("lang_pred"),
         coalesce(col("n_tok"), lit(0L)).cast("int").as("n_tokens"))
       .filter(col("quality") >= qualityMin)
-    // 2. exact dedup: keep the lowest doc_id per normalized fingerprint
+    // 2. exact dedup: keep the lowest doc_id per normalized fingerprint.
+    //    min_by hash-aggregate, not a row_number window: partial
+    //    aggregation on the map side and no per-key sort — the shape
+    //    that survives a 100x scale-up.
     val exactKept = scored
-      .withColumn("fp", TextFunctions.fingerprint(col("text")))
-      .withColumn("_rn", row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-      .filter(col("_rn") === 1).drop("_rn", "fp")
+      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(min_by(struct(scored.columns.map(col): _*), col("doc_id")).as("_r"))
+      .select(col("_r.*"))
       // feeds both the minhash pipeline and the final representative
-      // join — persist so scoring + dedup window run once
+      // join — persist so scoring + dedup aggregation run once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3. near-dedup: LSH pairs over the surviving docs, keep cluster
     //    representatives (label == own id) and untouched docs

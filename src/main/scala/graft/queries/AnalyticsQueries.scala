@@ -23,6 +23,18 @@ object AnalyticsQueries {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy(col("l_returnflag"))),
 
+    // two-phase salted aggregation over the heavily-skewed returnflag
+    // key (3 distinct values across the whole table — one reducer each
+    // without salting). Result is salt-invariant for associative
+    // aggregates, so the oracle is the plain GROUP BY.
+    "q73_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedAgg(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+        Seq("l_returnflag"), saltFactor = 16,
+        partials = Seq(sum(col("l_quantity")).as("_s"), count(lit(1)).as("_c")),
+        finals = Seq(sum(col("_s")).cast("long").as("sum_qty"), sum(col("_c")).as("n")))
+        .orderBy(col("l_returnflag"))),
+
     // exact interpolated median per group (percentile ≡ DuckDB
     // quantile_cont).
     "q42_median" -> ((s, dir) =>
@@ -126,6 +138,9 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q73_salted_agg" ->
+      """SELECT l_returnflag, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q49_zero_fill" ->
       """WITH r AS (SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1 FROM events),
          days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM r),
