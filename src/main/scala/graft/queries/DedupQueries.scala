@@ -176,9 +176,12 @@ object DedupQueries {
     // their embeddings (doc_id = vec_id in the testdata) → centroid →
     // top-10 nearest non-seed vectors.
     "q70_crossmodal_expand" -> ((s, dir) => {
-      val seeds = explodedTokens(t(s, dir, "documents"), "doc_id", "text")
-        .filter(col("token") === "spark")
-        .select(col("doc_id").as("vec_id")).distinct()
+      // map-side seed selection: array_contains on the token array
+      // instead of explode + distinct (no shuffle, same token-equality
+      // semantics as the oracle's unnest filter)
+      val seeds = t(s, dir, "documents")
+        .filter(array_contains(split(lower(col("text")), " "), "spark"))
+        .select(col("doc_id").as("vec_id"))
       Similarity.expandByCentroid(t(s, dir, "embeddings"), seeds, 10)
     }),
 

@@ -65,13 +65,17 @@ object SortSetQueries {
     }),
 
     // tf-idf pipeline — the reference's flagship benchmark workload
-    // (benchmarks/tf-idf-dampr.py:9-21), idf = ln(1 + N/df). One
-    // shuffle for tf, one tiny df side joined broadcast.
+    // (benchmarks/tf-idf-dampr.py:9-21), idf = ln(1 + N/df). ONE
+    // tokenize+explode pass: df (docs per token) is derived from the tf
+    // frame — tf rows are distinct (doc, token) pairs, so counting them
+    // per token equals countDistinct(doc_id) over the raw token stream,
+    // without re-exploding the corpus. The tf aggregation exchange is
+    // shared by both consumers.
     "q37_tfidf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tok = explodedTokens(docs, "doc_id", "text")
       val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(broadcast(df), "token").crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
