@@ -33,6 +33,20 @@ object TextFunctions {
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokenize(text))
 
+  /** BPE-ish regex pieces: alphanumeric runs OR single non-alnum
+    * non-space characters — the pre-tokenization split BPE vocabularies
+    * are trained over (GPT-2-style, simplified to an engine-portable
+    * character-class pattern). Punctuation becomes its own piece, so
+    * piece counts approximate subword token counts far better than
+    * whitespace words on punctuation-heavy text.
+    */
+  val BpePiecePattern = "[a-z0-9]+|[^a-z0-9\\s]"
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpePiecePattern), lit(0))
+
+  /** Piece count under the BPE-ish tokenizer. */
+  def pieceCount(text: Column): Column = size(bpePieces(text))
+
   /** Marker-word language ID: score each language by stopword hits and
     * take the deterministic argmax (ties resolved by the fixed language
     * order). A real n-gram model would plug in the same shape — this is

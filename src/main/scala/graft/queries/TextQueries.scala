@@ -36,6 +36,15 @@ object TextQueries {
             greatest(coalesce(col("n_tok"), lit(0L)), lit(1L)).cast("double")).as("avg_tok_len"))
         .orderBy(col("doc_id"))),
 
+    // BPE-ish regex token counting (subword-piece proxy): alnum runs +
+    // single punctuation pieces, total and distinct per doc.
+    "q74_regex_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextFunctions.bpePieces(col("text"))).as("n_pieces"),
+          size(array_distinct(TextFunctions.bpePieces(col("text")))).as("n_uniq_pieces"))
+        .orderBy(col("doc_id"))),
+
     // marker-word language ID (n-gram-heuristic shape).
     "q61_lang_id" -> ((s, dir) =>
       withAggs(s, dir)
@@ -74,6 +83,11 @@ object TextQueries {
           round(list_sum(list_transform(toks, t -> len(t)))::DOUBLE /
             greatest(len(toks), 1)::DOUBLE, 6) AS avg_tok_len
           FROM ($SqlToks) ORDER BY doc_id""",
+    "q74_regex_tokens" ->
+      s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS INT) AS n_pieces,
+          CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))) AS INT) AS n_uniq_pieces
+          FROM $DocsPq ORDER BY doc_id""",
     "q61_lang_id" -> {
       val scoreExprs = langs.map { case (l, ms) =>
         s"len(list_filter(toks, t -> t IN ${sqlMarkers(ms)})) AS s_$l"

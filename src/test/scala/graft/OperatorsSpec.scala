@@ -129,6 +129,12 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.forall(_._3 >= 0.9)) // verification step is exact
   }
 
+  test("bpePieces splits alnum runs and single punctuation pieces") {
+    val df = Seq("Hello, world! it's 42").toDF("text")
+    val out = df.select(TextFunctions.bpePieces(col("text"))).as[Seq[String]].collect().head
+    assert(out === Seq("hello", ",", "world", "!", "it", "'", "s", "42"))
+  }
+
   test("qualityScore penalizes punctuation-heavy short text") {
     val df = Seq(("the and of to in is " * 10, 0), ("@@@!!! ###", 1)).toDF("text", "id")
     val scores = df.select(TextFunctions.qualityScore(col("text"))).as[Double].collect()
