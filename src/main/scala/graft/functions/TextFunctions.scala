@@ -136,6 +136,24 @@ object TextFunctions {
     round(lit(0.4) * lenScore + lit(0.4) * (lit(1.0) - punctRatio) + lit(0.2) * least(stopRatio * 5.0, lit(1.0)), 6)
   }
 
+  /** Winnowed k-gram fingerprint set (Schleimer et al. 2003 — the MOSS
+    * rolling-hash document fingerprint): the minimum 31-bit k-gram hash
+    * within each sliding window of `w` consecutive k-grams, deduped and
+    * sorted. Guarantees any shared token run of length >= w + k - 1
+    * yields at least one shared fingerprint, while keeping ~1/w of the
+    * k-gram hashes. Pure Column expressions (codegen'd, md5-derived
+    * hashing shared with the dedup oracles); docs with fewer than `w`
+    * k-grams fall back to their full distinct hash set.
+    */
+  def winnowedFingerprints(toks: Column, k: Int, w: Int): Column = {
+    val h31 = (c: Column) => pmod(graft.plans.Md5Prefix32.md5prefix32(c), lit(2147483647L))
+    val hs = transform(shingles(toks, k), s => h31(s))
+    when(size(hs) >= w,
+      array_sort(array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+        i => array_min(slice(hs, i, lit(w)))))))
+      .otherwise(array_sort(array_distinct(hs)))
+  }
+
   /** Normalization for fingerprinting: lowercase, collapse whitespace,
     * trim.
     */

@@ -63,6 +63,21 @@ object TextQueries {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // winnowed rolling-hash fingerprint set (k=3 shingles, window 4) —
+    // the partial-overlap dedup fingerprint (md5 whole-doc fingerprints
+    // only catch exact dups). Docs shorter than k tokens are dropped on
+    // both sides.
+    "q75_winnow_fingerprint" -> ((s, dir) => {
+      val toks = TextFunctions.tokenize(col("text"))
+      t(s, dir, "documents")
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"), TextFunctions.winnowedFingerprints(toks, 3, 4).as("fps"))
+        .select(col("doc_id"),
+          array_join(col("fps").cast("array<string>"), ",").as("fp_set"),
+          size(col("fps")).as("n_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // multimodal plumbing: opaque binary payload column + typed
     // metadata extraction (byte length + content digest). The
     // decode-side (image/audio) runs through
@@ -117,5 +132,17 @@ object TextQueries {
           FROM $DocsPq ORDER BY doc_id""",
     "q64_binary_meta" ->
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS digest
-          FROM $DocsPq ORDER BY doc_id""")
+          FROM $DocsPq ORDER BY doc_id""",
+    "q75_winnow_fingerprint" ->
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk FROM $DocsPq),
+          hs AS (SELECT doc_id,
+              list(((('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 8))::BIGINT) % 2147483647) ORDER BY i) AS hs
+            FROM tk, unnest(generate_series(1, len(tk) - 2)) AS u(i) GROUP BY doc_id),
+          win AS (SELECT doc_id,
+              CASE WHEN len(hs) >= 4
+                THEN list_sort(list_distinct(list_transform(generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))))
+                ELSE list_sort(list_distinct(hs)) END AS fps
+            FROM hs)
+          SELECT doc_id, array_to_string(fps, ',') AS fp_set, CAST(len(fps) AS INT) AS n_fp
+          FROM win ORDER BY doc_id""")
 }

@@ -129,6 +129,21 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.forall(_._3 >= 0.9)) // verification step is exact
   }
 
+  test("winnowedFingerprints: shared >= w+k-1 token run implies a shared fingerprint") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y z a b c d e f q r s"), // shares the 6-token run "a b c d e f"
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        TextFunctions.winnowedFingerprints(TextFunctions.tokenize(col("text")), 3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // winnowing guarantee (k=3, w=4): any common run of >= 6 tokens
+    // contributes at least one common selected hash
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    assert(fps.values.forall(_.nonEmpty))
+  }
+
   test("bpePieces splits alnum runs and single punctuation pieces") {
     val df = Seq("Hello, world! it's 42").toDF("text")
     val out = df.select(TextFunctions.bpePieces(col("text"))).as[Seq[String]].collect().head
