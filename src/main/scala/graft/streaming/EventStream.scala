@@ -59,6 +59,15 @@ object EventStream {
       }.toDF()
   }
 
+  /** Streaming exact dedup: first occurrence per event_id wins, with
+    * state bounded by the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — the streaming face of the
+    * batch exact-dedup operators. At scale, state holds only ids seen
+    * within the watermark window, not the full history.
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream interval join with watermarks: attribute each
     * purchase to clicks by the same user within the preceding hour.
     * Both sides are watermarked so join state is bounded — Spark drops

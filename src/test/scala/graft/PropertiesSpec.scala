@@ -76,6 +76,29 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("law: labelPropagate(k) ≡ min node id within graph distance k (BFS reference)") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOf(Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
+        .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
+    for (edges <- samples(edgeGen, 6) if edges.nonEmpty) {
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.labelPropagate(pairs, 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: per node, min id reachable within <= 3 undirected hops
+      val adj = (edges ++ edges.map(_.swap)).groupMap(_._1)(_._2)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map { n =>
+        var frontier = Set(n); var seen = Set(n)
+        for (_ <- 1 to 3) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Nil)) -- seen
+          seen ++= frontier
+        }
+        n -> seen.min
+      }.toMap
+      assert(got === want, s"edges=$edges")
+    }
+  }
+
   test("MeanAggregator registers as a SQL UDAF (udaf() path)") {
     import org.apache.spark.sql.functions.udaf
     spark.udf.register("graft_mean", udaf(new MeanAggregator[Double](identity)))

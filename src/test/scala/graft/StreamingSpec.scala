@@ -76,6 +76,18 @@ class StreamingSpec extends SparkSpec {
     assert(emitted <= total)
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dd").toString
+    val ev = Q.events(spark, sf001)
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    ev.write.mode("append").parquet(s"$tmp/events.parquet") // every event twice
+    val q = EventStream.runToMemory(spark, tmp, "dedupout",
+      df => EventStream.dedupedEvents(df), OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedupout").count() === ev.count())
+    assert(spark.table("dedupout").select("event_id").distinct().count() === ev.count())
+  }
+
   test("event-time timeout flushes the trailing open session") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
