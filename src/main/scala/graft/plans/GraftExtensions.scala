@@ -1,0 +1,34 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` installer exposing the custom codegen
+  * kernels to the SQL surface (SURVEY.md §7.2's extension tier):
+  *
+  *   graft_md5prefix32(str)      -> bigint  (shared LSH base hash)
+  *   graft_array_dot(a, b)       -> double  (embedding dot product)
+  *
+  * Wire-up: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * at session build, or [[GraftExtensions.install]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+}
+
+object GraftExtensions {
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_md5prefix32" -> (args => Md5Prefix32(args.head)),
+    "graft_array_dot" -> (args => ArrayDotProduct(args(0), args(1))))
+
+  /** Register the functions on an already-built session. */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      GraftBridge.registerTempFunction(spark, name, builder)
+    }
+}
