@@ -84,6 +84,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"), p)
   }
 
+  test("session extensions expose the codegen kernels to SQL") {
+    graft.plans.GraftExtensions.install(spark)
+    val Array(h, ref) = spark.sql(
+      """SELECT graft_md5prefix32('spark'),
+         CAST(conv(substring(md5('spark'), 1, 8), 16, 10) AS BIGINT)""")
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(h === ref)
+    val dot = spark.sql("SELECT graft_array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .collect().head.getDouble(0)
+    assert(dot === 11.0)
+  }
+
   test("partitioned writes enable partition pruning at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
     graft.queries.Q.t(spark, sf001, "documents")
