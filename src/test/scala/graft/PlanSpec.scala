@@ -84,6 +84,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"), p)
   }
 
+  test("dedup pair queries never plan a corpus-wide cross product") {
+    // every pair-producing query must join on a block/bucket/band key —
+    // a CartesianProduct or nested-loop join over the corpus means the
+    // blocking failed and the plan would not survive 100x data
+    for (name <- Seq("q51_minhash_pairs", "q53_ngram_jaccard", "q55_embedding_neardup",
+        "q67_dup_clusters", "q68_corpus_clean", "q69_simhash_pairs",
+        "q71_embedding_neardup_lsh", "q72_ngram_jaccard_lsh")) {
+      val df = q(name)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name planned a nested loop:\n$p")
+    }
+  }
+
   test("session extensions expose the codegen kernels to SQL") {
     graft.plans.GraftExtensions.install(spark)
     val Array(h, ref) = spark.sql(
