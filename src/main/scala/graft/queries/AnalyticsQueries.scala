@@ -128,16 +128,33 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"))),
 
     // multimodal decode as a graded query: binary payload ->
-    // mapPartitions stub codec -> typed features (rows-only check; the
-    // codec is engine-side Scala, not SQL-expressible).
+    // mapPartitions stub codec -> typed features. The stub is a
+    // deterministic byte-arithmetic fake, and the corpus is ASCII, so
+    // the whole decode (metadata AND the 8 stride-sum features) is
+    // oracle-checkable in SQL — float32 features are rounded to 6
+    // decimals, which recovers the exact k/1000 values.
     "q65_multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"))
       Multimodal.decodeFeatures(s, media).toDF()
-        .select(col("doc_id"), col("n_bytes"), col("media_type"), col("width"), col("height"))
+        .select(Seq(col("doc_id"), col("n_bytes"), col("media_type"), col("width"), col("height")) ++
+          (0 until 8).map(i =>
+            round(element_at(col("features"), i + 1).cast("double"), 6).as(s"f$i")): _*)
         .orderBy(col("doc_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q65_multimodal_decode" -> {
+      val feats = (0 until 8).map(i =>
+        s"round((coalesce(list_sum(list_transform(generate_series($i + 1, len(text), 8), j -> ord(substr(text, j, 1)))), 0) % 1000) / 1000.0, 6) AS f$i")
+        .mkString(", ")
+      s"""SELECT doc_id,
+          CAST(len(text) AS INT) AS n_bytes,
+          CASE WHEN len(text) % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+          CAST(16 + (CASE WHEN len(text) = 0 THEN 0 ELSE ord(substr(text, 1, 1)) END % 64) AS INT) AS width,
+          CAST(16 + (len(text) % 64) AS INT) AS height,
+          $feats
+          FROM $DocsPq ORDER BY doc_id"""
+    },
     "q73_salted_agg" ->
       """SELECT l_returnflag, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
