@@ -250,15 +250,18 @@ object Dedup {
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val e = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    // Each hop frame is reduced to distinct NODE pairs before feeding
-    // the next hop: without this, the chain enumerates all <=k-hop
+    // Each hop frame that feeds a FURTHER join is reduced to distinct
+    // NODE pairs first: without this, the chain enumerates all <=k-hop
     // PATHS, which is O(d^2)-O(d^3) rows for a degree-d near-clique
-    // (boilerplate dup clusters) — the scale-killer at 100 TB.
+    // (boilerplate dup clusters) — the scale-killer at 100 TB. The last
+    // hop skips the distinct: the final min-aggregate dedups it for
+    // free, so the extra exchange would buy nothing.
     var hops = List(e)
-    for (_ <- 2 to iters)
-      hops = hops.head.as("p").join(e.as("n"), col("p.dst") === col("n.src"))
+    for (i <- 2 to iters) {
+      val hop = hops.head.as("p").join(e.as("n"), col("p.dst") === col("n.src"))
         .select(col("p.src").as("src"), col("n.dst").as("dst"))
-        .distinct() :: hops
+      hops = (if (i < iters) hop.distinct() else hop) :: hops
+    }
     val reach = (e.select(col("src"), col("src").as("dst")) :: hops).reduce(_.union(_))
     reach.groupBy(col("src")).agg(min(col("dst")).as("label"))
       .withColumnRenamed("src", "doc")
