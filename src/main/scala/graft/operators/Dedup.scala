@@ -267,6 +267,27 @@ object Dedup {
       .withColumnRenamed("src", "doc")
   }
 
+  /** Blocked fuzzy-duplicate pairs by Levenshtein edit distance — the
+    * entity-resolution primitive for near-identical short strings
+    * (names, titles, ids with typos). Candidates share a 2-char prefix
+    * and similar length (classic prefix blocking; strings within
+    * distance d can differ in length by at most d), then the exact
+    * edit-distance filter runs only within blocks. Prefix blocking is
+    * complete for edits beyond position 2; for fully unconstrained
+    * edits compose with a second pass on reversed strings.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(strCol).as("s"),
+      substring(col(strCol), 1, 2).as("pfx"), length(col(strCol)).as("len"))
+    b.as("l").join(b.as("r"),
+        col("l.pfx") === col("r.pfx") &&
+          abs(col("l.len") - col("r.len")) <= maxDist &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        levenshtein(col("l.s"), col("r.s")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Token-level Jaccard similarity restricted to blocking buckets
     * (same lang, similar length) — the bounded n-gram-Jaccard near-dup
     * scan. Blocking turns the quadratic step into per-bucket work.

@@ -143,6 +143,13 @@ object DedupQueries {
       Similarity.nearDupByLsh(t(s, dir, "embeddings"), planes = 8, dim = 64, threshold = 0.25)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // blocked fuzzy pairs: supplier names within edit distance 1
+    // (prefix + length blocking, exact levenshtein filter) — the
+    // entity-resolution shape for typo-level duplicates.
+    "q76_fuzzy_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "supplier"), "s_suppkey", "s_name", 1)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // embedding near-dup: same-label pairs above cosine 0.4 (clusters are weak in the synthetic data; threshold chosen to exercise the filter).
     "q55_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -281,6 +288,15 @@ object DedupQueries {
           WHERE round(len(list_intersect(l.toks, r.toks))::DOUBLE /
               (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks)))::DOUBLE, 6) >= 0.5
           ORDER BY doc_a, doc_b""",
+    "q76_fuzzy_pairs" ->
+      """SELECT l.s_suppkey AS id_a, r.s_suppkey AS id_b,
+         CAST(levenshtein(l.s_name, r.s_name) AS INT) AS dist
+         FROM supplier l JOIN supplier r
+           ON substr(l.s_name, 1, 2) = substr(r.s_name, 1, 2)
+           AND abs(len(l.s_name) - len(r.s_name)) <= 1
+           AND l.s_suppkey < r.s_suppkey
+         WHERE levenshtein(l.s_name, r.s_name) <= 1
+         ORDER BY id_a, id_b""",
     "q72_ngram_jaccard_lsh" ->
       s"""WITH ${sqlPairsCtesFromHashes(
         s"SELECT doc_id, ${sqlH31("token")} AS h FROM (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks))",

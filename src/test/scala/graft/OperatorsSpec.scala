@@ -116,6 +116,14 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3) === Seq("now three words"))
   }
 
+  test("editDistancePairs finds typo-level duplicates within blocks") {
+    val df = Seq((1L, "spark engine"), (2L, "spark enginee"), (3L, "spark query"), (4L, "zz"))
+      .toDF("id", "name")
+    val out = Dedup.editDistancePairs(df, "id", "name", 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSet === Set((1L, 2L, 1)))
+  }
+
   test("ngramJaccardPairsLsh verifies exactly and always finds identical token sets") {
     val docs = Seq(
       (0L, "alpha beta gamma delta"),

@@ -90,7 +90,7 @@ class PlanSpec extends SparkSpec {
     // blocking failed and the plan would not survive 100x data
     for (name <- Seq("q51_minhash_pairs", "q53_ngram_jaccard", "q55_embedding_neardup",
         "q67_dup_clusters", "q68_corpus_clean", "q69_simhash_pairs",
-        "q71_embedding_neardup_lsh", "q72_ngram_jaccard_lsh")) {
+        "q71_embedding_neardup_lsh", "q72_ngram_jaccard_lsh", "q76_fuzzy_pairs")) {
       val df = q(name)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
