@@ -31,6 +31,15 @@ object Relational {
       .filter(col("_rank") <= k)
       .drop("_rank")
 
+  /** Deterministic per-group uniform subsample: rank rows inside each
+    * group by a salted md5 of their id — a fixed pseudorandom order any
+    * engine can recompute — and keep k. The "N documents per
+    * language/source" curation primitive: reproducible across runs and
+    * engines, one shuffle on the group keys, no RNG state.
+    */
+  def samplePerGroup(df: DataFrame, groupCols: Seq[Column], k: Int, idCol: Column): DataFrame =
+    topKPerGroup(df, k, groupCols, Seq(md5(concat_ws("_", lit("smp"), idCol)).asc, idCol.asc))
+
   /** `filter_by_count` (`/root/reference/dampr/utils/common.py:2-15`):
     * keep rows whose key frequency passes a predicate. Lowered to an
     * aggregate + semi-join on the key — the aggregate output is tiny

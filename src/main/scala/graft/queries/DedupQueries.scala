@@ -143,6 +143,14 @@ object DedupQueries {
       Similarity.nearDupByLsh(t(s, dir, "embeddings"), planes = 8, dim = 64, threshold = 0.25)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // deterministic per-group subsample: 3 documents per lang in
+    // salted-md5 pseudorandom order — reproducible curation sampling.
+    "q77_group_sample" -> ((s, dir) =>
+      graft.operators.Relational.samplePerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        Seq(col("lang")), 3, col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))),
+
     // blocked fuzzy pairs: supplier names within edit distance 1
     // (prefix + length blocking, exact levenshtein filter) — the
     // entity-resolution shape for typo-level duplicates.
@@ -288,6 +296,12 @@ object DedupQueries {
           WHERE round(len(list_intersect(l.toks, r.toks))::DOUBLE /
               (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks)))::DOUBLE, 6) >= 0.5
           ORDER BY doc_a, doc_b""",
+    "q77_group_sample" ->
+      s"""SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, row_number() OVER (
+              PARTITION BY lang ORDER BY md5('smp_' || doc_id), doc_id) AS rn
+            FROM $DocsPq) WHERE rn <= 3
+          ORDER BY lang, doc_id""",
     "q76_fuzzy_pairs" ->
       """SELECT l.s_suppkey AS id_a, r.s_suppkey AS id_b,
          CAST(levenshtein(l.s_name, r.s_name) AS INT) AS dist
