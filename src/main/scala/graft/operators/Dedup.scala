@@ -284,8 +284,11 @@ object Dedup {
           abs(col("l.len") - col("r.len")) <= maxDist &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        levenshtein(col("l.s"), col("r.s")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        // thresholded variant short-circuits once the running distance
+        // exceeds maxDist (returns -1), so far pairs cost O(maxDist*n)
+        // instead of O(n^2) per comparison
+        levenshtein(col("l.s"), col("r.s"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   /** Token-level Jaccard similarity restricted to blocking buckets
