@@ -122,12 +122,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** End-to-end MinHash near-dup pipeline, shuffle-minimal form: ONE
-    * grouped aggregation computes the k signature mins AND the shingle
-    * set per doc; the set rides along through the band self-join so
-    * Jaccard verification needs no further joins. Two shuffles total
-    * (doc aggregation + band-bucket join, whose two sides share a
-    * reused exchange).
+  /** End-to-end MinHash near-dup pipeline over 3-word shingles — see
+    * [[pairsFromHashes]] for the shared shuffle-minimal shape (one
+    * persisted signature/set aggregation, skinny band-join candidates,
+    * broadcastable set attachment).
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 2, threshold: Double = 0.6): DataFrame =
