@@ -28,7 +28,7 @@ object Bench {
       val err = try { f; None } catch {
         case e: Throwable =>
           Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
-            .replaceAll("[\"\\\\]", "'").replaceAll("\\s+", " "))
+            .replaceAll("[\"\\\\]", "'").replaceAll("[^\\x20-\\x7e]+", " "))
       }
       ((System.nanoTime() - t0) / 1e9, err)
     }

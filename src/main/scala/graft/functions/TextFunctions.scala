@@ -18,6 +18,15 @@ object TextFunctions {
   def tokenize(text: Column): Column =
     filter(split(lower(text), " "), t => t =!= "")
 
+  /** The 31-bit md5-derived base hash shared by every
+    * hashing operator (minhash, simhash, LSH, winnowing) AND their
+    * DuckDB oracles: `('0x' || substr(md5(x),1,8))::BIGINT % 2147483647`.
+    * ONE definition — oracle parity depends on every caller using the
+    * same bits.
+    */
+  def h31(c: Column): Column =
+    pmod(graft.plans.Md5Prefix32.md5prefix32(c), lit(2147483647L))
+
   /** Consecutive n-word shingles of a token array: standard MinHash
     * input (Broder 1997). `transform(sequence(...))` keeps it inside
     * codegen. Documents shorter than n tokens yield an empty array:
@@ -146,7 +155,6 @@ object TextFunctions {
     * k-grams fall back to their full distinct hash set.
     */
   def winnowedFingerprints(toks: Column, k: Int, w: Int): Column = {
-    val h31 = (c: Column) => pmod(graft.plans.Md5Prefix32.md5prefix32(c), lit(2147483647L))
     val hs = transform(shingles(toks, k), s => h31(s))
     when(size(hs) >= w,
       array_sort(array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),

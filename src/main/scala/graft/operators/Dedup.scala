@@ -16,16 +16,21 @@ import graft.functions.TextFunctions._
   * and signatures are map-side expressions; the band-bucket self-join
   * shuffles once on the band key; candidate verification touches only
   * bucket-cohabiting pairs.
+  *
+  * Cache lifetime: the pair pipelines persist intermediate frames that
+  * are read more than once (signature sets, verified pairs). Spark's
+  * CacheManager keeps those entries for the session; long-lived
+  * sessions running many pipelines should `spark.catalog.clearCache()`
+  * between jobs (or unpersist via the returned frames' lineage) if
+  * executor storage is tight.
   */
 object Dedup {
 
-  /** 31-bit base hash shared bit-for-bit with DuckDB:
-    * `('0x' || substr(md5(x),1,8))::BIGINT % 2147483647`. Computed by
-    * the custom codegen expression [[graft.plans.Md5Prefix32]] (no hex
-    * string intermediate — ~2x cheaper than md5+substring+conv).
+  /** 31-bit base hash shared bit-for-bit with DuckDB — the single
+    * definition lives in [[TextFunctions.h31]] (codegen kernel, no hex
+    * string intermediate); forwarded here for the dedup call sites.
     */
-  def h31(c: Column): Column =
-    pmod(graft.plans.Md5Prefix32.md5prefix32(c), lit(2147483647L))
+  def h31(c: Column): Column = graft.functions.TextFunctions.h31(c)
 
   /** 2^31 - 1: products with 31-bit multipliers stay below 2^63, so the
     * same expression is overflow-free in Spark longs and DuckDB BIGINTs.
@@ -111,16 +116,23 @@ object Dedup {
     * cheaper arrays to intersect, and `sh` can be a persisted frame
     * shared with signature computation.
     */
-  def jaccardVerifyHashed(sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
-    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
-    candidates
+  def jaccardVerifyHashed(sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
+    verifyCandidatesWithSets(candidates,
+      sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs")), threshold)
+
+  /** Shared verify tail: attach each candidate pair's (doc_id, hs) hash
+    * sets via two hash joins (AQE broadcasts the set side when it
+    * fits — per-pair arrays never cross a shuffle) and keep pairs at or
+    * above the Jaccard threshold.
+    */
+  private def verifyCandidatesWithSets(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
           size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** End-to-end MinHash near-dup pipeline over 3-word shingles — see
     * [[pairsFromHashes]] for the shared shuffle-minimal shape (one
@@ -148,24 +160,11 @@ object Dedup {
         (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")) :+
           collect_set(col("h")).as("hs"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rowsPerBand = k / bands
-    val banded = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      sigSets.select(col("doc_id"), lit(b).as("band"), concat_ws("_", cols: _*).as("band_key"))
-    }.reduce(_.union(_))
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct() // pairs matching in multiple bands, deduped while skinny
-    val sets = sigSets.select(col("doc_id"), col("hs"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // band join + skinny-candidate dedup and the verify tail are the
+    // single shared implementations — the extra hs column rides along
+    // harmlessly through minhashCandidates' projection
+    verifyCandidatesWithSets(minhashCandidates(sigSets, k, bands),
+      sigSets.select(col("doc_id"), col("hs")), threshold)
   }
 
   /** LSH-banded token-Jaccard near-dup pairs — the 100 TB alternative

@@ -178,16 +178,19 @@ object Similarity {
     val embD = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = kmeansCellsLocal(embD, cells, iters)
-    val qv = embD.filter(col("vec_id") === queryId).select(col("e"))
-      .collect().head.getSeq[Double](0)
+    val qRows = embD.filter(col("vec_id") === queryId).select(col("e")).collect()
+    require(qRows.nonEmpty, s"ivfSearch: query vector vec_id=$queryId not found in the corpus")
+    val qv = qRows.head.getSeq[Double](0)
     def sqLocal(a: Seq[Double], b: Seq[Double]): Double =
       a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
     val probes = cents.map { case (c, cv) => (sqLocal(cv, qv), c) }.sorted.take(nprobe).map(_._2)
-    val q = embD.filter(col("vec_id") === queryId).select(col("e").as("q_emb"))
+    // the query vector is already on the driver — embed it as an array
+    // literal (like assignCells does for centroids) instead of a second
+    // scan + broadcast crossJoin
+    val qCol = array(qv.map(lit): _*)
     assignCells(embD, cents)
       .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosine(col("e"), col("q_emb")), 6).as("cos_sim"))
+      .select(col("vec_id"), round(cosine(col("e"), qCol), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
   }
 

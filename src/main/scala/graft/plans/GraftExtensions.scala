@@ -22,9 +22,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n argument(s), got ${args.length}")
+      build(args)
+    }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_md5prefix32" -> (args => Md5Prefix32(args.head)),
-    "graft_array_dot" -> (args => ArrayDotProduct(args(0), args(1))))
+    "graft_md5prefix32" -> arity("graft_md5prefix32", 1)(args => Md5Prefix32(args.head)),
+    "graft_array_dot" -> arity("graft_array_dot", 2)(args => ArrayDotProduct(args(0), args(1))))
 
   /** Register the functions on an already-built session. */
   def install(spark: SparkSession): Unit =
