@@ -97,6 +97,36 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Multi-probe LSH ANN search (Lv et al. 2007): scan only the
+    * query's hyperplane bucket PLUS the `nprobe - 1` buckets obtained
+    * by flipping the query's lowest-|margin| sign bits — near-boundary
+    * planes are where true neighbors land on the other side, so probing
+    * them recovers most of the recall a single bucket loses. The query
+    * vector and its probe buckets are computed on the driver (the
+    * md5-derived plane weights are replayed exactly); the search is a
+    * map-side bucket filter + TakeOrdered — no shuffle, no join.
+    */
+  def lshSearch(emb: DataFrame, queryId: Long, k: Int, planes: Int, dim: Int, nprobe: Int): DataFrame = {
+    val embD = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+    val qRows = embD.filter(col("vec_id") === queryId).select(col("e")).collect()
+    require(qRows.nonEmpty, s"lshSearch: query vector vec_id=$queryId not found in the corpus")
+    val qv = qRows.head.getSeq[Double](0)
+    // bit-exact driver replay of planeWeight()
+    def w(p: Int, d: Int): Double =
+      (graft.plans.Md5Hash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"plane_${p}_$d")) % 2001L - 1000L)
+        .toDouble / 1000.0
+    val projs = (0 until planes).map(p => (0 until dim).map(d => qv(d) * w(p, d)).sum)
+    val qBucket = projs.zipWithIndex.map { case (pr, p) => if (pr > 0) 1L << p else 0L }.sum
+    val flips = projs.zipWithIndex.sortBy { case (pr, _) => math.abs(pr) }
+      .take(math.max(0, nprobe - 1)).map(_._2)
+    val probes = qBucket +: flips.map(p => qBucket ^ (1L << p))
+    embD.withColumn("bucket", lshBucket(col("e"), planes, dim))
+      .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(cosine(col("e"), array(qv.map(lit): _*)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
+  }
+
   /** Random-hyperplane LSH bucket id (sign bits of `planes` projections
     * packed into a long). Same-bucket vectors are ANN candidates.
     */

@@ -116,6 +116,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3) === Seq("now three words"))
   }
 
+  test("multi-probe LSH search: probing boundary buckets never hurts recall") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.lshSearch(emb, 0L, 10, planes = 6, dim = 64, nprobe = nprobe)
+        .collect().map(_.getLong(0)).toSet
+      (got & exact).size / 10.0
+    }
+    val r1 = recall(1); val r4 = recall(4)
+    assert(r4 >= r1)   // extra probes only add candidates
+    assert(r4 > 0.0)   // and the probed neighborhood finds true neighbors
+    // deterministic: same query, same planes -> same result
+    val a = Similarity.lshSearch(emb, 0L, 10, 6, 64, 4).collect().map(_.getLong(0)).toSeq
+    val b = Similarity.lshSearch(emb, 0L, 10, 6, 64, 4).collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+  }
+
   test("editDistancePairs finds typo-level duplicates within blocks") {
     val df = Seq((1L, "spark engine"), (2L, "spark enginee"), (3L, "spark query"), (4L, "zz"))
       .toDF("id", "name")
