@@ -43,14 +43,24 @@ object Bench {
     val coldQs = fmt(results.map(r => r._1 -> r._2))
     val errs = results.collect { case (n, _, _, Some(e)) => "\"" + n + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val warmTotal = results.map(_._3).sum
-    val coldTotal = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$warmQs,"cold_total":$coldTotal,"queries_cold":$coldQs,"errors":$errs,"mode":"warm(steady-state); cold=first-run incl. codegen compile","sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a file: stdout alone is fragile under sbt's log
-    // interleaving (the driver saw "parsed": null two rounds running).
+    // Headline totals cover only the queries that RAN: an errored query
+    // typically fails fast, and summing its tiny elapsed time would let
+    // a breaking regression read as a speedup. n_errors flags the gap.
+    val ok = results.filter(_._4.isEmpty)
+    val warmTotal = ok.map(_._3).sum
+    val coldTotal = ok.map(_._2).sum
+    val nErrors = results.count(_._4.nonEmpty)
+    val tail = s""""cold_total":$coldTotal,"errors":$errs,"n_errors":$nErrors,"mode":"warm(steady-state) over non-errored queries; cold=first-run incl. codegen compile","sf":"$sfDir""""
+    val json = s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$warmQs,"queries_cold":$coldQs,$tail}"""
+    // Full JSON goes to a file (stdout alone is fragile under sbt's log
+    // interleaving — the driver's tail capture truncated it mid-line two
+    // rounds running). Stdout gets a TRIMMED variant (no queries_cold,
+    // ~half the bytes) printed as the very last thing after spark.stop(),
+    // so sbt/Spark shutdown noise can't interleave and the driver's tail
+    // window has the best chance of holding the whole line.
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$warmQs,$tail}""")
   }
 }

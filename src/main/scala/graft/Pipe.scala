@@ -246,11 +246,22 @@ object Pipe {
     * actionable error instead of silently OOMing the driver.
     */
   private[graft] def collectBounded[U](ds: Dataset[U], what: String): Array[U] = {
-    val limit = ds.sparkSession.conf.getOption("graft.cross.maxRows").map(_.toInt).getOrElse(5000000)
-    val arr = ds.limit(limit + 1).collect()
-    if (arr.length > limit)
+    val key = "graft.cross.maxRows"
+    val limit = ds.sparkSession.conf.getOption(key).map { raw =>
+      val n = try raw.trim.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$key must be a positive integer, got '$raw'")
+      }
+      if (n <= 0) throw new IllegalArgumentException(s"$key must be a positive integer, got '$raw'")
+      n
+    }.getOrElse(5000000L)
+    // limit+1 must stay a valid Int for Dataset.limit; anything above
+    // Int.MaxValue-1 can't be driver-collected anyway
+    val cap = math.min(limit, Int.MaxValue - 1L).toInt
+    val arr = ds.limit(cap + 1).collect()
+    if (arr.length > cap)
       throw new IllegalArgumentException(
-        s"$what side exceeds graft.cross.maxRows=$limit rows; use Dataset.crossJoin for big-by-big cartesians")
+        s"$what side exceeds $key=$cap rows; use Dataset.crossJoin for big-by-big cartesians")
     arr
   }
 

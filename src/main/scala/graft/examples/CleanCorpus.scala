@@ -31,6 +31,9 @@ object CleanCorpus {
     val docs = spark.read.parquet(in)
     val cleaned = CorpusPipeline.clean(docs, qualityMin, jaccard)
     cleaned.write.mode("overwrite").parquet(out)
+    // drop the pipeline's internal persisted frames now that the
+    // terminal action ran — a long-lived session stays storage-flat
+    graft.GraftCache.releaseAll()
     println(s"[clean] ${docs.count()} documents in -> ${spark.read.parquet(out).count()} kept at $out")
     spark.stop()
   }

@@ -36,13 +36,13 @@ object CorpusPipeline {
     //    min_by hash-aggregate, not a row_number window: partial
     //    aggregation on the map side and no per-key sort — the shape
     //    that survives a 100x scale-up.
-    val exactKept = scored
+    // feeds both the minhash pipeline and the final representative
+    // join — persist (GraftCache-tracked) so scoring + dedup
+    // aggregation run once
+    val exactKept = graft.GraftCache.registered(scored
       .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
       .agg(min_by(struct(scored.columns.map(col): _*), col("doc_id")).as("_r"))
-      .select(col("_r.*"))
-      // feeds both the minhash pipeline and the final representative
-      // join — persist so scoring + dedup aggregation run once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("_r.*")))
     // 3. near-dedup: LSH pairs over the surviving docs, keep cluster
     //    representatives (label == own id) and untouched docs
     val pairs = Dedup.minhashPairs(exactKept, "doc_id", "text", threshold = jaccardThreshold)

@@ -18,13 +18,49 @@ import graft.functions.TextFunctions._
   * bucket-cohabiting pairs.
   *
   * Cache lifetime: the pair pipelines persist intermediate frames that
-  * are read more than once (signature sets, verified pairs). Spark's
-  * CacheManager keeps those entries for the session; long-lived
-  * sessions running many pipelines should `spark.catalog.clearCache()`
-  * between jobs (or unpersist via the returned frames' lineage) if
-  * executor storage is tight.
+  * are read more than once (signature sets, verified pairs). Every such
+  * persist is tracked by [[graft.GraftCache]] — long-lived sessions
+  * running many pipelines call `GraftCache.releaseAll()` after each
+  * terminal action to drop exactly the graft-created entries without
+  * touching user caches.
   */
 object Dedup {
+
+  /** Fail fast when a blocking bucket is large enough to make the
+    * within-bucket quadratic step explode. Exact blocked variants
+    * ([[ngramJaccardPairs]], label-blocked embedding near-dup) check
+    * their block populations against `graft.block.maxBucket` (session
+    * conf, default 100000 ≈ 5e9 candidate pairs per bucket) before
+    * planning the self-join; the LSH twins have no such cliff because
+    * bucket cohabitation is bounded by similarity, not corpus size.
+    * The check is one count aggregate over `blocks` — which the callers
+    * persist anyway, so the scan is not wasted work.
+    */
+  private[graft] def requireBoundedBlocks(blocks: DataFrame, keys: Seq[Column],
+      lshAlternative: String): Unit = {
+    val spark = blocks.sparkSession
+    val key = "graft.block.maxBucket"
+    val limit = spark.conf.getOption(key).map { raw =>
+      val n = try raw.trim.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$key must be a positive integer, got '$raw'")
+      }
+      if (n <= 0) throw new IllegalArgumentException(s"$key must be a positive integer, got '$raw'")
+      n
+    }.getOrElse(100000L)
+    val top = blocks.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(1).collect()
+    top.headOption.foreach { r =>
+      val n = r.getLong(r.length - 1)
+      if (n > limit) {
+        val bucket = keys.indices.map(i => s"${keys(i)}=${r.get(i)}").mkString(", ")
+        throw new IllegalArgumentException(
+          s"blocking bucket ($bucket) holds $n rows > $key=$limit: the within-bucket " +
+            s"pair join would materialize ~${n * n / 2} candidates. Use $lshAlternative " +
+            s"(bucket size bounded by similarity, not corpus size), or raise $key.")
+      }
+    }
+  }
 
   /** 31-bit base hash shared bit-for-bit with DuckDB — the single
     * definition lives in [[TextFunctions.h31]] (codegen kernel, no hex
@@ -155,11 +191,10 @@ object Dedup {
     * between shuffling kilobytes and shuffling the candidate arrays.
     */
   def pairsFromHashes(sh: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val sigSets = sh.groupBy(col("doc_id"))
+    val sigSets = graft.GraftCache.registered(sh.groupBy(col("doc_id"))
       .agg(min(permuted(col("h"), 0)).as("mh0"),
         (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")) :+
-          collect_set(col("h")).as("hs"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          collect_set(col("h")).as("hs"): _*))
     // band join + skinny-candidate dedup and the verify tail are the
     // single shared implementations — the extra hs column rides along
     // harmlessly through minhashCandidates' projection
@@ -209,8 +244,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 32, maxHamming: Int = 3): DataFrame = {
     val bandBits = bits / 4
-    val sh = simhash(docs, idCol, textCol, bits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.GraftCache.registered(simhash(docs, idCol, textCol, bits))
     val banded = (0 until 4).map { b =>
       sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         expr(s"(simhash >> ${b * bandBits}) % ${1L << bandBits}").as("band_key"))
@@ -228,14 +262,18 @@ object Dedup {
     * of min-label propagation over the symmetric pair graph. Each round
     * is one join + one aggregate; after k rounds every node within
     * graph distance k of its component minimum carries that minimum —
-    * exact for near-dup clusters (tiny diameters), deterministic, and
-    * unrollable to identical SQL. At 100 TB: near-dup components are
-    * overwhelmingly small; bounded rounds beat a full
-    * connected-components fixpoint (no driver-side convergence loop on
-    * the hot path).
+    * deterministic, and unrollable to identical SQL.
+    *
+    * USER-FACING CONSEQUENCE of the bounded rounds: a component whose
+    * diameter exceeds `iters` SPLITS — e.g. a chain of 5+ near-dups with
+    * `iters = 3` keeps 2+ representatives instead of 1, so some
+    * transitive duplicates survive dedup. Raising `iters` buys recall on
+    * long chains at one extra join+distinct per hop; `iters = 3` is
+    * exact for the clique-ish clusters boilerplate duplication actually
+    * produces. At 100 TB bounded rounds beat a full connected-components
+    * fixpoint (no driver-side convergence loop on the hot path).
     */
   def labelPropagate(pairs: DataFrame, iters: Int = 3): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     // Path-expansion form: label(d) = min over nodes within graph
     // distance <= iters — identical to round-based min-label
     // propagation, but as ONE linear plan (chained hop joins + union +
@@ -244,7 +282,7 @@ object Dedup {
     // union below reads `pairs` twice (once per direction), and every
     // hop level reads it again — unpersisted, each read would re-derive
     // the whole upstream near-dup pipeline.
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val p = graft.GraftCache.registered(pairs)
     val e = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // Each hop frame that feeds a FURTHER join is reduced to distinct
@@ -266,26 +304,57 @@ object Dedup {
 
   /** Blocked fuzzy-duplicate pairs by Levenshtein edit distance — the
     * entity-resolution primitive for near-identical short strings
-    * (names, titles, ids with typos). Candidates share a 2-char prefix
-    * and similar length (classic prefix blocking; strings within
-    * distance d can differ in length by at most d), then the exact
-    * edit-distance filter runs only within blocks. Prefix blocking is
-    * complete for edits beyond position 2; for fully unconstrained
-    * edits compose with a second pass on reversed strings.
+    * (names, titles, ids with typos). Candidates share a blocking key
+    * and similar length (strings within distance d can differ in length
+    * by at most d), then the exact edit-distance filter runs only
+    * within blocks.
+    *
+    * Default pass blocks on the 2-char PREFIX — complete for edits
+    * beyond position 2, silently missing leading-character typos.
+    * `bothEnds = true` adds (a) a second pass blocked on the 2-char
+    * SUFFIX, which catches any edit that leaves the last two characters
+    * intact, and (b) an all-pairs pass over strings shorter than 5
+    * chars, where prefix and suffix windows can both overlap a single
+    * edit. The union is COMPLETE for maxDist = 1 (a single edit cannot
+    * disturb both the first two and the last two characters of a
+    * 5+-char string) — property-tested against a brute-force oracle in
+    * OperatorsSpec. The short-string pass is one bucket keyed by a
+    * constant: its population is bounded by the corpus's sub-5-char
+    * vocabulary (≤ |alphabet|^4 distinct values), not the corpus.
     */
-  def editDistancePairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(strCol).as("s"),
-      substring(col(strCol), 1, 2).as("pfx"), length(col(strCol)).as("len"))
-    b.as("l").join(b.as("r"),
-        col("l.pfx") === col("r.pfx") &&
-          abs(col("l.len") - col("r.len")) <= maxDist &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        // thresholded variant short-circuits once the running distance
-        // exceeds maxDist (returns -1), so far pairs cost O(maxDist*n)
-        // instead of O(n^2) per comparison
-        levenshtein(col("l.s"), col("r.s"), maxDist).as("dist"))
-      .filter(col("dist") >= 0)
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int,
+      bothEnds: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"), length(col(strCol)).as("len"))
+    def pass(blockKey: Column): DataFrame = {
+      val b = base.withColumn("blk", blockKey)
+      b.as("l").join(b.as("r"),
+          col("l.blk") === col("r.blk") &&
+            abs(col("l.len") - col("r.len")) <= maxDist &&
+            col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          // thresholded variant short-circuits once the running distance
+          // exceeds maxDist (returns -1), so far pairs cost O(maxDist*n)
+          // instead of O(n^2) per comparison
+          levenshtein(col("l.s"), col("r.s"), maxDist).as("dist"))
+        .filter(col("dist") >= 0)
+    }
+    val prefixPass = pass(substring(col("s"), 1, 2))
+    if (!bothEnds) prefixPass
+    else {
+      val suffixPass = pass(substring(reverse(col("s")), 1, 2))
+      val shortPass = {
+        val shorts = base.filter(col("len") < 5).withColumn("blk", lit("_short"))
+        shorts.as("l").join(shorts.as("r"),
+            col("l.blk") === col("r.blk") &&
+              abs(col("l.len") - col("r.len")) <= maxDist && col("l.id") < col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+            levenshtein(col("l.s"), col("r.s"), maxDist).as("dist"))
+          .filter(col("dist") >= 0)
+      }
+      // each pass computes the same exact distance for a pair it finds,
+      // so a plain distinct dedups the overlap
+      prefixPass.union(suffixPass).union(shortPass).distinct()
+    }
   }
 
   /** Token-level Jaccard similarity restricted to blocking buckets
@@ -297,15 +366,18 @@ object Dedup {
     *
     * Scale honesty: bucket population grows linearly with the corpus,
     * so within-bucket pairs grow quadratically — this exact variant is
-    * for corpora/buckets that fit the budget; at 100 TB use
-    * [[minhashPairs]] (LSH bands bound bucket cohabitation by
+    * for corpora/buckets that fit the budget, and it refuses (via
+    * [[requireBoundedBlocks]], `graft.block.maxBucket`) when a bucket
+    * is large enough that the self-join would explode; at 100 TB use
+    * [[ngramJaccardPairsLsh]] (LSH bands bound bucket cohabitation by
     * similarity, not by corpus size).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val base = docs.select(col("doc_id"), col("lang"),
+    val base = graft.GraftCache.registered(docs.select(col("doc_id"), col("lang"),
         (col("n_chars") / 64).cast("long").as("len_bucket"),
-        array_distinct(transform(tokenize(col("text")), t => h31(t))).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        array_distinct(transform(tokenize(col("text")), t => h31(t))).as("toks")))
+    requireBoundedBlocks(base.select(col("lang"), col("len_bucket")),
+      Seq(col("lang"), col("len_bucket")), "Dedup.ngramJaccardPairsLsh")
     base.as("l").join(base.as("r"),
         col("l.lang") === col("r.lang") && col("l.len_bucket") === col("r.len_bucket") &&
           col("l.doc_id") < col("r.doc_id"))

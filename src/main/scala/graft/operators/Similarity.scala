@@ -86,6 +86,27 @@ object Similarity {
     * corpus; hyperplane buckets subdivide by direction, so increasing
     * `planes` keeps buckets small at any corpus size).
     */
+  /** Exact blocked embedding near-dup: all pairs within a blocking
+    * column (a label / cluster / cell id) above a cosine threshold.
+    * Quadratic WITHIN a block by design — per-block population grows
+    * with the corpus, so this refuses (via
+    * [[Dedup.requireBoundedBlocks]], `graft.block.maxBucket`) when a
+    * block is large enough that the self-join would explode; at 100 TB
+    * use [[nearDupByLsh]], whose buckets subdivide by direction.
+    */
+  def nearDupExactBlocked(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), col(blockCol).as("blk"), toDoubleVec(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    Dedup.requireBoundedBlocks(e.select(col("blk")), Seq(col("blk")),
+      "Similarity.nearDupByLsh")
+    e.as("l").join(e.as("r"),
+        col("l.blk") === col("r.blk") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        round(cosineWithNorms(col("l.e"), col("r.e"), col("l.nrm"), col("r.nrm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   def nearDupByLsh(emb: DataFrame, planes: Int, dim: Int, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
       .withColumn("bucket", lshBucket(col("e"), planes, dim))
@@ -117,7 +138,10 @@ object Similarity {
         org.apache.spark.unsafe.types.UTF8String.fromString(s"plane_${p}_$d")) % 2001L - 1000L)
         .toDouble / 1000.0
     val projs = (0 until planes).map(p => (0 until dim).map(d => qv(d) * w(p, d)).sum)
-    val qBucket = projs.zipWithIndex.map { case (pr, p) => if (pr > 0) 1L << p else 0L }.sum
+    // same 9-decimal quantization as lshBucket before the sign bit
+    def q9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qBucket = projs.zipWithIndex.map { case (pr, p) => if (q9(pr) > 0) 1L << p else 0L }.sum
     val flips = projs.zipWithIndex.sortBy { case (pr, _) => math.abs(pr) }
       .take(math.max(0, nprobe - 1)).map(_._2)
     val probes = qBucket +: flips.map(p => qBucket ^ (1L << p))
@@ -129,6 +153,13 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id (sign bits of `planes` projections
     * packed into a long). Same-bucket vectors are ANN candidates.
+    *
+    * The projection is quantized to 9 decimals before taking the sign:
+    * the raw sum's addition order differs between engines (Spark's
+    * sequential fold vs an oracle's SUM..GROUP BY), so a projection
+    * within float noise of 0 could flip a bit nondeterministically.
+    * Quantization collapses |proj| < 5e-10 to exactly 0 on every
+    * engine; real projections sit far above that.
     */
   def lshBucket(embDouble: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
@@ -136,7 +167,7 @@ object Similarity {
         zip_with(embDouble, sequence(lit(0), lit(dim - 1)),
           (v, d) => v * planeWeight(lit(p), d)),
         lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L) * (1L << p)).otherwise(0L)
+      when(round(proj, 9) > 0, lit(1L) * (1L << p)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
@@ -198,15 +229,17 @@ object Similarity {
     * probe the `nprobe` nearest cells to the query, exact-search only
     * those. Assignment and probe filter are both map-side (centroids
     * are driver-held literals), so the whole search is scan → filter →
-    * TakeOrdered. At 100 TB the assigned table is written partitioned
-    * by cell, so a probe reads nprobe/k of the data.
+    * TakeOrdered. For repeated searches over a static corpus, train and
+    * materialize the assignment once with [[writeIvfIndex]] and probe
+    * with [[ivfSearchIndexed]] — partition pruning then makes each
+    * probe read nprobe/cells of the files at rest.
     */
   def ivfSearch(emb: DataFrame, queryId: Long, k: Int, cells: Int, iters: Int, nprobe: Int): DataFrame = {
     // Persisted: scanned once per Lloyd round plus the final assignment
     // — without this every round re-derives the float→double projection
     // from the parquet scan.
-    val embD = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val embD = graft.GraftCache.registered(
+      emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
     val cents = kmeansCellsLocal(embD, cells, iters)
     val qRows = embD.filter(col("vec_id") === queryId).select(col("e")).collect()
     require(qRows.nonEmpty, s"ivfSearch: query vector vec_id=$queryId not found in the corpus")
@@ -220,6 +253,48 @@ object Similarity {
     val qCol = array(qv.map(lit): _*)
     assignCells(embD, cents)
       .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(cosine(col("e"), qCol), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
+  }
+
+  /** Train and WRITE an IVF index: the corpus assigned to k-means cells,
+    * stored `partitionBy("cell")` so a probe's scan reads only the
+    * probed cells' files — at rest, a probe touches nprobe/cells of the
+    * data, which is what makes IVF beat LSH for repeated searches over
+    * a static corpus. The trained centroids are stored under
+    * `_centroids/` inside the index path (underscore-prefixed paths are
+    * invisible to Spark's partition discovery, so `read.parquet(path)`
+    * sees only the data files).
+    */
+  def writeIvfIndex(emb: DataFrame, path: String, cells: Int, iters: Int): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val embD = graft.GraftCache.registered(
+      emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
+    val cents = kmeansCellsLocal(embD, cells, iters)
+    assignCells(embD, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Probe a [[writeIvfIndex]] index: nearest `nprobe` cells to the
+    * query are computed on the driver from the stored centroids, and
+    * the scan filter on the PARTITION column `cell` prunes to those
+    * cells' files (pinned in PlanSpec) — no shuffle, no join, bounded
+    * top-k. `queryVec` arrives as a local vector so probing needs zero
+    * jobs before the pruned scan.
+    */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryVec: Seq[Double], excludeId: Long, k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](r.fieldIndex("centroid"))).toSeq
+    def sqLocal(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    val probes = cents.map { case (c, cv) => (sqLocal(cv, queryVec), c) }.sorted.take(nprobe).map(_._2)
+    val qCol = array(queryVec.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= excludeId)
       .select(col("vec_id"), round(cosine(col("e"), qCol), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
   }

@@ -158,18 +158,13 @@ object DedupQueries {
       Dedup.editDistancePairs(t(s, dir, "supplier"), "s_suppkey", "s_name", 1)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // embedding near-dup: same-label pairs above cosine 0.4 (clusters are weak in the synthetic data; threshold chosen to exercise the filter).
-    "q55_embedding_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), Similarity.toDoubleVec(col("embedding")).as("e"))
-        .withColumn("nrm", Similarity.norm(col("e")))
-      e.as("l").join(e.as("r"),
-          col("l.label") === col("r.label") && col("l.vec_id") < col("r.vec_id"))
-        .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-          round(Similarity.cosineWithNorms(col("l.e"), col("r.e"), col("l.nrm"), col("r.nrm")), 6).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.4)
-        .orderBy(col("vec_a"), col("vec_b"))
-    }),
+    // embedding near-dup: same-label pairs above cosine 0.4 (clusters
+    // are weak in the synthetic data; threshold chosen to exercise the
+    // filter). Guarded: refuses oversized label blocks, pointing at the
+    // LSH twin (q71).
+    "q55_embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupExactBlocked(t(s, dir, "embeddings"), "label", 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))),
 
     // brute-force exact ANN baseline: top-10 for vec 0.
     "q56_ann_bruteforce" -> ((s, dir) =>
@@ -323,7 +318,7 @@ object DedupQueries {
           e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
           proj AS (SELECT vec_id, p, sum(e.e[d + 1] * pw.w) AS proj
             FROM e CROSS JOIN pw GROUP BY 1, 2),
-          bk AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+          bk AS (SELECT vec_id, CAST(sum(CASE WHEN round(proj, 9) > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
             FROM proj GROUP BY vec_id)
           SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
             round(list_cosine_similarity(le.embedding::DOUBLE[], re.embedding::DOUBLE[]), 6) AS cos_sim
@@ -367,6 +362,6 @@ object DedupQueries {
           e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
           proj AS (SELECT vec_id, p, sum(e.e[d + 1] * pw.w) AS proj
             FROM e CROSS JOIN pw GROUP BY 1, 2)
-          SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+          SELECT vec_id, CAST(sum(CASE WHEN round(proj, 9) > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
           FROM proj GROUP BY vec_id ORDER BY vec_id""")
 }

@@ -37,12 +37,25 @@ object Q {
   }
 
   /** Repartition up to the cluster's parallelism only when the scan
-    * produced fewer splits (single-row-group local files). Never
+    * would produce fewer splits (single-row-group local files). Never
     * shrinks, never shuffles an already-parallel scan.
+    *
+    * The split count is estimated from the input files' sizes against
+    * `spark.sql.files.maxPartitionBytes` — NOT from
+    * `df.rdd.getNumPartitions`, which would build the full RDD lineage
+    * (analysis + physical planning) on every table load just to count
+    * splits. Non-local URIs (cloud storage) stat as size 0 and count as
+    * one split each, which at production scale is the case where the
+    * scan already has thousands of splits and widening is a no-op.
     */
   def widen(spark: SparkSession, df: DataFrame): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val splits = df.inputFiles.map { f =>
+      val len = try new java.io.File(new java.net.URI(f).getPath).length() catch { case _: Exception => 0L }
+      math.max(1L, (len + maxSplit - 1) / maxSplit)
+    }.sum
+    if (splits < p) df.repartition(p) else df
   }
 
   /** `events.parquet` carries TIMESTAMP(NANOS) (pyarrow default), which

@@ -61,6 +61,26 @@ class ExamplesSpec extends SparkSpec {
     assert(salted("hot") === 500L)
   }
 
+  test("GraftCache tracks pipeline persists and releaseAll returns storage to baseline") {
+    GraftCache.releaseAll() // drain any frames left by earlier suites
+    def cachedRdds = spark.sparkContext.getRDDStorageInfo.length
+    val baseline = cachedRdds
+    val docs = graft.queries.Q.t(spark, sf001, "documents")
+    graft.examples.CorpusPipeline.clean(docs).count()
+    assert(GraftCache.pendingCount > 0) // exactKept + minhash sets + pairs
+    val afterFirst = GraftCache.pendingCount
+    // a second run in the same session accretes a second set of frames —
+    // exactly the long-lived-session problem releaseAll exists for
+    graft.examples.CorpusPipeline.clean(docs).count()
+    assert(GraftCache.pendingCount === 2 * afterFirst)
+    GraftCache.releaseAll()
+    assert(GraftCache.pendingCount === 0)
+    // unpersist(blocking=false) frees executor blocks asynchronously
+    val deadline = System.currentTimeMillis + 15000
+    while (cachedRdds > baseline && System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(cachedRdds <= baseline, s"storage grew: $baseline -> $cachedRdds cached RDDs")
+  }
+
   test("mapValues/mapKeys/swap KV helpers") {
     import Pipe._
     val p = Pipe.memory(spark, Seq(("a", 1), ("b", 2)))

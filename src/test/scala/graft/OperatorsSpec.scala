@@ -216,6 +216,66 @@ class OperatorsSpec extends SparkSpec {
     assert(sims.sorted.reverse.toSeq === sims.toSeq) // descending
   }
 
+  test("quadratic exact variants refuse oversized blocking buckets with an actionable error") {
+    spark.conf.set("graft.block.maxBucket", "3")
+    try {
+      // docsDf has 4 'en' docs in one (lang, len_bucket) block > 3
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.ngramJaccardPairs(docsDf, 0.5)
+      }
+      assert(e1.getMessage.contains("graft.block.maxBucket") &&
+        e1.getMessage.contains("ngramJaccardPairsLsh"), e1.getMessage)
+      val emb = Seq(
+        (0L, Array(1.0f, 0.0f), 7), (1L, Array(0.9f, 0.1f), 7),
+        (2L, Array(0.0f, 1.0f), 7), (3L, Array(1.0f, 0.1f), 7)
+      ).toDF("vec_id", "embedding", "label")
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.nearDupExactBlocked(emb, "label", 0.4)
+      }
+      assert(e2.getMessage.contains("graft.block.maxBucket") &&
+        e2.getMessage.contains("nearDupByLsh"), e2.getMessage)
+      // a nonsense conf value errors with the conf key, not a bare NumberFormatException
+      spark.conf.set("graft.block.maxBucket", "lots")
+      val e3 = intercept[IllegalArgumentException] { Dedup.ngramJaccardPairs(docsDf, 0.5) }
+      assert(e3.getMessage.contains("graft.block.maxBucket"), e3.getMessage)
+    } finally spark.conf.unset("graft.block.maxBucket")
+    // under the default limit the same calls succeed
+    assert(Dedup.ngramJaccardPairs(docsDf, 0.5).collect().nonEmpty)
+    graft.GraftCache.releaseAll()
+  }
+
+  test("editDistancePairs(bothEnds) is complete for maxDist=1 vs a brute-force oracle") {
+    // brute-force Levenshtein on the driver
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j => if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // seeded random strings over a tiny alphabet, lengths 0..8 — the
+    // regime where single edits hit the first two chars, the last two
+    // chars, and the short-string overlap zone
+    val rnd = new scala.util.Random(7)
+    val alpha = "abc"
+    val strs = (0 until 80).map { i =>
+      val n = rnd.nextInt(9)
+      (i.toLong, (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val expected = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs
+      if ia < ib && math.abs(sa.length - sb.length) <= 1 && lev(sa, sb) <= 1
+    } yield (ia, ib, lev(sa, sb))).toSet
+    val df = strs.toDF("id", "s")
+    val both = Dedup.editDistancePairs(df, "id", "s", 1, bothEnds = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(both === expected)
+    // the default prefix-only pass is a (strict, on this data) subset
+    val prefixOnly = Dedup.editDistancePairs(df, "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(prefixOnly.subsetOf(both))
+  }
+
   test("nearDupByLsh only pairs bucket cohabitants and respects the threshold") {
     val emb = graft.queries.Q.t(spark, sf001, "embeddings")
     val pairs = Similarity.nearDupByLsh(emb, planes = 4, dim = 64, threshold = 0.3)

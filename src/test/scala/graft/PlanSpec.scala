@@ -111,6 +111,40 @@ class PlanSpec extends SparkSpec {
     assert(dot === 11.0)
   }
 
+  test("IVF index probe prunes the scan to exactly the probed cell partitions") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    Similarity.writeIvfIndex(emb, dir, cells = 8, iters = 2)
+    // the _centroids store is invisible to data reads
+    val full = spark.read.parquet(dir)
+    assert(full.columns.toSet === Set("vec_id", "e", "cell"))
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding"))).collect().head.getSeq[Double](0)
+    val probe = Similarity.ivfSearchIndexed(spark, dir, qv, excludeId = 0L, k = 10, nprobe = 2)
+    // partition pruning reaches the scan as a PartitionFilter on cell
+    val p = plan(probe)
+    assert(p.contains("PartitionFilters:") && p.contains("cell"), p)
+    // and the planned scan selects exactly nprobe of the cells' files —
+    // the at-rest claim: a probe reads nprobe/cells of the data
+    def scanListing(df: DataFrame) = df.queryExecution.sparkPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.selectedPartitions
+    }.get
+    val probed = scanListing(probe)
+    val all = scanListing(full.filter(col("vec_id") >= 0)) // unpruned scan
+    assert(probed.partitionCount === 2, s"probe read ${probed.partitionCount} partitions")
+    assert(all.partitionCount === 8)
+    assert(probed.totalNumberOfFiles < all.totalNumberOfFiles)
+    // the indexed probe returns the same neighbors as the in-session
+    // search (identical deterministic training; same probe rule)
+    val inline = Similarity.ivfSearch(emb, 0L, 10, cells = 8, iters = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed === inline)
+    graft.GraftCache.releaseAll()
+  }
+
   test("partitioned writes enable partition pruning at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
     graft.queries.Q.t(spark, sf001, "documents")
