@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak for the dedup/ANN/text operators: replicate the sf0.1
+  * corpus/embeddings/supplier tables to N× and measure how each graded
+  * query's wall time grows — the empirical check behind the "this plan
+  * survives a 100× scale-up" claims (plan-shape arguments live in
+  * PlanSpec; this measures the curves). Mirrors the reference's ladder
+  * design (`/root/reference/benchmarks/run.sh` runs 1×/4×/20×/500× file
+  * duplication) applied to the beyond-reference operators.
+  *
+  * Replication models a GROWING corpus, not a duplicated one: replica
+  * r > 0 rewrites every token with a `~r<r>` suffix (disjoint token
+  * space — no cross-replica shingle/minhash/simhash collisions, so
+  * near-dup structure per replica matches the original and total pair
+  * counts scale linearly, which is how real corpora grow). Embeddings
+  * are circularly shifted by r positions (norms and pairwise geometry
+  * within a replica preserved; buckets/cells repopulate independently).
+  * Supplier names get a length-3r tail so cross-replica names fall
+  * outside the maxDist=1 length window — q76's quadratic-in-bucket
+  * behavior is then measured on the bucket growth itself.
+  *
+  * Usage: sbt "runMain graft.ScaleSoak <factor> [srcDir] [outBase]"
+  * Writes the scaled tables under <outBase>/x<factor>/ (reused if
+  * present), runs each soak query twice (cold, warm), prints one JSON
+  * line and appends it to SOAK.json.
+  */
+object ScaleSoak {
+
+  /** Gap between replica id ranges — far above any sf0.1 id. */
+  val IdOff = 10000000L
+
+  /** The graded queries whose inputs are documents/embeddings/supplier
+    * (the tables this soak scales). Star-schema queries scale with
+    * lineitem and are covered by the TPC-H-ish bench ladder instead.
+    */
+  val soakQueries: Seq[String] = Seq(
+    "q50_minhash_sig", "q51_minhash_pairs", "q52_simhash", "q53_ngram_jaccard",
+    "q54_dedup_exact", "q55_embedding_neardup", "q56_ann_bruteforce", "q57_knn_join",
+    "q58_ann_lsh_bucket", "q59_ann_ivf", "q60_token_stats", "q61_lang_id",
+    "q62_quality", "q63_fingerprint", "q64_binary_meta", "q65_multimodal_decode",
+    "q66_redact", "q67_dup_clusters", "q68_corpus_clean", "q69_simhash_pairs",
+    "q70_crossmodal_expand", "q71_embedding_neardup_lsh", "q72_ngram_jaccard_lsh",
+    "q74_regex_tokens", "q75_winnow_fingerprint", "q76_fuzzy_pairs", "q77_group_sample")
+
+  def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/documents.parquet"))) return
+    val reps = spark.range(factor).select(col("id").cast("int").as("rep"))
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep").cast("long") * IdOff).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1~r"), col("rep")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val dim = 64
+    emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep").cast("long") * IdOff).as("vec_id"),
+        when(col("rep") === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), col("rep") + 1, lit(dim) - col("rep")),
+            slice(col("embedding"), lit(1), col("rep")))).as("embedding"),
+        (col("label") + col("rep") * 1000).as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val sup = spark.read.parquet(s"$srcDir/supplier.parquet")
+    sup.crossJoin(reps)
+      .select(
+        (col("s_suppkey") + col("rep").cast("long") * IdOff).as("s_suppkey"),
+        when(col("rep") === 0, col("s_name"))
+          .otherwise(concat(col("s_name"), lit("~"), repeat(lit("x"), col("rep") * 3 - 1))).as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val srcDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val outBase = args.lift(2).getOrElse("target/soak")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "8g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = if (factor == 1) srcDir else {
+      val d = s"$outBase/x$factor"
+      buildScaled(spark, srcDir, d, factor)
+      d
+    }
+
+    // warm the JVM on an unrelated plan
+    spark.read.parquet(s"$dir/documents.parquet").groupBy("lang").count().count()
+
+    val results = soakQueries.map { name =>
+      val fn = SparkEntry.queries(name)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = try run() catch { case e: Throwable => println(s"[soak] $name FAILED: $e"); -1.0 }
+      val warm = if (cold < 0) -1.0 else run()
+      // release pipeline caches between queries so storage pressure
+      // and cache hits don't leak across measurements
+      GraftCache.releaseAll()
+      println(f"[soak] $name%-28s cold=$cold%8.2f warm=$warm%8.2f")
+      (name, cold, warm)
+    }
+    val qs = results.map { case (n, _, w) => "\"" + n + "\":" + w }.mkString("{", ",", "}")
+    val total = results.filter(_._3 >= 0).map(_._3).sum
+    val json = s"""{"soak_factor":$factor,"src":"$srcDir","total_warm":$total,"cpus":$cpus,"queries":$qs}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("SOAK.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    spark.stop()
+  }
+}
