@@ -22,7 +22,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ SortSetQueries.queries ++
-      DedupQueries.queries ++ TextQueries.queries ++ AnalyticsQueries.queries
+      DedupQueries.queries ++ TextQueries.queries ++ AnalyticsQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops)
@@ -30,5 +31,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ JoinQueries.oracleSql ++ SortSetQueries.oracleSql ++
-      DedupQueries.oracleSql ++ TextQueries.oracleSql ++ AnalyticsQueries.oracleSql
+      DedupQueries.oracleSql ++ TextQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
+      CurationQueries.oracleSql
 }

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q
+
+/** Training-data curation operators beyond near-dup detection: chunk
+  * (paragraph-level) boilerplate dedup, benchmark decontamination,
+  * sequence packing, stratified sampling, and repetition scoring — the
+  * pipeline stages between "raw crawl" and "training batches" that the
+  * reference's word-count/tf-idf examples gesture at
+  * (`/root/reference/examples/wc.py`, `benchmarks/tf-idf-dampr.py`)
+  * re-expressed as declarative Spark plans.
+  *
+  * Scale notes live per-operator; the common theme is that every
+  * shuffle key here is a fingerprint or a stratum, never a document
+  * body, and reference sets (benchmark shingles, contaminated-chunk
+  * fingerprints) ride broadcast or Bloom-filter side channels instead
+  * of shuffling the corpus.
+  */
+object Curation {
+
+  /** (doc_id, fp) for every full non-overlapping `k`-token chunk of
+    * each document: the unit of paragraph-level dedup (Dolma/RefinedWeb
+    * style) on a corpus whose documents carry no structural paragraph
+    * breaks. The chunking runs as a typed flatMap (same rationale as
+    * [[Dedup.shingleHashes]]: sliding/grouped windows beat higher-order
+    * array functions, which drop out of whole-stage codegen); the md5
+    * stays an expression. Documents shorter than `k` tokens emit no
+    * chunks. The shuffle-facing output is a 32-char fingerprint, never
+    * the chunk text.
+    */
+  def chunkFingerprints(docs: DataFrame, idCol: String, textCol: String, k: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val tk = text.toLowerCase.split(" ").filter(_.nonEmpty)
+        tk.grouped(k).withFilter(_.length == k).map(c => (id, c.mkString(" ")))
+      }
+      .toDF("doc_id", "chunk")
+      .select(col("doc_id"), md5(col("chunk")).as("fp"))
+  }
+
+  /** Chunk-level duplicate groups: every `k`-token chunk fingerprint
+    * appearing in at least two distinct documents, with its document
+    * count, total occurrence count, and the minimum containing doc_id —
+    * the boilerplate-detection shape (navigation chrome, license
+    * headers, templated spam) that document-level dedup misses. One
+    * hash aggregate over (fp); at 100 TB the shuffle carries 32-byte
+    * fingerprints and the aggregate is map-side combined.
+    */
+  def chunkDupGroups(docs: DataFrame, idCol: String, textCol: String, k: Int = 16): DataFrame =
+    chunkFingerprints(docs, idCol, textCol, k)
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") >= 2)
+
+  /** Benchmark-contamination scoring (GPT-3 appendix-C style): for each
+    * held-out document, the fraction of its distinct hashed 3-token
+    * shingles that appear anywhere in the benchmark partition
+    * (`benchCol` = true). Returns docs at or above `threshold` with
+    * (n_shingles, n_hits, overlap).
+    *
+    * Scale shape: the benchmark shingle set is DISTINCT'd and
+    * explicitly broadcast — benchmark suites are MBs against a 100 TB
+    * corpus — so the overlap join is a map-side broadcast hash join;
+    * the corpus-side aggregate is map-side combined on doc_id. Shingle
+    * hashing shares [[Dedup.shingleHashes]] (31-bit md5-derived h31),
+    * so overlap is computed on longs, not strings.
+    */
+  def shingleOverlap(docs: DataFrame, benchCol: Column, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val bench = broadcast(
+      Dedup.shingleHashes(docs.filter(benchCol), idCol, textCol)
+        .select(col("h")).distinct().withColumn("hit", lit(1)))
+    Dedup.shingleHashes(docs.filter(!benchCol), idCol, textCol)
+      .distinct()
+      .join(bench, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
+      .withColumn("overlap",
+        round(col("n_hits").cast("double") / col("n_shingles").cast("double"), 6))
+      .filter(col("overlap") >= threshold)
+  }
+
+  /** Exact chunk-level decontamination with a Bloom prefilter: drop
+    * every held-out (`!refCol`) document sharing at least one full
+    * `k`-token chunk with the reference partition (`refCol` = true —
+    * "already trained on"), keep the rest. The result is EXACT: the
+    * Bloom filter only prunes, and its false positives are killed by an
+    * exact join before any document is dropped.
+    *
+    * Scale shape: a reference set too large to broadcast exactly still
+    * fits a Bloom filter (~1.2 GB per 10^9 chunks at 1% fp), so the
+    * 100 TB held-out side is pruned map-side to ~fp-rate of its chunks
+    * before the only shuffle join, whose left side is then tiny. The
+    * reference chunk set is computed twice (Bloom build + verify join);
+    * [[graft.GraftCache]] persists it between the two, and callers
+    * release via `GraftCache.releaseAll()`. The Bloom membership probe
+    * is a Scala UDF — acceptable off the codegen hot path because it
+    * runs after the fingerprint projection and replaces a shuffle of
+    * the full held-out chunk set.
+    */
+  def decontaminateByChunks(docs: DataFrame, refCol: Column, idCol: String, textCol: String,
+      k: Int = 16, expectedRefChunks: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val refChunks = graft.GraftCache.registered(
+      chunkFingerprints(docs.filter(refCol), idCol, textCol, k).select(col("fp")).distinct())
+    val bloom = refChunks.stat.bloomFilter("fp", expectedRefChunks, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightBeRef = udf((fp: String) => bloomB.value.mightContainString(fp))
+    val contaminated = chunkFingerprints(docs.filter(!refCol), idCol, textCol, k)
+      .filter(mightBeRef(col("fp")))
+      .join(refChunks, Seq("fp"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.filter(!refCol)
+      .select(col(idCol).cast("long").as("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Contiguous-fill sequence packing: within each stratum, documents
+    * in `order` are laid end to end and `bin` is the index of the
+    * `budget`-token window in which each document STARTS — the
+    * deterministic batch-assembly shape for training (a bin's last
+    * document may straddle into the next window; packing never reorders
+    * or splits documents). Adds `cum` (running token total within the
+    * stratum) and `bin`.
+    *
+    * Scale shape: one window aggregate partitioned by the strata — each
+    * stratum packs in a single task, so strata must be bounded-size
+    * shards (at 100 TB: pack per (source, day, shard-salt), not per
+    * corpus; the strata ARE the parallelism). `order` must be unique
+    * within a stratum for a deterministic layout.
+    */
+  def packBins(df: DataFrame, strata: Seq[Column], order: Column, weight: Column,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(strata: _*).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum", sum(weight).over(w))
+      .withColumn("bin", floor((col("cum") - weight).cast("double") / budget).cast("long"))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff the md5-derived
+    * hash of its salted id falls under the stratum's per-cent rate
+    * (`rateCol`, 0..100). Pure map-side filter — no shuffle, no state,
+    * reproducible across runs and engines (the same arithmetic as the
+    * q77 per-group sampler, rendered as a rate instead of a rank).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, rateCol: Column,
+      salt: String = "strat_"): DataFrame =
+    df.filter(
+      pmod(Q.tokenHash(concat(lit(salt), col(idCol).cast("string"))), lit(100)) < rateCol)
+
+  /** Gopher-style repetition statistics per document: total token
+    * count, top-token frequency ratio (high → "the the the" spam) and
+    * distinct-token ratio (low → repetitive). Two map-side-combined
+    * hash aggregates — (doc, token) counts, then per-doc max/sum/count —
+    * both keyed by doc_id, so the second reuses the first's
+    * partitioning (no extra shuffle).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Q.explodedTokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("nt"), max(col("n")).as("mx"), count(lit(1)).as("nd"))
+      .select(col(idCol),
+        col("nt").cast("int").as("n_tokens"),
+        round(col("mx").cast("double") / col("nt").cast("double"), 6).as("top_ratio"),
+        round(col("nd").cast("double") / col("nt").cast("double"), 6).as("distinct_ratio"))
+}

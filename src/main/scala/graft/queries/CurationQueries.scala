@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+import Q._
+
+/** Curation pack: the pipeline stages between raw corpus and training
+  * batches — chunk-level boilerplate dedup, benchmark decontamination
+  * (overlap scoring + exact Bloom-prefiltered removal), contiguous
+  * sequence packing, deterministic stratified sampling, and repetition
+  * scoring. Oracle SQL shares the tokenization/h31 fragments with
+  * [[DedupQueries]] so the two engines can't drift.
+  */
+object CurationQueries {
+
+  private val RefSrcs = Seq("src0", "src1", "src2", "src3")
+  private val SqlRefSrcs = RefSrcs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** (doc_id, <extra cols>, tk) token lists for the documents table. */
+  private def sqlToksWith(extra: String) =
+    s"SELECT doc_id$extra, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk FROM $DocsPq"
+
+  /** Full non-overlapping k-token chunk fingerprints, mirroring
+    * [[Curation.chunkFingerprints]].
+    */
+  private def sqlChunks(k: Int, extra: String) =
+    s"""SELECT doc_id$extra, md5(list_aggregate(tk[(i-1)*$k+1 : i*$k], 'string_agg', ' ')) AS fp
+        FROM (${sqlToksWith(extra)}), unnest(generate_series(1, len(tk) // $k)) AS u(i)"""
+
+  val queries: Map[String, QFn] = Map(
+    // chunk-level boilerplate: 16-token chunks shared by >= 2 docs.
+    "q78_chunk_dedup" -> ((s, dir) =>
+      Curation.chunkDupGroups(t(s, dir, "documents"), "doc_id", "text", 16)
+        .orderBy(col("fp"))),
+
+    // benchmark-contamination scoring: distinct-shingle overlap of
+    // every non-benchmark doc against the src0 benchmark partition.
+    "q79_decontaminate" -> ((s, dir) =>
+      Curation.shingleOverlap(t(s, dir, "documents"), col("source") === "src0",
+          "doc_id", "text", 0.15)
+        .orderBy(col("doc_id"))),
+
+    // contiguous-fill packing: 256-token bins per lang, docs in id
+    // order; output is each doc's bin assignment.
+    "q80_pack_greedy" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tokens"))
+      Curation.packBins(d, Seq(col("lang")), col("doc_id"), col("n_tokens"), 256)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // deterministic stratified sampling: 30% of en docs, 10% of the
+    // rest, by salted md5 rate — reproducible across engines and runs.
+    "q81_stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", when(col("lang") === "en", 30).otherwise(10))
+        .orderBy(col("doc_id"))),
+
+    // repetition scoring: top-token and distinct-token ratios per doc.
+    "q82_repetition" -> ((s, dir) =>
+      Curation.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // exact decontamination: held-out docs sharing no 16-token chunk
+    // with the src0-src3 reference partition (Bloom prefilter + exact
+    // verify — result provably equals the plain exact form).
+    "q83_decontam_chunks" -> ((s, dir) =>
+      Curation.decontaminateByChunks(t(s, dir, "documents"),
+          col("source").isin(RefSrcs.map(x => x: Any): _*), "doc_id", "text", 16)
+        .orderBy(col("doc_id"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q78_chunk_dedup" ->
+      s"""WITH chunks AS (${sqlChunks(16, "")})
+          SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+            min(doc_id) AS keep_id
+          FROM chunks GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+          ORDER BY fp""",
+    "q79_decontaminate" ->
+      s"""WITH toks AS (${sqlToksWith(", source")}),
+          sh AS (SELECT doc_id, source, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+            FROM toks, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+          hs AS (SELECT DISTINCT doc_id, source, ${DedupQueries.sqlH31("s")} AS h FROM sh),
+          bench AS (SELECT DISTINCT h FROM hs WHERE source = 'src0'),
+          d AS (SELECT doc_id, count(*) AS n_shingles,
+              count(*) FILTER (h IN (SELECT h FROM bench)) AS n_hits
+            FROM hs WHERE source <> 'src0' GROUP BY 1)
+          SELECT doc_id, n_shingles, n_hits,
+            round(n_hits::DOUBLE / n_shingles::DOUBLE, 6) AS overlap
+          FROM d WHERE round(n_hits::DOUBLE / n_shingles::DOUBLE, 6) >= 0.15
+          ORDER BY doc_id""",
+    "q80_pack_greedy" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+            len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n FROM $DocsPq),
+          w AS (SELECT doc_id, lang, n,
+            sum(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+          SELECT doc_id, lang, CAST(n AS INT) AS n_tokens, CAST((cum - n) // 256 AS BIGINT) AS bin
+          FROM w ORDER BY lang, doc_id""",
+    "q81_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM $DocsPq
+          WHERE ${Q.sqlTokenHash("'strat_' || doc_id")} % 100
+            < (CASE WHEN lang = 'en' THEN 30 ELSE 10 END)
+          ORDER BY doc_id""",
+    "q82_repetition" ->
+      s"""WITH t AS (SELECT doc_id, unnest(tk) AS token FROM (${sqlToksWith("")})),
+          c AS (SELECT doc_id, token, count(*) AS n FROM t GROUP BY 1, 2),
+          d AS (SELECT doc_id, sum(n) AS nt, max(n) AS mx, count(*) AS nd FROM c GROUP BY 1)
+          SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+            round(mx::DOUBLE / nt::DOUBLE, 6) AS top_ratio,
+            round(nd::DOUBLE / nt::DOUBLE, 6) AS distinct_ratio
+          FROM d ORDER BY doc_id""",
+    "q83_decontam_chunks" ->
+      s"""WITH chunks AS (${sqlChunks(16, ", source")}),
+          ref AS (SELECT DISTINCT fp FROM chunks WHERE source IN $SqlRefSrcs),
+          contam AS (SELECT DISTINCT doc_id FROM chunks
+            WHERE source NOT IN $SqlRefSrcs AND fp IN (SELECT fp FROM ref))
+          SELECT doc_id FROM $DocsPq
+          WHERE source NOT IN $SqlRefSrcs AND doc_id NOT IN (SELECT doc_id FROM contam)
+          ORDER BY doc_id""")
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Specs for the curation operators (chunk dedup, decontamination,
+  * packing, stratified sampling, repetition stats) on crafted inputs
+  * with exact expectations, plus the Bloom-prefilter ≡ exact-join
+  * equivalence that backs the q83 "exact result" claim.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 12-token bodies so k=4 chunking yields 3 full chunks per doc.
+  private val boiler = "one two three four"
+  def docsDf = Seq(
+    (0L, s"$boiler alpha beta gamma delta epsilon zeta eta theta", "en", "ref"),
+    (1L, s"$boiler iota kappa lambda mu nu xi omicron pi", "en", "ref"),
+    (2L, s"rho sigma tau upsilon $boiler phi chi psi omega", "es", "held"),
+    (3L, "aa bb cc dd ee ff gg hh ii jj kk ll", "en", "held"),
+    (4L, "short text", "en", "held")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("chunkFingerprints emits only full k-token chunks") {
+    val fps = Curation.chunkFingerprints(docsDf, "doc_id", "text", 4)
+    assert(fps.filter(col("doc_id") === 4L).count() === 0) // 2 tokens < k
+    assert(fps.filter(col("doc_id") === 0L).count() === 3) // 12 tokens / 4
+  }
+
+  test("chunkDupGroups finds the chunk-aligned boilerplate copies only") {
+    val groups = Curation.chunkDupGroups(docsDf, "doc_id", "text", 4).collect()
+    // docs 0,1 lead with the boilerplate; doc 2 carries it chunk-ALIGNED
+    // at token offset 4 so it groups too (stride-k chunking only
+    // detects aligned repeats — that's the documented tradeoff vs the
+    // overlapping winnowed fingerprints of q75)
+    assert(groups.length === 1)
+    val g = groups.head
+    assert(g.getAs[Long]("n_docs") === 3L)
+    assert(g.getAs[Long]("n_occurrences") === 3L)
+    assert(g.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("shingleOverlap scores a benchmark copy at 1.0 and unrelated text below threshold") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog", "b")).toDF("doc_id", "text", "src")
+    val held = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "h"), // verbatim copy
+      (1L, "the quick brown fox leaps over the lazy dog", "h"), // 1-token edit
+      (2L, "completely different words entirely unrelated text here now", "h")
+    ).toDF("doc_id", "text", "src")
+    val out = Curation.shingleOverlap(bench.union(held), col("src") === "b", "doc_id", "text", 0.3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("overlap")).toMap
+    assert(out(0L) === 1.0)
+    assert(out.contains(1L) && out(1L) > 0.3 && out(1L) < 1.0)
+    assert(!out.contains(2L))
+  }
+
+  test("decontaminateByChunks equals the plain exact anti-join (Bloom only prunes)") {
+    val ref = col("source") === "ref"
+    val got = Curation.decontaminateByChunks(docsDf, ref, "doc_id", "text", 4)
+      .as[Long].collect().sorted
+    // plain exact form: held docs sharing no chunk fp with the ref partition
+    val refFps = Curation.chunkFingerprints(docsDf.filter(ref), "doc_id", "text", 4).select("fp")
+    val contaminated = Curation.chunkFingerprints(docsDf.filter(!ref), "doc_id", "text", 4)
+      .join(refFps, Seq("fp"), "left_semi").select("doc_id").distinct()
+    val expected = docsDf.filter(!ref).select(col("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti").as[Long].collect().sorted
+    assert(got === expected)
+    assert(got === Array(3L, 4L)) // doc 2 carries the ref boilerplate chunk; 4 has no chunks
+    GraftCache.releaseAll()
+  }
+
+  test("packBins lays docs end to end and bins by starting offset") {
+    val d = Seq((1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), (4L, "a", 100L), (5L, "b", 700L))
+      .toDF("id", "grp", "w")
+    val out = Curation.packBins(d, Seq(col("grp")), col("id"), col("w"), 256L)
+      .select(col("id"), col("bin")).as[(Long, Long)].collect().toMap
+    // starts at 0,100,200,300 -> bins 0,0,0,1; stratum b independent at 0
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("stratifiedSample is a deterministic subset honoring per-stratum rates") {
+    val df = spark.range(2000).select(col("id"), (col("id") % 2).as("grp"))
+    val rate = when(col("grp") === 0, 50).otherwise(5)
+    val a = Curation.stratifiedSample(df, "id", rate).as[(Long, Long)].collect().toSet
+    val b = Curation.stratifiedSample(df, "id", rate).as[(Long, Long)].collect().toSet
+    assert(a === b) // reproducible
+    val byGrp = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byGrp(0L) > 400 && byGrp(0L) < 600) // ~50% of 1000
+    assert(byGrp(1L) > 20 && byGrp(1L) < 100)  // ~5% of 1000
+  }
+
+  test("repetitionStats computes exact top/distinct ratios") {
+    val d = Seq((1L, "a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Double]("top_ratio"), r.getAs[Double]("distinct_ratio")))).toMap
+    assert(out(1L) === ((4, 0.75, 0.5)))
+    assert(out(2L) === ((4, 0.25, 1.0)))
+  }
+}

@@ -99,6 +99,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q79 overlap join broadcasts the benchmark shingle set") {
+    // the benchmark side must ride a broadcast — shuffling the corpus
+    // shingles against it would not survive 100x data
+    val p = plan(q("q79_decontaminate"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("curation pair/anti queries never plan a corpus-wide cross product") {
+    for (name <- Seq("q78_chunk_dedup", "q83_decontam_chunks")) {
+      val df = q(name)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name planned a nested loop:\n$p")
+      GraftCache.releaseAll()
+    }
+  }
+
+  test("stratified sampling is a pure map-side filter (no shuffle)") {
+    import org.apache.spark.sql.functions.{col, when}
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val p = plan(graft.operators.Curation.stratifiedSample(
+      docs.select(col("doc_id"), col("lang")),
+      "doc_id", when(col("lang") === "en", 30).otherwise(10)))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("session extensions expose the codegen kernels to SQL") {
     graft.plans.GraftExtensions.install(spark)
     val Array(h, ref) = spark.sql(
