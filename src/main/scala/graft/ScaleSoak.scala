@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
   * outside the maxDist=1 length window — q76's quadratic-in-bucket
   * behavior is then measured on the bucket growth itself.
   *
-  * Usage: sbt "runMain graft.ScaleSoak <factor> [srcDir] [outBase]"
+  * Usage: sbt "runMain graft.ScaleSoak <factor> [srcDir] [outBase] [q1,q2,...]"
   * Writes the scaled tables under <outBase>/x<factor>/ (reused if
-  * present), runs each soak query twice (cold, warm), prints one JSON
-  * line and appends it to SOAK.json.
+  * present), runs each soak query (optionally the comma-separated
+  * subset) twice (cold, warm), prints one JSON line and appends it to
+  * SOAK.json — each line is self-describing (factor + its queries).
   */
 object ScaleSoak {
 
@@ -43,7 +44,9 @@ object ScaleSoak {
     "q62_quality", "q63_fingerprint", "q64_binary_meta", "q65_multimodal_decode",
     "q66_redact", "q67_dup_clusters", "q68_corpus_clean", "q69_simhash_pairs",
     "q70_crossmodal_expand", "q71_embedding_neardup_lsh", "q72_ngram_jaccard_lsh",
-    "q74_regex_tokens", "q75_winnow_fingerprint", "q76_fuzzy_pairs", "q77_group_sample")
+    "q74_regex_tokens", "q75_winnow_fingerprint", "q76_fuzzy_pairs", "q77_group_sample",
+    "q78_chunk_dedup", "q79_decontaminate", "q80_pack_greedy", "q81_stratified_sample",
+    "q82_repetition", "q83_decontam_chunks")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/documents.parquet"))) return
@@ -89,6 +92,8 @@ object ScaleSoak {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val srcDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val outBase = args.lift(2).getOrElse("target/soak")
+    val wanted = args.lift(3).map(_.split(",").toSet)
+      .fold(soakQueries)(sel => soakQueries.filter(sel))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -108,7 +113,7 @@ object ScaleSoak {
     // warm the JVM on an unrelated plan
     spark.read.parquet(s"$dir/documents.parquet").groupBy("lang").count().count()
 
-    val results = soakQueries.map { name =>
+    val results = wanted.map { name =>
       val fn = SparkEntry.queries(name)
       def run(): Double = {
         val t0 = System.nanoTime()

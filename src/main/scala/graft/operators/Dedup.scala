@@ -181,7 +181,16 @@ object Dedup {
 
   /** The MinHash+LSH pair pipeline over any (doc_id, h) hashed feature
     * frame — shared by the shingle variant ([[minhashPairs]]) and the
-    * token variant ([[ngramJaccardPairsLsh]]). ONE aggregation computes
+    * token variant ([[ngramJaccardPairsLsh]]). LSH bounds bucket
+    * cohabitation by SIMILARITY — which still saturates when the corpus
+    * holds huge classes of (near-)identical feature sets: a class of m
+    * same-signature docs yields m^2/2 verified pairs no matter how the
+    * candidates are found (measured: SOAK.json q72 bends superlinearly
+    * on the synthetic corpus, whose ~31-token vocabulary makes whole
+    * token SETS collide). The standard composition collapses exact
+    * duplicates first ([[exactDupGroups]], as CorpusPipeline.clean
+    * does) so LSH only ever sees one representative per identical
+    * class. ONE aggregation computes
     * the k signature mins AND the shingle set per doc (persisted, so
     * both derivations read it once); the band self-join then carries
     * only (doc_id, band_key) — candidate pairs are deduped while still
@@ -234,21 +243,34 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sum(when(col("votes") > 0, pow(lit(2.0), col("bit")).cast("long")).otherwise(0L)).as("simhash"))
 
-  /** SimHash near-dup pairs via byte-band blocking: split the `bits`-bit
+  /** SimHash near-dup pairs via band blocking: split the `bits`-bit
     * simhash into 4 bands; by pigeonhole, docs within hamming distance
     * <= 3 agree on at least one full band, so the union of 4 band-equality
     * self-joins is a COMPLETE candidate set for distance <= 3. Exact
     * hamming (xor + bit_count) filters candidates. Same banding idea as
     * MinHash LSH — the quadratic step only happens inside a band bucket.
+    *
+    * SCALING RULE (measured in SOAK.json: the 32-bit default bends
+    * superlinearly past ~100k docs): a band has 2^(bits/4) distinct
+    * keys, so bucket population grows ~N/2^(bits/4) and within-bucket
+    * pairs grow quadratically once buckets saturate. Size
+    * `bits >= 4 * (log2(N) - log2(target bucket))` — e.g. 60 bits
+    * (32768 buckets/band) holds buckets at ~30k docs each at N = 10^9.
+    * `bits` must be <= 63 (the simhash is summed into one signed long).
+    * Bucket growth is guarded by `graft.block.maxBucket` like the other
+    * blocked self-joins; the error names this lever.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 32, maxHamming: Int = 3): DataFrame = {
+    require(bits >= 4 && bits <= 63, s"bits must be in [4, 63], got $bits")
     val bandBits = bits / 4
     val sh = graft.GraftCache.registered(simhash(docs, idCol, textCol, bits))
     val banded = (0 until 4).map { b =>
       sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         expr(s"(simhash >> ${b * bandBits}) % ${1L << bandBits}").as("band_key"))
     }.reduce(_.union(_))
+    requireBoundedBlocks(banded, Seq(col("band"), col("band_key")),
+      s"a wider simhash (bits > $bits: buckets/band = 2^(bits/4), currently ${1L << bandBits})")
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -327,6 +349,12 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"), length(col(strCol)).as("len"))
     def pass(blockKey: Column): DataFrame = {
       val b = base.withColumn("blk", blockKey)
+      // 2-char blocks have a FIXED key space (~|alphabet|^2), so bucket
+      // population grows linearly with the corpus (measured: SOAK.json
+      // q76 bends ~quadratically past 10x) — guard like the other
+      // blocked self-joins
+      requireBoundedBlocks(b, Seq(col("blk")),
+        "a longer blocking key or pre-grouping (2-char blocks saturate as the corpus grows)")
       b.as("l").join(b.as("r"),
           col("l.blk") === col("r.blk") &&
             abs(col("l.len") - col("r.len")) <= maxDist &&

@@ -244,6 +244,36 @@ class OperatorsSpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
+  test("simhashPairs and editDistancePairs refuse saturated blocking buckets") {
+    spark.conf.set("graft.block.maxBucket", "2")
+    try {
+      // 4 en docs: several share simhash band keys -> bucket > 2
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.simhashPairs(docsDf, "doc_id", "text")
+      }
+      assert(e1.getMessage.contains("graft.block.maxBucket") &&
+        e1.getMessage.contains("bits"), e1.getMessage)
+      val names = Seq((1L, "alpha"), (2L, "alphb"), (3L, "alphc"), (4L, "alphd"))
+        .toDF("id", "name")
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.editDistancePairs(names, "id", "name", 1).collect()
+      }
+      assert(e2.getMessage.contains("graft.block.maxBucket"), e2.getMessage)
+    } finally spark.conf.unset("graft.block.maxBucket")
+    graft.GraftCache.releaseAll()
+  }
+
+  test("simhash at 60 bits (wide bands for large corpora) stays exact in a long") {
+    val sh = Dedup.simhash(docsDf, "doc_id", "text", bits = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.values.forall(v => v >= 0L && v < (1L << 60)))
+    assert(sh(0L) === sh(3L)) // identical docs agree at any width
+    val pairs = Dedup.simhashPairs(docsDf, "doc_id", "text", bits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0)) // exact dup at hamming 0
+    graft.GraftCache.releaseAll()
+  }
+
   test("editDistancePairs(bothEnds) is complete for maxDist=1 vs a brute-force oracle") {
     // brute-force Levenshtein on the driver
     def lev(a: String, b: String): Int = {
