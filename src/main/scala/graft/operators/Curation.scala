@@ -156,6 +156,63 @@ object Curation {
     df.filter(
       pmod(Q.tokenHash(concat(lit(salt), col(idCol).cast("string"))), lit(100)) < rateCol)
 
+  /** Vocabulary building: the `k` most frequent tokens per stratum
+    * (lang/source) with counts — the seed step of tokenizer training
+    * and OOV analysis. One map-side-combined (stratum, token) count
+    * aggregate, then [[Relational.topKPerGroup]]'s ranking window: the
+    * second shuffle carries one row per DISTINCT token per stratum
+    * (vocabulary-sized, not corpus-sized), and the rank filter streams
+    * per group — nothing vocabulary-sized is ever collected.
+    */
+  def vocabTopK(docs: DataFrame, strataCol: String, textCol: String, k: Int): DataFrame =
+    Relational.topKPerGroup(
+      docs.select(col(strataCol), explode(split(lower(col(textCol)), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col(strataCol), col("token")).agg(count(lit(1)).as("n")),
+      k, Seq(col(strataCol)), Seq(col("n").desc, col("token").asc))
+
+  /** Token-count histogram per stratum: documents and token mass per
+    * `width`-token length bucket — the mixture/curriculum diagnostic
+    * (what does my corpus length distribution look like per lang?).
+    * Single map-side-combined aggregate on (stratum, bucket).
+    */
+  def lengthHistogram(docs: DataFrame, strataCol: String, textCol: String,
+      width: Int = 16): DataFrame =
+    docs.select(col(strataCol), size(Q.tokens(col(textCol))).as("n"))
+      .groupBy(col(strataCol), (col("n").cast("long") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+
+  /** Mixture resampling: deterministically downsample each source
+    * toward an equal token share (DoReMi/Pile-style domain balancing).
+    * Per-source keep rate = min(1, (total_tokens/n_sources) /
+    * source_tokens); a document survives iff its salted md5 hash falls
+    * under the rate — reproducible, no RNG state.
+    *
+    * Scale shape: the per-source token totals are ONE tiny aggregate
+    * (rows = distinct sources) explicitly broadcast back onto the
+    * corpus, and the rate filter is evaluated map-side — the corpus is
+    * scanned twice (totals + filter) but never shuffled. The global
+    * total rides the same broadcast (window over the empty frame), so
+    * no driver round-trip either.
+    */
+  def mixtureResample(docs: DataFrame, srcCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    val perSrc = docs
+      .select(col(srcCol), col(idCol), size(Q.tokens(col(textCol))).as("n"))
+      .groupBy(col(srcCol)).agg(sum(col("n")).as("src_tok"))
+    val w = Window.partitionBy()
+    val rates = broadcast(perSrc
+      .withColumn("total_tok", sum(col("src_tok")).over(w))
+      .withColumn("n_sources", count(lit(1)).over(w))
+      .select(col(srcCol),
+        least(lit(1.0),
+          col("total_tok").cast("double") / col("n_sources").cast("double")
+            / col("src_tok").cast("double")).as("rate")))
+    docs.join(rates, srcCol)
+      .filter(pmod(Q.tokenHash(concat(lit("mix_"), col(idCol).cast("string"))), lit(1000000))
+        < floor(col("rate") * 1000000))
+  }
+
   /** Gopher-style repetition statistics per document: total token
     * count, top-token frequency ratio (high → "the the the" spam) and
     * distinct-token ratio (low → repetitive). Two map-side-combined

@@ -69,6 +69,22 @@ object CurationQueries {
     "q83_decontam_chunks" -> ((s, dir) =>
       Curation.decontaminateByChunks(t(s, dir, "documents"),
           col("source").isin(RefSrcs.map(x => x: Any): _*), "doc_id", "text", 16)
+        .orderBy(col("doc_id"))),
+
+    // vocabulary building: top-20 tokens per lang with counts.
+    "q84_vocab_topk" -> ((s, dir) =>
+      Curation.vocabTopK(t(s, dir, "documents"), "lang", "text", 20)
+        .orderBy(col("lang"), col("n").desc, col("token"))),
+
+    // token-length histogram per lang (16-token buckets).
+    "q85_length_hist" -> ((s, dir) =>
+      Curation.lengthHistogram(t(s, dir, "documents"), "lang", "text", 16)
+        .orderBy(col("lang"), col("bucket"))),
+
+    // mixture resampling toward equal per-source token share.
+    "q86_mixture_resample" -> ((s, dir) =>
+      Curation.mixtureResample(t(s, dir, "documents"), "source", "doc_id", "text")
+        .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))))
 
   val oracleSql: Map[String, String] = Map(
@@ -118,5 +134,30 @@ object CurationQueries {
             WHERE source NOT IN $SqlRefSrcs AND fp IN (SELECT fp FROM ref))
           SELECT doc_id FROM $DocsPq
           WHERE source NOT IN $SqlRefSrcs AND doc_id NOT IN (SELECT doc_id FROM contam)
+          ORDER BY doc_id""",
+    "q84_vocab_topk" ->
+      s"""WITH t AS (SELECT lang, unnest(tk) AS token
+            FROM (SELECT lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+                  FROM $DocsPq)),
+          c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY 1, 2),
+          r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn FROM c)
+          SELECT lang, token, n FROM r WHERE rn <= 20
+          ORDER BY lang, n DESC, token""",
+    "q85_length_hist" ->
+      s"""WITH d AS (SELECT lang,
+            len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n FROM $DocsPq)
+          SELECT lang, CAST(n // 16 AS BIGINT) AS bucket, count(*) AS n_docs,
+            sum(n)::BIGINT AS n_tokens
+          FROM d GROUP BY 1, 2 ORDER BY lang, bucket""",
+    "q86_mixture_resample" ->
+      s"""WITH d AS (SELECT source, doc_id,
+            len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n FROM $DocsPq),
+          per AS (SELECT source, sum(n)::BIGINT AS src_tok FROM d GROUP BY 1),
+          tot AS (SELECT sum(src_tok)::BIGINT AS total_tok, count(*)::BIGINT AS n_sources FROM per),
+          rates AS (SELECT source,
+            least(1.0, total_tok::DOUBLE / n_sources::DOUBLE / src_tok::DOUBLE) AS rate
+            FROM per, tot)
+          SELECT doc_id, source FROM d JOIN rates USING (source)
+          WHERE ${Q.sqlTokenHash("'mix_' || doc_id")} % 1000000 < floor(rate * 1000000)
           ORDER BY doc_id""")
 }

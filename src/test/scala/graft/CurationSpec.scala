@@ -89,6 +89,42 @@ class CurationSpec extends SparkSpec {
     assert(byGrp(1L) > 20 && byGrp(1L) < 100)  // ~5% of 1000
   }
 
+  test("vocabTopK ranks tokens per stratum with complete tie-breaks") {
+    val d = Seq((1L, "a", "x x y z"), (2L, "a", "x y y"), (3L, "b", "q q q")).toDF("id", "grp", "text")
+    val out = Curation.vocabTopK(d, "grp", "text", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // grp a: x=3, y=3 tie broken by token asc; z=1 cut by k=2
+    assert(out === Set(("a", "x", 3L), ("a", "y", 3L), ("b", "q", 3L)))
+  }
+
+  test("lengthHistogram buckets token counts per stratum") {
+    val d = Seq((1L, "a", "one two three"), (2L, "a", "one two"), (3L, "a", Seq.fill(20)("w").mkString(" ")))
+      .toDF("id", "grp", "text")
+    val out = Curation.lengthHistogram(d, "grp", "text", 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("a", 0L)) === ((2L, 5L)))  // 3-token + 2-token docs
+    assert(out(("a", 1L)) === ((1L, 20L))) // the 20-token doc
+  }
+
+  test("mixtureResample keeps small sources whole and downsamples the dominant one") {
+    // source "big" has ~10x the tokens of each small source -> rate
+    // (total/3)/big_tok < 1; small sources get rate 1.0 (kept whole)
+    val rows = (1L to 200L).map(i => (i, "big", "w w w w w w w w w w")) ++
+      (201L to 220L).map(i => (i, "s1", "w w w w w w w w w w")) ++
+      (221L to 240L).map(i => (i, "s2", "w w w w w w w w w w"))
+    val d = rows.toDF("doc_id", "source", "text")
+    val kept = Curation.mixtureResample(d, "source", "doc_id", "text")
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("s1") === 20 && bySrc("s2") === 20) // rate 1.0
+    // target share = 2400/3 = 800 tokens = 80 docs; hash sampling is approximate
+    assert(bySrc("big") > 40 && bySrc("big") < 120, bySrc.toString)
+    // deterministic
+    val again = Curation.mixtureResample(d, "source", "doc_id", "text")
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect()
+    assert(kept.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("repetitionStats computes exact top/distinct ratios") {
     val d = Seq((1L, "a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
     val out = Curation.repetitionStats(d, "doc_id", "text")
