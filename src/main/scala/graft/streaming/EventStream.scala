@@ -41,6 +41,7 @@ object EventStream {
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   case class UserRunning(user_id: Long, n_events: Long)
+  case class StreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count — the arbitrary-stateful-operator path
@@ -67,6 +68,29 @@ object EventStream {
     */
   def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming corpus curation: incremental ingestion of documents
+    * with the SAME scoring/dedup semantics as the batch pipeline —
+    * quality gate + lang-ID ([[graft.functions.TextFunctions]], pure
+    * Column expressions, so they run unchanged on a stream) followed by
+    * watermark-bounded exact dedup on the normalized-text fingerprint
+    * (first arrival wins; state holds only fingerprints within the
+    * watermark horizon, not the corpus). The streaming face of
+    * `CorpusPipeline.clean`'s quality + exact-dedup stages; near-dup
+    * (MinHash) stays batch — LSH banding needs cross-document joins
+    * that streaming state does not bound.
+    */
+  def curatedDocs(docs: DataFrame, minQuality: Double = 0.5,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.TextFunctions
+    docs
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
 
   /** Stream-stream interval join with watermarks: attribute each
     * purchase to clicks by the same user within the preceding hour.

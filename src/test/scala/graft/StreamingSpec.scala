@@ -88,6 +88,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedupout").select("event_id").distinct().count() === ev.count())
   }
 
+  test("streaming corpus curation gates quality and dedups by fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val good = "the quick brown fox jumps over the lazy dog today"
+    val input = MemoryStream[EventStream.StreamDoc]
+    input.addData(
+      EventStream.StreamDoc(1L, good, ts(10)),
+      EventStream.StreamDoc(2L, good, ts(20)),          // exact dup (normalized) of 1
+      EventStream.StreamDoc(3L, "@@@@ #### $$$$", ts(30)), // junk, fails the quality gate
+      EventStream.StreamDoc(4L, "a completely different clean sentence with the usual words", ts(40)))
+    val q = EventStream.curatedDocs(input.toDF()).writeStream
+      .format("memory").queryName("curout")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("curout")
+    assert(out.select("doc_id").as[Long].collect().sorted === Array(1L, 4L))
+    // streamed scores equal the batch TextFunctions scores on the same rows
+    val batchQ = Seq((1L, good)).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.qualityScore(col("text"))).head.getDouble(0)
+    assert(out.filter(col("doc_id") === 1L).head.getAs[Double]("quality") === batchQ)
+  }
+
   test("event-time timeout flushes the trailing open session") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
