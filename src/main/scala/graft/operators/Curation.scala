@@ -213,6 +213,25 @@ object Curation {
         < floor(col("rate") * 1000000))
   }
 
+  /** Per-stratum percentile gate: keep rows whose `valueCol` is at or
+    * above the stratum's `p`-quantile — "keep the top (1-p) of quality
+    * per language" with a data-derived threshold instead of a magic
+    * constant. The threshold table is one row per stratum, broadcast
+    * back; the gate itself is a map-side comparison.
+    *
+    * Scale note: `percentile` is EXACT and buffers each stratum's
+    * values in the aggregation — fine for bounded strata counts with
+    * values that fit an executor (they're doubles, ~8 bytes each; 10^8
+    * rows/stratum ≈ 1 GB). At 100 TB swap in `approx_percentile` (same
+    * plan shape, sketch-sized state) or compute thresholds on a
+    * [[stratifiedSample]]; the gate join is unchanged.
+    */
+  def percentileGate(df: DataFrame, strataCol: String, valueCol: String, p: Double): DataFrame = {
+    val thr = broadcast(df.groupBy(col(strataCol))
+      .agg(round(percentile(col(valueCol), lit(p)), 6).as("_thr")))
+    df.join(thr, Seq(strataCol)).filter(col(valueCol) >= col("_thr")).drop("_thr")
+  }
+
   /** Gopher-style repetition statistics per document: total token
     * count, top-token frequency ratio (high → "the the the" spam) and
     * distinct-token ratio (low → repetitive). Two map-side-combined

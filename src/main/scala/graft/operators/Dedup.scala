@@ -228,8 +228,18 @@ object Dedup {
   /** `bits`-bit SimHash (Charikar 2002) from token hashes: per bit
     * position, sign of the +1/-1 vote sum across tokens; pure integer
     * arithmetic → engine-exact. The bit explode keeps it one grouped
-    * sum; `shiftright(h, bit)` with a column shift amount goes through
-    * `expr` (the Scala helper only accepts literal shifts).
+    * sum.
+    *
+    * Each bit's vote is the parity of its own affine permutation of the
+    * 31-bit base hash, `((1299721 + 2*bit) * h + 104729 * (bit + 1))
+    * mod P` — NOT bit `b` of `h` directly: the base hash has no entropy
+    * above bit 30, so raw extraction would make every bit position
+    * >= 31 constant (the 30x soak caught exactly this — a 48-bit
+    * simhash whose top band was identically zero collided the whole
+    * corpus into one bucket). The affine family gives every position an
+    * independent full-entropy bit at any width <= 63; multipliers stay
+    * < 2^21 so `mult * h < 2^52` never overflows a long (or a DuckDB
+    * BIGINT — the oracle computes the identical expression).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
     docs.select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), " ")).as("token"))
@@ -237,7 +247,8 @@ object Dedup {
       .select(col("doc_id"), h31(col("token")).as("h"))
       .select(col("doc_id"), expr(s"explode(sequence(0, ${bits - 1}))").as("bit"), col("h"))
       .select(col("doc_id"), col("bit"),
-        when(expr("shiftright(h, cast(bit as int)) % 2") === 1, 1L).otherwise(-1L).as("vote"))
+        when(expr(s"(((1299721 + 2 * bit) * h + 104729 * (bit + 1)) % $P) % 2") === 1, 1L)
+          .otherwise(-1L).as("vote"))
       .groupBy(col("doc_id"), col("bit"))
       .agg(sum(col("vote")).as("votes"))
       .groupBy(col("doc_id"))

@@ -85,7 +85,18 @@ object CurationQueries {
     "q86_mixture_resample" -> ((s, dir) =>
       Curation.mixtureResample(t(s, dir, "documents"), "source", "doc_id", "text")
         .select(col("doc_id"), col("source"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // data-derived quality gate: keep docs at or above their lang's
+    // 20th-percentile quality (exact percentile, round-6 threshold).
+    "q88_quality_percentile" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      Curation.percentileGate(scored, "lang", "quality", 0.2)
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q78_chunk_dedup" ->
@@ -159,5 +170,26 @@ object CurationQueries {
             FROM per, tot)
           SELECT doc_id, source FROM d JOIN rates USING (source)
           WHERE ${Q.sqlTokenHash("'mix_' || doc_id")} % 1000000 < floor(rate * 1000000)
-          ORDER BY doc_id""")
+          ORDER BY doc_id""",
+    "q88_quality_percentile" -> {
+      // same quality formula as the q62 oracle, plus lang
+      val markers = graft.functions.TextFunctions.langMarkers.flatMap(_._2).distinct
+        .map(m => s"'$m'").mkString("(", ", ", ")")
+      s"""WITH base AS (SELECT doc_id, lang, lower(text) AS lt,
+            list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM $DocsPq),
+          m AS (SELECT doc_id, lang,
+            len(toks)::DOUBLE AS n_tok,
+            len(list_filter(toks, t -> t IN $markers))::DOUBLE AS n_stop,
+            len(lt) AS n_ch,
+            len(regexp_replace(lt, '[^a-z0-9 ]', '', 'g')) AS n_clean FROM base),
+          scored AS (SELECT doc_id, lang,
+            round(0.4 * least(n_tok / 50.0, 1.0)
+              + 0.4 * (1.0 - (n_ch - n_clean)::DOUBLE / greatest(n_ch, 1)::DOUBLE)
+              + 0.2 * least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0), 6) AS quality
+            FROM m),
+          thr AS (SELECT lang, round(quantile_cont(quality, 0.2), 6) AS t
+            FROM scored GROUP BY 1)
+          SELECT s.doc_id, s.lang, s.quality FROM scored s JOIN thr USING (lang)
+          WHERE s.quality >= t ORDER BY s.doc_id"""
+    })
 }

@@ -60,6 +60,38 @@ object DedupQueries {
   private val SqlPairsCtes: String =
     sqlPairsCtesFor(s"SELECT doc_id, text FROM $DocsPq", 0.6)
 
+  /** Per-bit vote of [[graft.operators.Dedup.simhash]] in DuckDB form:
+    * parity of an affine permutation of the base hash (the base hash
+    * has no entropy above bit 30, so raw bit extraction is wrong for
+    * any width — see the simhash scaladoc).
+    */
+  private val SqlBitVote = s"(((1299721 + 2 * b) * h + 104729 * (b + 1)) % ${Dedup.P}) % 2"
+
+  /** SimHash banded-hamming pair SQL for a given signature width,
+    * mirroring [[graft.operators.Dedup.simhashPairs]]: 4 bands of
+    * bits/4, complete for hamming <= 3 by pigeonhole. Parameterized so
+    * q69 (32-bit) and its wide twin q87 (48-bit — 4096 keys/band, the
+    * saturation fix the soak motivated) derive from one definition.
+    */
+  private[queries] def sqlSimhashPairs(bits: Int): String = {
+    val bandBits = bits / 4
+    s"""WITH th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM
+          (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks))),
+        votes AS (SELECT doc_id, b, sum(CASE WHEN $SqlBitVote = 1 THEN 1 ELSE -1 END) AS v
+          FROM th, unnest(generate_series(0, ${bits - 1})) AS u(b) GROUP BY 1, 2),
+        sh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, simhash, b AS band, (simhash >> (b * $bandBits)) % ${1L << bandBits} AS band_key
+          FROM sh, unnest(generate_series(0, 3)) AS u(b)),
+        cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+            CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+          FROM banded l JOIN banded r
+          ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
+        SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+        ORDER BY doc_a, doc_b"""
+  }
+
   /** Min-label propagation over `pairs` in path-expansion form
     * (min over nodes within distance <= iters — same semantics as
     * iterated rounds). Final CTE is named l{iters}.
@@ -117,6 +149,15 @@ object DedupQueries {
     // SimHash near-dup pairs: byte-band blocking + exact hamming <= 3.
     "q69_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // the wide-signature twin (48 bits = 4096 keys/band): same banded
+    // completeness for hamming <= 3, but band buckets stay small as the
+    // corpus grows — the saturation fix the 30x soak motivated. Note
+    // the hamming space differs from q69's (48-bit signatures resolve
+    // more detail), so the pair set is its own oracle row, not q69's.
+    "q87_simhash_pairs_wide" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", bits = 48)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // blocked token-Jaccard near-dup pairs (same lang + length bucket).
@@ -257,26 +298,12 @@ object DedupQueries {
     "q52_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM
             (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks))),
-          votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+          votes AS (SELECT doc_id, b, sum(CASE WHEN $SqlBitVote = 1 THEN 1 ELSE -1 END) AS v
             FROM th, unnest(generate_series(0, 15)) AS u(b) GROUP BY 1, 2)
           SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
           FROM votes GROUP BY doc_id ORDER BY doc_id""",
-    "q69_simhash_pairs" ->
-      s"""WITH th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM
-            (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks))),
-          votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
-            FROM th, unnest(generate_series(0, 31)) AS u(b) GROUP BY 1, 2),
-          sh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
-            FROM votes GROUP BY doc_id),
-          banded AS (
-            SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) % 256 AS band_key
-            FROM sh, unnest(generate_series(0, 3)) AS u(b)),
-          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-              CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
-            FROM banded l JOIN banded r
-            ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
-          SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
-          ORDER BY doc_a, doc_b""",
+    "q69_simhash_pairs" -> sqlSimhashPairs(32),
+    "q87_simhash_pairs_wide" -> sqlSimhashPairs(48),
     "q53_ngram_jaccard" ->
       s"""WITH base AS (SELECT doc_id, lang, n_chars // 64 AS len_bucket,
             list_distinct(list_transform(

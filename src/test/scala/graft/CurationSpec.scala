@@ -125,6 +125,15 @@ class CurationSpec extends SparkSpec {
     assert(kept.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("percentileGate keeps rows at or above the per-stratum quantile") {
+    val d = Seq(("a", 1L, 0.1), ("a", 2L, 0.5), ("a", 3L, 0.9),
+      ("b", 4L, 0.2), ("b", 5L, 0.8)).toDF("grp", "id", "v")
+    val out = Curation.percentileGate(d, "grp", "v", 0.5)
+      .select(col("id")).as[Long].collect().sorted
+    // medians: a -> 0.5 (keeps 2,3), b -> 0.5 interpolated (keeps 5)
+    assert(out === Array(2L, 3L, 5L))
+  }
+
   test("repetitionStats computes exact top/distinct ratios") {
     val d = Seq((1L, "a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
     val out = Curation.repetitionStats(d, "doc_id", "text")
