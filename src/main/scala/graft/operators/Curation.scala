@@ -232,6 +232,55 @@ object Curation {
     df.join(thr, Seq(strataCol)).filter(col(valueCol) >= col("_thr")).drop("_thr")
   }
 
+  /** Corpus-wide adjacent-piece pair counts under the BPE-ish
+    * pre-tokenizer — the count step of one BPE-training merge
+    * iteration (which pair to merge next = the argmax of this table).
+    * The pairing runs as a typed flatMap over the same regex as
+    * [[graft.functions.TextFunctions.bpePieces]] (sliding windows beat
+    * higher-order array zips, which drop out of whole-stage codegen);
+    * one map-side-combined count aggregate, then global top-k via
+    * TakeOrderedAndProject — pair-vocabulary-sized, never collected.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val re = graft.functions.TextFunctions.BpePiecePattern.r
+    docs.select(col(textCol)).as[String]
+      .flatMap { text =>
+        val ps = re.findAllIn(text.toLowerCase).toArray
+        if (ps.length < 2) Iterator.empty
+        else ps.sliding(2).map(w => (w(0), w(1)))
+      }
+      .toDF("piece_a", "piece_b")
+      .groupBy(col("piece_a"), col("piece_b")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece_a"), col("piece_b"))
+      .limit(k)
+  }
+
+  /** Unigram log-probability scoring — the distributed proxy for
+    * CCNet-style LM-quality filtering: each document's mean
+    * log-probability under the corpus's own unigram distribution
+    * (spam/boilerplate scores high via repeated high-frequency tokens;
+    * gibberish scores low via rare tokens). The unigram table is one
+    * count aggregate (vocabulary-sized) broadcast back onto the token
+    * stream; per-token log-probs are rounded to 6 decimals BEFORE the
+    * per-doc mean so both engines average identical values. The global
+    * total rides the broadcast via a window over the tiny frame — no
+    * driver round-trip.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = Q.explodedTokens(docs, idCol, textCol)
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val table = broadcast(freq
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("token"),
+        round(log(col("cnt").cast("double") / col("total").cast("double")), 6).as("lp")))
+    tok.join(table, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        round(avg(col("lp")), 6).as("avg_logprob"))
+  }
+
   /** Gopher-style repetition statistics per document: total token
     * count, top-token frequency ratio (high → "the the the" spam) and
     * distinct-token ratio (low → repetitive). Two map-side-combined

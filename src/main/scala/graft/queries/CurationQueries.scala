@@ -87,6 +87,15 @@ object CurationQueries {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // BPE merge-iteration count step: top-50 adjacent piece pairs.
+    "q89_bpe_pair_counts" -> ((s, dir) =>
+      Curation.bpePairCounts(t(s, dir, "documents"), "text", 50)),
+
+    // CCNet-style LM-quality proxy: per-doc mean unigram log-prob.
+    "q90_unigram_logprob" -> ((s, dir) =>
+      Curation.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // data-derived quality gate: keep docs at or above their lang's
     // 20th-percentile quality (exact percentile, round-6 threshold).
     "q88_quality_percentile" -> ((s, dir) => {
@@ -171,6 +180,24 @@ object CurationQueries {
           SELECT doc_id, source FROM d JOIN rates USING (source)
           WHERE ${Q.sqlTokenHash("'mix_' || doc_id")} % 1000000 < floor(rate * 1000000)
           ORDER BY doc_id""",
+    "q89_bpe_pair_counts" ->
+      s"""WITH p AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '${graft.functions.TextFunctions.BpePiecePattern}') AS ps
+            FROM $DocsPq),
+          pairs AS (SELECT ps[i] AS piece_a, ps[i+1] AS piece_b
+            FROM p, unnest(generate_series(1, len(ps) - 1)) AS u(i)),
+          c AS (SELECT piece_a, piece_b, count(*) AS n FROM pairs GROUP BY 1, 2)
+          SELECT piece_a, piece_b, n FROM c
+          ORDER BY n DESC, piece_a, piece_b LIMIT 50""",
+    "q90_unigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, unnest(tk) AS token FROM
+            (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+             FROM $DocsPq)),
+          f AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+          ft AS (SELECT token,
+            round(ln(cnt::DOUBLE / (SELECT sum(cnt)::BIGINT FROM f)::DOUBLE), 6) AS lp FROM f)
+          SELECT doc_id, CAST(count(*) AS INT) AS n_tokens, round(avg(lp), 6) AS avg_logprob
+          FROM t JOIN ft USING (token) GROUP BY doc_id ORDER BY doc_id""",
     "q88_quality_percentile" -> {
       // same quality formula as the q62 oracle, plus lang
       val markers = graft.functions.TextFunctions.langMarkers.flatMap(_._2).distinct

@@ -134,6 +134,28 @@ class CurationSpec extends SparkSpec {
     assert(out === Array(2L, 3L, 5L))
   }
 
+  test("bpePairCounts counts adjacent pieces with punctuation as its own piece") {
+    val d = Seq((1L, "a b, a b"), (2L, "a b")).toDF("id", "text")
+    val out = Curation.bpePairCounts(d, "text", 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pieces doc1: a b , a b ; doc2: a b
+    assert(out(("a", "b")) === 3L)
+    assert(out(("b", ",")) === 1L)
+    assert(out((",", "a")) === 1L)
+  }
+
+  test("unigramLogProb scores frequent-token docs higher than rare-token docs") {
+    val d = Seq((1L, "x x x x"), (2L, "x x y z")).toDF("doc_id", "text")
+    val out = Curation.unigramLogProb(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // x: 6/8, y: 1/8, z: 1/8
+    val lx = math.log(6.0 / 8); val ly = math.log(1.0 / 8)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 === 4 && math.abs(out(1L)._2 - r6(lx)) < 1e-6)
+    assert(out(2L)._2 < out(1L)._2) // rare tokens pull the mean down
+    assert(math.abs(out(2L)._2 - r6((2 * r6(lx) + 2 * r6(ly)) / 4)) < 2e-6)
+  }
+
   test("repetitionStats computes exact top/distinct ratios") {
     val d = Seq((1L, "a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
     val out = Curation.repetitionStats(d, "doc_id", "text")
