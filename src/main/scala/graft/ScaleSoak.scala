@@ -47,7 +47,8 @@ object ScaleSoak {
     "q74_regex_tokens", "q75_winnow_fingerprint", "q76_fuzzy_pairs", "q77_group_sample",
     "q78_chunk_dedup", "q79_decontaminate", "q80_pack_greedy", "q81_stratified_sample",
     "q82_repetition", "q83_decontam_chunks", "q84_vocab_topk", "q85_length_hist",
-    "q86_mixture_resample", "q87_simhash_pairs_wide")
+    "q86_mixture_resample", "q87_simhash_pairs_wide", "q88_quality_percentile",
+    "q89_bpe_pair_counts", "q90_unigram_logprob")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/documents.parquet"))) return

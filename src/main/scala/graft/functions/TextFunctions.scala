@@ -91,8 +91,11 @@ object TextFunctions {
     val nTok = size(toks).cast("double")
     val lenScore = least(nTok / 50.0, lit(1.0))
     val lower_ = lower(text)
-    val clean = regexp_replace(lower_, "[^a-z0-9 ]", "")
-    val punctRatio = (length(lower_) - length(clean)).cast("double") / greatest(length(lower_), lit(1)).cast("double")
+    // clean-char count via the CleanAlnumLen codegen kernel — equals
+    // length(regexp_replace(lower_, "[^a-z0-9 ]", "")) (the oracle's
+    // spelling) at a fraction of the regex cost; see plans/CleanLen.scala
+    val cleanLen = graft.plans.CleanAlnumLen.cleanLen(lower_)
+    val punctRatio = (length(lower_) - cleanLen).cast("double") / greatest(length(lower_), lit(1)).cast("double")
     val stopRatio = langScore(toks, langMarkers.flatMap(_._2).distinct).cast("double") / greatest(nTok, lit(1.0))
     round(lit(0.4) * lenScore + lit(0.4) * (lit(1.0) - punctRatio) + lit(0.2) * least(stopRatio * 5.0, lit(1.0)), 6)
   }
@@ -139,8 +142,8 @@ object TextFunctions {
     val nTok = coalesce(col("n_tok"), lit(0L)).cast("double")
     val lenScore = least(nTok / 50.0, lit(1.0))
     val lower_ = lower(text)
-    val clean = regexp_replace(lower_, "[^a-z0-9 ]", "")
-    val punctRatio = (length(lower_) - length(clean)).cast("double") / greatest(length(lower_), lit(1)).cast("double")
+    val cleanLen = graft.plans.CleanAlnumLen.cleanLen(lower_)
+    val punctRatio = (length(lower_) - cleanLen).cast("double") / greatest(length(lower_), lit(1)).cast("double")
     val stopRatio = coalesce(col("n_stop"), lit(0L)).cast("double") / greatest(nTok, lit(1.0))
     round(lit(0.4) * lenScore + lit(0.4) * (lit(1.0) - punctRatio) + lit(0.2) * least(stopRatio * 5.0, lit(1.0)), 6)
   }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *   graft_md5prefix32(str)      -> bigint  (shared LSH base hash)
   *   graft_array_dot(a, b)       -> double  (embedding dot product)
+  *   graft_clean_len(str)        -> int     (count of [a-z0-9 ] chars)
   *
   * Wire-up: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
   * at session build, or [[GraftExtensions.install]] on a live session.
@@ -32,7 +33,8 @@ object GraftExtensions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_md5prefix32" -> arity("graft_md5prefix32", 1)(args => Md5Prefix32(args.head)),
-    "graft_array_dot" -> arity("graft_array_dot", 2)(args => ArrayDotProduct(args(0), args(1))))
+    "graft_array_dot" -> arity("graft_array_dot", 2)(args => ArrayDotProduct(args(0), args(1))),
+    "graft_clean_len" -> arity("graft_clean_len", 1)(args => CleanAlnumLen(args.head)))
 
   /** Register the functions on an already-built session. */
   def install(spark: SparkSession): Unit =

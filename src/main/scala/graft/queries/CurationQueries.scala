@@ -98,10 +98,16 @@ object CurationQueries {
 
     // data-derived quality gate: keep docs at or above their lang's
     // 20th-percentile quality (exact percentile, round-6 threshold).
+    // Scoring goes through the codegen'd tokenAggregates path (same
+    // arithmetic as the q62 oracle; the HOF-lambda qualityScore is ~10x
+    // slower at corpus scale — measured in the 30x soak).
     "q88_quality_percentile" -> ((s, dir) => {
-      val scored = t(s, dir, "documents")
+      val docs = t(s, dir, "documents")
+      val scored = docs
+        .join(graft.functions.TextFunctions.tokenAggregates(docs, "doc_id", "text"),
+          Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("lang"),
-          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+          graft.functions.TextFunctions.qualityFromScores(col("text")).as("quality"))
       Curation.percentileGate(scored, "lang", "quality", 0.2)
         .select(col("doc_id"), col("lang"), col("quality"))
         .orderBy(col("doc_id"))

@@ -156,6 +156,25 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out(2L)._2 - r6((2 * r6(lx) + 2 * r6(ly)) / 4)) < 2e-6)
   }
 
+  test("CurationPipeline.prepare composes gate -> decontam -> mixture -> packing") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val ref = col("source").isin("src0", "src1")
+    val out = graft.examples.CurationPipeline.prepare(docs, ref)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // no reference docs survive, and every output doc is a held-out doc
+    val refIds = docs.filter(ref).select("doc_id").as[Long].collect().toSet
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.toSet.intersect(refIds).isEmpty)
+    assert(ids.distinct.length === ids.length)
+    // bins are contiguous non-negative indices within each lang
+    assert(rows.forall(_.getAs[Long]("bin") >= 0L))
+    // deterministic end to end
+    val again = graft.examples.CurationPipeline.prepare(docs, ref).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    GraftCache.releaseAll()
+  }
+
   test("repetitionStats computes exact top/distinct ratios") {
     val d = Seq((1L, "a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
     val out = Curation.repetitionStats(d, "doc_id", "text")

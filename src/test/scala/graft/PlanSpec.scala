@@ -137,6 +137,22 @@ class PlanSpec extends SparkSpec {
     val dot = spark.sql("SELECT graft_array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
       .collect().head.getDouble(0)
     assert(dot === 11.0)
+    val cl = spark.sql("SELECT graft_clean_len('ab, c1! ~Ü')").collect().head.getInt(0)
+    assert(cl === 6) // a, b, ' ', c, 1, ' '
+  }
+
+  test("CleanAlnumLen equals the regexp_replace length on adversarial strings") {
+    import org.apache.spark.sql.functions.{col, length, lower, regexp_replace}
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abz09 ,.!~@#\n\täöüß€日本語😀"
+    val rows = (Seq("", " ", "abc 123", "~r7~r7~r7", "日本語 abc", "😀x") ++
+      (1 to 500).map(_ => (0 until rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)).toDF("s")
+    val mismatches = rows.select(
+        graft.plans.CleanAlnumLen.cleanLen(lower(col("s"))).as("kernel"),
+        length(regexp_replace(lower(col("s")), "[^a-z0-9 ]", "")).as("regex"))
+      .filter(col("kernel") =!= col("regex")).count()
+    assert(mismatches === 0L)
   }
 
   test("IVF index probe prunes the scan to exactly the probed cell partitions") {
