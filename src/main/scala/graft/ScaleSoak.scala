@@ -22,11 +22,19 @@ import org.apache.spark.sql.functions._
   * outside the maxDist=1 length window — q76's quadratic-in-bucket
   * behavior is then measured on the bucket growth itself.
   *
-  * Usage: sbt "runMain graft.ScaleSoak <factor> [srcDir] [outBase] [q1,q2,...]"
+  * Usage: sbt "runMain graft.ScaleSoak <factor> [srcDir] [outBase] [q1,q2,...] [mode]"
   * Writes the scaled tables under <outBase>/x<factor>/ (reused if
   * present), runs each soak query (optionally the comma-separated
   * subset) twice (cold, warm), prints one JSON line and appends it to
-  * SOAK.json — each line is self-describing (factor + its queries).
+  * SOAK.json — each line is self-describing (factor + mode + queries).
+  *
+  * mode "count" (default) measures `df.count()` — comparable with the
+  * earlier tiers but Catalyst prunes output columns a count doesn't
+  * need, so pure-projection queries under-measure (discovered via q88,
+  * the first query whose filter forced its score column). Mode
+  * "materialize" measures `queryExecution.toRdd.count()`, which keeps
+  * the plan's projection and forces every output column — the honest
+  * number for scoring queries.
   */
 object ScaleSoak {
 
@@ -48,7 +56,7 @@ object ScaleSoak {
     "q78_chunk_dedup", "q79_decontaminate", "q80_pack_greedy", "q81_stratified_sample",
     "q82_repetition", "q83_decontam_chunks", "q84_vocab_topk", "q85_length_hist",
     "q86_mixture_resample", "q87_simhash_pairs_wide", "q88_quality_percentile",
-    "q89_bpe_pair_counts", "q90_unigram_logprob")
+    "q89_bpe_pair_counts", "q90_unigram_logprob", "q91_curation_pipeline")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/documents.parquet"))) return
@@ -94,8 +102,14 @@ object ScaleSoak {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val srcDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val outBase = args.lift(2).getOrElse("target/soak")
-    val wanted = args.lift(3).map(_.split(",").toSet)
-      .fold(soakQueries)(sel => soakQueries.filter(sel))
+    val wanted = args.lift(3).filter(s => s.nonEmpty && s != "all")
+      .map(_.split(",").toSet)
+      .fold(soakQueries) { sel =>
+        val unknown = sel -- soakQueries.toSet
+        require(unknown.isEmpty, s"unknown soak queries: ${unknown.mkString(", ")}")
+        soakQueries.filter(sel)
+      }
+    val materialize = args.lift(4).contains("materialize")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -119,7 +133,8 @@ object ScaleSoak {
       val fn = SparkEntry.queries(name)
       def run(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        val df = fn(spark, dir)
+        if (materialize) df.queryExecution.toRdd.count() else df.count()
         (System.nanoTime() - t0) / 1e9
       }
       val cold = try run() catch { case e: Throwable => println(s"[soak] $name FAILED: $e"); -1.0 }
@@ -132,7 +147,8 @@ object ScaleSoak {
     }
     val qs = results.map { case (n, _, w) => "\"" + n + "\":" + w }.mkString("{", ",", "}")
     val total = results.filter(_._3 >= 0).map(_._3).sum
-    val json = s"""{"soak_factor":$factor,"src":"$srcDir","total_warm":$total,"cpus":$cpus,"queries":$qs}"""
+    val mode = if (materialize) "materialize" else "count"
+    val json = s"""{"soak_factor":$factor,"src":"$srcDir","mode":"$mode","total_warm":$total,"cpus":$cpus,"queries":$qs}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("SOAK.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),

@@ -87,6 +87,14 @@ object CurationQueries {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // the full composed batch-preparation pipeline (flagship):
+    // percentile quality gate -> exact chunk decontamination vs
+    // src0-src3 -> mixture resample -> 256-token packing per lang.
+    "q91_curation_pipeline" -> ((s, dir) =>
+      graft.examples.CurationPipeline.prepare(t(s, dir, "documents"),
+          col("source").isin(RefSrcs.map(x => x: Any): _*))
+        .orderBy(col("doc_id"))),
+
     // BPE merge-iteration count step: top-50 adjacent piece pairs.
     "q89_bpe_pair_counts" -> ((s, dir) =>
       Curation.bpePairCounts(t(s, dir, "documents"), "text", 50)),
@@ -186,6 +194,44 @@ object CurationQueries {
           SELECT doc_id, source FROM d JOIN rates USING (source)
           WHERE ${Q.sqlTokenHash("'mix_' || doc_id")} % 1000000 < floor(rate * 1000000)
           ORDER BY doc_id""",
+    "q91_curation_pipeline" -> {
+      val markers = graft.functions.TextFunctions.langMarkers.flatMap(_._2).distinct
+        .map(m => s"'$m'").mkString("(", ", ", ")")
+      s"""WITH held AS (SELECT doc_id, lang, source, text,
+            list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+            FROM $DocsPq WHERE source NOT IN $SqlRefSrcs),
+          m AS (SELECT doc_id, lang, source, text, toks,
+            len(toks)::DOUBLE AS n_tok,
+            len(list_filter(toks, t -> t IN $markers))::DOUBLE AS n_stop,
+            len(lower(text)) AS n_ch,
+            len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_clean FROM held),
+          scored AS (SELECT doc_id, lang, source, toks,
+            round(0.4 * least(n_tok / 50.0, 1.0)
+              + 0.4 * (1.0 - (n_ch - n_clean)::DOUBLE / greatest(n_ch, 1)::DOUBLE)
+              + 0.2 * least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0), 6) AS quality
+            FROM m),
+          thr AS (SELECT lang, round(quantile_cont(quality, 0.2), 6) AS t
+            FROM scored GROUP BY 1),
+          gated AS (SELECT s.* FROM scored s JOIN thr USING (lang) WHERE s.quality >= t),
+          chunks AS (${sqlChunks(16, ", source")}),
+          ref AS (SELECT DISTINCT fp FROM chunks WHERE source IN $SqlRefSrcs),
+          contam AS (SELECT DISTINCT doc_id FROM chunks
+            WHERE source NOT IN $SqlRefSrcs AND fp IN (SELECT fp FROM ref)),
+          dec AS (SELECT doc_id, lang, source, quality, len(toks) AS n FROM gated
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+          per AS (SELECT source, sum(n)::BIGINT AS src_tok FROM dec GROUP BY 1),
+          tot AS (SELECT sum(src_tok)::BIGINT AS total_tok, count(*)::BIGINT AS n_sources FROM per),
+          rates AS (SELECT source,
+            least(1.0, total_tok::DOUBLE / n_sources::DOUBLE / src_tok::DOUBLE) AS rate
+            FROM per, tot),
+          bal AS (SELECT dec.* FROM dec JOIN rates USING (source)
+            WHERE ${Q.sqlTokenHash("'mix_' || doc_id")} % 1000000 < floor(rate * 1000000)),
+          w AS (SELECT doc_id, lang, source, quality, n,
+            sum(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM bal)
+          SELECT doc_id, lang, source, quality, CAST(n AS INT) AS n_tokens,
+            CAST((cum - n) // 256 AS BIGINT) AS bin
+          FROM w ORDER BY doc_id"""
+    },
     "q89_bpe_pair_counts" ->
       s"""WITH p AS (SELECT doc_id,
             regexp_extract_all(lower(text), '${graft.functions.TextFunctions.BpePiecePattern}') AS ps
