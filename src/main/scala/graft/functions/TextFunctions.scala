@@ -165,6 +165,52 @@ object TextFunctions {
       .otherwise(array_sort(array_distinct(hs)))
   }
 
+  /** Corpus-scale form of [[winnowedFingerprints]]: (doc_id, fps) for
+    * every document with at least `k` tokens, computed as a typed map
+    * with an O(n) monotonic-deque sliding minimum. Identical values to
+    * the Column form (same shingles, same md5-derived 31-bit hash, same
+    * winnow semantics — equality is pinned in OperatorsSpec), but ~100x
+    * faster per document: the Column form's nested higher-order lambdas
+    * (transform over sequence, array_min over slice) are interpreted
+    * per ELEMENT and re-slice per window — ~13 ms/doc measured in the
+    * materialize-mode soak, which is what 100 TB cannot afford.
+    */
+  def winnowedFingerprintSets(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = graft.operators.Dedup.P
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val tk = text.toLowerCase.split(" ").filter(_.nonEmpty)
+        if (tk.length < k) Iterator.empty
+        else {
+          val hs = tk.sliding(k).map { s =>
+            graft.plans.Md5Hash.hash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s.mkString(" "))) % p
+          }.toArray
+          val fps =
+            if (hs.length < w) hs.distinct.sorted
+            else {
+              // monotonic deque: indices of increasing hash values
+              val out = scala.collection.mutable.ArrayBuffer[Long]()
+              val dq = new java.util.ArrayDeque[Int]()
+              var i = 0
+              while (i < hs.length) {
+                while (!dq.isEmpty && hs(dq.peekLast) >= hs(i)) dq.pollLast()
+                dq.addLast(i)
+                if (dq.peekFirst <= i - w) dq.pollFirst()
+                if (i >= w - 1) out += hs(dq.peekFirst)
+                i += 1
+              }
+              out.distinct.sorted.toArray
+            }
+          Iterator((id, fps))
+        }
+      }
+      .toDF("doc_id", "fps")
+  }
+
   /** Normalization for fingerprinting: lowercase, collapse whitespace,
     * trim.
     */

@@ -67,16 +67,15 @@ object TextQueries {
     // the partial-overlap dedup fingerprint (md5 whole-doc fingerprints
     // only catch exact dups). Docs shorter than k tokens are dropped on
     // both sides.
-    "q75_winnow_fingerprint" -> ((s, dir) => {
-      val toks = TextFunctions.tokenize(col("text"))
-      t(s, dir, "documents")
-        .filter(size(toks) >= 3)
-        .select(col("doc_id"), TextFunctions.winnowedFingerprints(toks, 3, 4).as("fps"))
+    // typed O(n) winnowing path — values identical to the Column form
+    // (pinned in OperatorsSpec); the HOF form is ~13 ms/doc when the
+    // fingerprint column is actually materialized
+    "q75_winnow_fingerprint" -> ((s, dir) =>
+      TextFunctions.winnowedFingerprintSets(t(s, dir, "documents"), "doc_id", "text", 3, 4)
         .select(col("doc_id"),
           array_join(col("fps").cast("array<string>"), ",").as("fp_set"),
           size(col("fps")).as("n_fp"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // multimodal plumbing: opaque binary payload column + typed
     // metadata extraction (byte length + content digest). The

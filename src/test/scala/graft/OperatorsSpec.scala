@@ -169,6 +169,27 @@ class OperatorsSpec extends SparkSpec {
     assert(fps.values.forall(_.nonEmpty))
   }
 
+  test("winnowedFingerprintSets (typed O(n) deque) equals the Column HOF form") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val toks = TextFunctions.tokenize(col("text"))
+    val hof = docs.filter(size(toks) >= 3)
+      .select(col("doc_id"), TextFunctions.winnowedFingerprints(toks, 3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val typed = TextFunctions.winnowedFingerprintSets(docs, "doc_id", "text", 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(typed === hof)
+    // also on edge shapes: short docs (< w k-grams), dup-heavy docs
+    val edge = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "a a a a a a a a"),
+      (4L, "x y"), (5L, "q w e r t y u i o p a s d f")).toDF("doc_id", "text")
+    val et = TextFunctions.tokenize(col("text"))
+    val eh = edge.filter(size(et) >= 3)
+      .select(col("doc_id"), TextFunctions.winnowedFingerprints(et, 3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val ety = TextFunctions.winnowedFingerprintSets(edge, "doc_id", "text", 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(ety === eh)
+  }
+
   test("bpePieces splits alnum runs and single punctuation pieces") {
     val df = Seq("Hello, world! it's 42").toDF("text")
     val out = df.select(TextFunctions.bpePieces(col("text"))).as[Seq[String]].collect().head
