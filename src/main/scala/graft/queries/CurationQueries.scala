@@ -4,11 +4,14 @@ import org.apache.spark.sql.functions._
 import graft.operators.Curation
 import Q._
 
-/** Curation pack: the pipeline stages between raw corpus and training
-  * batches — chunk-level boilerplate dedup, benchmark decontamination
-  * (overlap scoring + exact Bloom-prefiltered removal), contiguous
-  * sequence packing, deterministic stratified sampling, and repetition
-  * scoring. Oracle SQL shares the tokenization/h31 fragments with
+/** Curation pack (q78-q91): the pipeline stages between raw corpus
+  * and training batches — chunk-level boilerplate dedup, benchmark
+  * decontamination (overlap scoring + exact Bloom-prefiltered
+  * removal), contiguous sequence packing, deterministic stratified /
+  * percentile / mixture sampling, repetition scoring, vocabulary and
+  * BPE-pair counting, unigram log-prob LM scoring, and the composed
+  * end-to-end pipeline (q91 = [[graft.examples.CurationPipeline]]).
+  * Oracle SQL shares the tokenization/h31 fragments with
   * [[DedupQueries]] so the two engines can't drift.
   */
 object CurationQueries {

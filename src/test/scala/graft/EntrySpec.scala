@@ -15,10 +15,14 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every query executes at sf0.001") {
+    // toRdd.count() forces EVERY output column: a plain count() lets
+    // Catalyst prune projections, which would hide expressions that
+    // throw (or crawl — see NOTES_r4 on q75/q88) on real data
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try { fn(spark, sf001).count(); None }
+      try { fn(spark, sf001).queryExecution.toRdd.count(); None }
       catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+    GraftCache.releaseAll()
   }
 }
