@@ -59,43 +59,57 @@ object ScaleSoak {
     "q89_bpe_pair_counts", "q90_unigram_logprob", "q91_curation_pipeline")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/documents.parquet"))) return
+    // per-table existence checks: a crashed build must repair the
+    // missing tables on the next run, not be masked by the ones that
+    // finished (factor > 64 used to crash mid-build on the embedding
+    // shift — see the `% dim` below)
+    def missing(name: String) =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/$name.parquet"))
     val reps = spark.range(factor).select(col("id").cast("int").as("rep"))
 
-    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    docs.crossJoin(reps)
-      .select(
-        (col("doc_id") + col("rep").cast("long") * IdOff).as("doc_id"),
-        when(col("rep") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1~r"), col("rep")))).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    if (missing("documents")) {
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      docs.crossJoin(reps)
+        .select(
+          (col("doc_id") + col("rep").cast("long") * IdOff).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1~r"), col("rep")))).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
 
-    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val dim = 64
-    emb.crossJoin(reps)
-      .select(
-        (col("vec_id") + col("rep").cast("long") * IdOff).as("vec_id"),
-        when(col("rep") === 0, col("embedding"))
-          .otherwise(concat(
-            slice(col("embedding"), col("rep") + 1, lit(dim) - col("rep")),
-            slice(col("embedding"), lit(1), col("rep")))).as("embedding"),
-        (col("label") + col("rep") * 1000).as("label"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    if (missing("embeddings")) {
+      val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      val dim = 64
+      // shift amount wraps at the dimension: rep >= dim would make the
+      // first slice length non-positive (factor > 64 crashed here)
+      val shift = col("rep") % dim
+      emb.crossJoin(reps)
+        .select(
+          (col("vec_id") + col("rep").cast("long") * IdOff).as("vec_id"),
+          when(shift === 0, col("embedding"))
+            .otherwise(concat(
+              slice(col("embedding"), shift + 1, lit(dim) - shift),
+              slice(col("embedding"), lit(1), shift))).as("embedding"),
+          (col("label") + col("rep") * 1000).as("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
 
-    val sup = spark.read.parquet(s"$srcDir/supplier.parquet")
-    sup.crossJoin(reps)
-      .select(
-        (col("s_suppkey") + col("rep").cast("long") * IdOff).as("s_suppkey"),
-        when(col("rep") === 0, col("s_name"))
-          .otherwise(concat(col("s_name"), lit("~"), repeat(lit("x"), col("rep") * 3 - 1))).as("s_name"),
-        col("s_nationkey"), col("s_acctbal"))
-      .repartition(8)
-      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    if (missing("supplier")) {
+      val sup = spark.read.parquet(s"$srcDir/supplier.parquet")
+      sup.crossJoin(reps)
+        .select(
+          (col("s_suppkey") + col("rep").cast("long") * IdOff).as("s_suppkey"),
+          when(col("rep") === 0, col("s_name"))
+            .otherwise(concat(col("s_name"), lit("~"), repeat(lit("x"), col("rep") * 3 - 1))).as("s_name"),
+          col("s_nationkey"), col("s_acctbal"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    }
   }
 
   def main(args: Array[String]): Unit = {

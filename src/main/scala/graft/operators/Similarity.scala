@@ -80,12 +80,17 @@ object Similarity {
     (pmod(graft.plans.Md5Prefix32.md5prefix32(concat_ws("_", lit("plane"), plane, dim)),
       lit(2001L)) - 1000L).cast("double") / 1000.0
 
-  /** All same-LSH-bucket vector pairs above a cosine threshold — the
-    * scale path for embedding near-dup (the label-blocked exact variant
-    * in q55 is quadratic within a label cell, which grows with the
-    * corpus; hyperplane buckets subdivide by direction, so increasing
-    * `planes` keeps buckets small at any corpus size).
+  /** Bit-exact driver-side replay of [[planeWeight]] — the weights are
+    * constants per (plane, dim), so they are computed ONCE here and
+    * shipped as array literals instead of re-deriving an md5 digest per
+    * element per row (the old zip_with form cost planes*dim digests per
+    * vector — ~240 us/vector at 8x64, measured at the 100x soak tier).
     */
+  def planeWeightLocal(p: Int, d: Int): Double =
+    (graft.plans.Md5Hash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"plane_${p}_$d")) % 2001L - 1000L)
+      .toDouble / 1000.0
+
   /** Exact blocked embedding near-dup: all pairs within a blocking
     * column (a label / cluster / cell id) above a cosine threshold.
     * Quadratic WITHIN a block by design — per-block population grows
@@ -107,10 +112,26 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** All same-LSH-bucket vector pairs above a cosine threshold — the
+    * scale path for embedding near-dup (the label-blocked exact variant
+    * in q55 is quadratic within a label cell, which grows with the
+    * corpus; hyperplane buckets subdivide by direction).
+    *
+    * SCALING RULE (same shape as the simhash bands, measured at the
+    * 100x soak tier where planes=8 saturated to exp 1.33): there are
+    * 2^planes buckets, so bucket population grows ~N/2^planes and
+    * within-bucket pairs grow quadratically once buckets saturate.
+    * Size `planes >= log2(N) - log2(target bucket)` — e.g. 16 planes
+    * holds ~15k-vector buckets at N = 10^9. Guarded by
+    * `graft.block.maxBucket` like the other blocked self-joins; the
+    * error names this lever.
+    */
   def nearDupByLsh(emb: DataFrame, planes: Int, dim: Int, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
       .withColumn("bucket", lshBucket(col("e"), planes, dim))
       .withColumn("nrm", norm(col("e")))
+    Dedup.requireBoundedBlocks(e.select(col("bucket")), Seq(col("bucket")),
+      s"more hyperplanes (planes > $planes: buckets = 2^planes, currently ${1L << planes})")
     e.as("l").join(e.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
@@ -132,12 +153,7 @@ object Similarity {
     val qRows = embD.filter(col("vec_id") === queryId).select(col("e")).collect()
     require(qRows.nonEmpty, s"lshSearch: query vector vec_id=$queryId not found in the corpus")
     val qv = qRows.head.getSeq[Double](0)
-    // bit-exact driver replay of planeWeight()
-    def w(p: Int, d: Int): Double =
-      (graft.plans.Md5Hash.hash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s"plane_${p}_$d")) % 2001L - 1000L)
-        .toDouble / 1000.0
-    val projs = (0 until planes).map(p => (0 until dim).map(d => qv(d) * w(p, d)).sum)
+    val projs = (0 until planes).map(p => (0 until dim).map(d => qv(d) * planeWeightLocal(p, d)).sum)
     // same 9-decimal quantization as lshBucket before the sign bit
     def q9(x: Double): Double =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -163,10 +179,13 @@ object Similarity {
     */
   def lshBucket(embDouble: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(embDouble, sequence(lit(0), lit(dim - 1)),
-          (v, d) => v * planeWeight(lit(p), d)),
-        lit(0.0), (acc, v) => acc + v)
+      // literal weight array + the ArrayDotProduct codegen kernel: the
+      // kernel's sequential fold adds in the same element order as the
+      // old aggregate(zip_with(...)) form, so projections (and the
+      // 9-decimal-quantized sign bits) are bit-identical — but without
+      // planes*dim md5 digests per row
+      val ws = array((0 until dim).map(d => lit(planeWeightLocal(p, d))): _*)
+      val proj = graft.plans.ArrayDotProduct.array_dot(embDouble, ws)
       when(round(proj, 9) > 0, lit(1L) * (1L << p)).otherwise(0L)
     }
     bits.reduce(_ + _)
