@@ -56,7 +56,8 @@ object ScaleSoak {
     "q78_chunk_dedup", "q79_decontaminate", "q80_pack_greedy", "q81_stratified_sample",
     "q82_repetition", "q83_decontam_chunks", "q84_vocab_topk", "q85_length_hist",
     "q86_mixture_resample", "q87_simhash_pairs_wide", "q88_quality_percentile",
-    "q89_bpe_pair_counts", "q90_unigram_logprob", "q91_curation_pipeline")
+    "q89_bpe_pair_counts", "q90_unigram_logprob", "q91_curation_pipeline",
+    "q92_embedding_lsh_wide")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

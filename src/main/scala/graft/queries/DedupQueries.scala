@@ -92,6 +92,29 @@ object DedupQueries {
         ORDER BY doc_a, doc_b"""
   }
 
+  /** Hyperplane-LSH embedding near-dup pair SQL for a given plane
+    * count, mirroring [[graft.operators.Similarity.nearDupByLsh]].
+    * Parameterized so q71 (8 planes) and its wide twin q92 (10 planes
+    * — 4x the buckets, the saturation lever measured at the 100x soak
+    * tier) derive from one definition.
+    */
+  private[queries] def sqlEmbeddingLshPairs(planes: Int): String =
+    s"""WITH pw AS (SELECT p, d,
+          (((('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0 AS w
+          FROM unnest(generate_series(0, ${planes - 1})) AS tp(p), unnest(generate_series(0, 63)) AS td(d)),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
+        proj AS (SELECT vec_id, p, sum(e.e[d + 1] * pw.w) AS proj
+          FROM e CROSS JOIN pw GROUP BY 1, 2),
+        bk AS (SELECT vec_id, CAST(sum(CASE WHEN round(proj, 9) > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+          FROM proj GROUP BY vec_id)
+        SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+          round(list_cosine_similarity(le.embedding::DOUBLE[], re.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        JOIN $EmbPq le ON le.vec_id = l.vec_id
+        JOIN $EmbPq re ON re.vec_id = r.vec_id
+        WHERE round(list_cosine_similarity(le.embedding::DOUBLE[], re.embedding::DOUBLE[]), 6) >= 0.25
+        ORDER BY vec_a, vec_b"""
+
   /** Min-label propagation over `pairs` in path-expansion form
     * (min over nodes within distance <= iters — same semantics as
     * iterated rounds). Final CTE is named l{iters}.
@@ -182,6 +205,13 @@ object DedupQueries {
     // synthetic clusters are weak; same-bucket cosine tops out ~0.4.
     "q71_embedding_neardup_lsh" -> ((s, dir) =>
       Similarity.nearDupByLsh(t(s, dir, "embeddings"), planes = 8, dim = 64, threshold = 0.25)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // the wide-bucket twin (10 planes = 4x the buckets): same verified
+    // cosine pairs semantics, buckets sized for a bigger corpus — the
+    // saturation lever of the 100x soak tier, graded.
+    "q92_embedding_lsh_wide" -> ((s, dir) =>
+      Similarity.nearDupByLsh(t(s, dir, "embeddings"), planes = 10, dim = 64, threshold = 0.25)
         .orderBy(col("vec_a"), col("vec_b"))),
 
     // deterministic per-group subsample: 3 documents per lang in
@@ -338,22 +368,8 @@ object DedupQueries {
         s"SELECT doc_id, ${sqlH31("token")} AS h FROM (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks))",
         0.95, 1)}
           SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
-    "q71_embedding_neardup_lsh" ->
-      s"""WITH pw AS (SELECT p, d,
-            (((('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0 AS w
-            FROM unnest(generate_series(0, 7)) AS tp(p), unnest(generate_series(0, 63)) AS td(d)),
-          e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
-          proj AS (SELECT vec_id, p, sum(e.e[d + 1] * pw.w) AS proj
-            FROM e CROSS JOIN pw GROUP BY 1, 2),
-          bk AS (SELECT vec_id, CAST(sum(CASE WHEN round(proj, 9) > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
-            FROM proj GROUP BY vec_id)
-          SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-            round(list_cosine_similarity(le.embedding::DOUBLE[], re.embedding::DOUBLE[]), 6) AS cos_sim
-          FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-          JOIN $EmbPq le ON le.vec_id = l.vec_id
-          JOIN $EmbPq re ON re.vec_id = r.vec_id
-          WHERE round(list_cosine_similarity(le.embedding::DOUBLE[], re.embedding::DOUBLE[]), 6) >= 0.25
-          ORDER BY vec_a, vec_b""",
+    "q71_embedding_neardup_lsh" -> sqlEmbeddingLshPairs(8),
+    "q92_embedding_lsh_wide" -> sqlEmbeddingLshPairs(10),
     "q55_embedding_neardup" ->
       s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
           round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos_sim
