@@ -57,7 +57,8 @@ object ScaleSoak {
     "q82_repetition", "q83_decontam_chunks", "q84_vocab_topk", "q85_length_hist",
     "q86_mixture_resample", "q87_simhash_pairs_wide", "q88_quality_percentile",
     "q89_bpe_pair_counts", "q90_unigram_logprob", "q91_curation_pipeline",
-    "q92_embedding_lsh_wide")
+    "q92_embedding_lsh_wide", "q93_connected_components", "q94_quantize_int8",
+    "q95_source_overlap")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

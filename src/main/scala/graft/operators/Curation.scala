@@ -297,4 +297,48 @@ object Curation {
         col("nt").cast("int").as("n_tokens"),
         round(col("mx").cast("double") / col("nt").cast("double"), 6).as("top_ratio"),
         round(col("nd").cast("double") / col("nt").cast("double"), 6).as("distinct_ratio"))
+
+  /** Cross-source duplication matrix: for every ordered pair of corpus
+    * sources (crawl snapshots, dumps being mixed), the number of
+    * distinct `k`-token chunk fingerprints present in BOTH, and that
+    * overlap as a fraction of the smaller source's distinct chunks —
+    * the diagnostic that decides which source to drop (or dedup against
+    * which) before mixing. Chunk granularity (vs whole-document
+    * fingerprints) is what makes the signal usable: sources rarely
+    * share verbatim documents, they share boilerplate. Shape: one
+    * distinct over (fp, source) — the shuffle carries a 32-char
+    * fingerprint + source tag, never text — then a self-join on fp
+    * whose per-key cohabitation is bounded by the NUMBER OF SOURCES (a
+    * fingerprint appears at most once per source after the distinct),
+    * not the corpus: no bucket guard needed, this is quadratic only in
+    * the source count. The per-source distinct totals reuse the same
+    * frame; the sources-sized rate join broadcasts.
+    */
+  def crossSourceDupMatrix(docs: DataFrame, textCol: String,
+      srcCol: String, k: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // same chunking as [[chunkFingerprints]], but keyed by source so no
+    // corpus-wide join is needed to re-attach the source tag
+    val fps = graft.GraftCache.registered(
+      docs.select(col(srcCol), col(textCol)).as[(String, String)]
+        .flatMap { case (src, text) =>
+          val tk = text.toLowerCase.split(" ").filter(_.nonEmpty)
+          tk.grouped(k).withFilter(_.length == k).map(c => (src, c.mkString(" ")))
+        }
+        .toDF("source", "chunk")
+        .select(col("source"), md5(col("chunk")).as("fp"))
+        .distinct())
+    val totals = fps.groupBy(col("source")).agg(count(lit(1)).as("n_fps"))
+    val shared = fps.as("l").join(fps.as("r"),
+        col("l.fp") === col("r.fp") && col("l.source") < col("r.source"))
+      .groupBy(col("l.source").as("source_a"), col("r.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+    shared
+      .join(broadcast(totals.select(col("source").as("source_a"), col("n_fps").as("n_a"))), "source_a")
+      .join(broadcast(totals.select(col("source").as("source_b"), col("n_fps").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_fps"),
+        round(col("shared_fps").cast("double") / least(col("n_a"), col("n_b")).cast("double"), 6)
+          .as("overlap_rate"))
+  }
 }

@@ -303,8 +303,9 @@ object Dedup {
     * transitive duplicates survive dedup. Raising `iters` buys recall on
     * long chains at one extra join+distinct per hop; `iters = 3` is
     * exact for the clique-ish clusters boilerplate duplication actually
-    * produces. At 100 TB bounded rounds beat a full connected-components
-    * fixpoint (no driver-side convergence loop on the hot path).
+    * produces. When the diameter is unknown or chains matter, use
+    * [[connectedComponents]] — exact on any graph shape, converging in
+    * O(log^2 n) rounds via alternating large-star/small-star.
     */
   def labelPropagate(pairs: DataFrame, iters: Int = 3): DataFrame = {
     // Path-expansion form: label(d) = min over nodes within graph
@@ -333,6 +334,116 @@ object Dedup {
     val reach = (e.select(col("src"), col("src").as("dst")) :: hops).reduce(_.union(_))
     reach.groupBy(col("src")).agg(min(col("dst")).as("label"))
       .withColumnRenamed("src", "doc")
+  }
+
+  /** EXACT connected components over a near-dup pair graph, via the
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * convergent complement to [[labelPropagate]]: where bounded rounds
+    * split any component whose diameter exceeds `iters`, this converges
+    * to the TRUE component minimum for every node on any graph shape,
+    * in O(log^2 n) rounds regardless of diameter (a million-node chain
+    * takes ~tens of rounds, not a million).
+    *
+    * Scale shape: each round is two star operations; each star is one
+    * groupBy-min plus one join, both keyed on node id — the shuffles
+    * carry (long, long) pairs only, and no per-component state ever
+    * concentrates on one key (the star transforms themselves are the
+    * skew treatment: high-degree nodes shed their neighborhoods toward
+    * the minimum). The only driver traffic is a 2-value convergence
+    * signature per round. Each round's edge set is eagerly
+    * local-checkpointed and the previous round's released immediately,
+    * so both lineage and the logical plan stay one round deep (see the
+    * in-body comment for the cluster-reliability tradeoff).
+    *
+    * Choosing between the two: [[labelPropagate]] is ONE linear plan
+    * (no convergence loop, unrollable to SQL) and exact for clusters of
+    * diameter <= iters — the boilerplate near-cliques dedup actually
+    * meets. Use `connectedComponents` when transitive chains matter
+    * (entity resolution, fuzzy matches composing a->b->c->...) and the
+    * diameter is unknown.
+    *
+    * Self-pairs are dropped; nodes appearing only in self-pairs do not
+    * appear in the output (they have no near-dup edges). Output schema
+    * matches [[labelPropagate]]: (doc, label).
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // canonical undirected edges (a < b), deduped
+    val edges0 = pairs
+      .select(col("doc_a").cast("long").as("x"), col("doc_b").cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+
+    // large-star: per node u over the SYMMETRIC neighbor view, connect
+    // every strictly-larger neighbor to m = min(N(u) ∪ {u}). Emitted
+    // pairs are (m, v) with m < v — already canonical.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+    }
+
+    // small-star: orient each edge toward its LARGER endpoint, then per
+    // node u connect every smaller neighbor (and u itself) to
+    // m = min(N(u)); since all of N(u) < u, m = min(N(u)) < u.
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(col("b").as("u"), col("a").as("v")) // canonical ⇒ v < u
+      val mins = o.groupBy("u").agg(min(col("v")).as("m"))
+      val leaves = o.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+      val centers = mins.select(col("m").as("a"), col("u").as("b"))
+      leaves.union(centers).distinct()
+    }
+
+    // Convergence signature: (edge count, sum of 64-bit edge hashes —
+    // summed as decimal(38,0) so ANSI mode can't overflow). One tiny
+    // aggregate per round — it doubles as the action that materializes
+    // the round's persisted edge set.
+    def signature(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).collect().head
+      (r.getLong(0), if (r.isNullAt(1)) "" else r.getDecimal(1).toString)
+    }
+
+    // Each round is EAGERLY local-checkpointed: a star references its
+    // input twice and a round composes two stars, so without lineage
+    // truncation the logical plan quadruples per round and the
+    // analyzer/optimizer, not the data, becomes the bottleneck. The
+    // checkpoint materializes two longs per edge; on a cluster where
+    // executor loss must be survivable, use a reliable checkpoint dir
+    // (`spark.sparkContext.setCheckpointDir` + `.checkpoint()`) —
+    // recomputing a lost local block is impossible once lineage is cut.
+    var cur = edges0.localCheckpoint(true)
+    var sig = signature(cur)
+    var rounds = 0
+    var converged = sig._1 == 0L
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextSig = signature(next)
+      cur.unpersist(blocking = false)
+      converged = nextSig == sig
+      cur = next; sig = nextSig; rounds += 1
+    }
+    if (!converged) {
+      cur.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "raise maxRounds (rounds needed grow ~log^2 of the largest component)")
+    }
+
+    // At the fixpoint the edge set is a star forest: every canonical
+    // edge is (component-min, leaf). Centers label themselves. `cur` is
+    // checkpointed (blocks freed by the ContextCleaner when the frame
+    // is unreachable), so the returned plan is shallow.
+    val nodes = edges0.select(col("a").as("doc")).union(edges0.select(col("b").as("doc"))).distinct()
+    val leafLabels = cur.groupBy(col("b").as("doc")).agg(min(col("a")).as("lbl"))
+    nodes.join(leafLabels, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("lbl"), col("doc")).as("label"))
   }
 
   /** Blocked fuzzy-duplicate pairs by Levenshtein edit distance — the

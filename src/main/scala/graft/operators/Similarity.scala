@@ -318,6 +318,55 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means the
+    * corpus into `cells` clusters, find within-cell pairs above a
+    * cosine `threshold`, connect them into semantic-duplicate clusters
+    * ([[Dedup.connectedComponents]] — exact on any chain length), and
+    * keep one representative (the minimum vec_id) per cluster plus all
+    * unpaired vectors. Returns the KEPT rows of `emb`.
+    *
+    * Scale shape: assignment is map-side against driver-held centroids
+    * (no shuffle), the pair join shuffles on the cell id, and the
+    * quadratic step is within-cell only — sized by cells, which is the
+    * operator's lever the same way planes/bits are for LSH/simhash;
+    * oversized cells are refused via `graft.block.maxBucket`
+    * ([[nearDupExactBlocked]] enforces it on the cell column).
+    */
+  def semanticDedup(emb: DataFrame, cells: Int, iters: Int, threshold: Double): DataFrame = {
+    val embD = graft.GraftCache.registered(
+      emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
+    val cents = kmeansCellsLocal(embD, cells, iters)
+    val assigned = assignCells(embD, cents)
+      .select(col("vec_id"), col("cell").as("label"), col("e").as("embedding"))
+    val pairs = nearDupExactBlocked(assigned, "label", threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val drop = Dedup.connectedComponents(pairs)
+      .filter(col("doc") =!= col("label"))
+      .select(col("doc").as("vec_id"))
+    emb.join(drop, Seq("vec_id"), "left_anti")
+  }
+
+  /** Per-vector symmetric int8 scalar quantization: scale =
+    * max(|e|)/127 (floored at 1e-12 so a zero vector quantizes to zeros
+    * instead of NaN), q[i] = floor(e[i]/scale + 0.5) — round-half-up
+    * toward +inf, spelled the same way in the oracle so both engines
+    * agree on ties — clamped into a byte by construction (|e[i]/scale|
+    * <= 127). Stores 1 byte/dim + one double scale: 4x less I/O than
+    * float32 at rest, so a 100 TB embedding sweep scans 25 TB.
+    * Dequantization is q[i]*scale; the per-element reconstruction error
+    * is bounded by scale/2 (pinned in OperatorsSpec along with top-k
+    * recall of the dequantized search).
+    *
+    * Output: the input row plus `scale` (double) and `qvec`
+    * (array<byte>).
+    */
+  def quantizeInt8(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val e = toDoubleVec(col(vecCol))
+    emb
+      .withColumn("scale", greatest(array_max(transform(e, v => abs(v))) / 127.0, lit(1e-12)))
+      .withColumn("qvec", transform(e, v => floor(v / col("scale") + lit(0.5)).cast("byte")))
+  }
+
   /** Cross-modal retrieval: expand a seed set of documents (matched by
     * text) into similar items in embedding space — seed vectors →
     * centroid → top-k nearest non-seed vectors. The "find more data

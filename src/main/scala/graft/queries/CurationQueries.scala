@@ -98,6 +98,14 @@ object CurationQueries {
           col("source").isin(RefSrcs.map(x => x: Any): _*))
         .orderBy(col("doc_id"))),
 
+    // cross-source duplication matrix: distinct 16-token chunk
+    // fingerprints shared by each source pair + overlap rate vs the
+    // smaller side — the "which dumps repeat each other" mixing
+    // diagnostic.
+    "q95_source_overlap" -> ((s, dir) =>
+      Curation.crossSourceDupMatrix(t(s, dir, "documents"), "text", "source", 16)
+        .orderBy(col("source_a"), col("source_b"))),
+
     // BPE merge-iteration count step: top-50 adjacent piece pairs.
     "q89_bpe_pair_counts" -> ((s, dir) =>
       Curation.bpePairCounts(t(s, dir, "documents"), "text", 50)),
@@ -235,6 +243,16 @@ object CurationQueries {
             CAST((cum - n) // 256 AS BIGINT) AS bin
           FROM w ORDER BY doc_id"""
     },
+    "q95_source_overlap" ->
+      s"""WITH chunks AS (${sqlChunks(16, ", source")}),
+          fps AS (SELECT DISTINCT fp, source FROM chunks),
+          tot AS (SELECT source, count(*) AS n FROM fps GROUP BY 1),
+          sh AS (SELECT l.source AS source_a, r.source AS source_b, count(*) AS shared_fps
+                 FROM fps l JOIN fps r ON l.fp = r.fp AND l.source < r.source GROUP BY 1, 2)
+          SELECT source_a, source_b, shared_fps,
+            round(shared_fps::DOUBLE / least(a.n, b.n)::DOUBLE, 6) AS overlap_rate
+          FROM sh JOIN tot a ON a.source = source_a JOIN tot b ON b.source = source_b
+          ORDER BY source_a, source_b""",
     "q89_bpe_pair_counts" ->
       s"""WITH p AS (SELECT doc_id,
             regexp_extract_all(lower(text), '${graft.functions.TextFunctions.BpePiecePattern}') AS ps

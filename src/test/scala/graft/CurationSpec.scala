@@ -54,6 +54,20 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(2L))
   }
 
+  test("crossSourceDupMatrix counts shared chunk fingerprints with min-side rate") {
+    // ref/ref share nothing; docs 0 (ref) and 2 (held) share the
+    // aligned boilerplate chunk → exactly one overlapping fp
+    val out = Curation.crossSourceDupMatrix(docsDf, "text", "source", 4).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("source_a") === "held" && r.getAs[String]("source_b") === "ref")
+    assert(r.getAs[Long]("shared_fps") === 1L)
+    // held has 6 distinct chunk fps (docs 2,3; doc 4 too short), ref 5
+    // (6 chunks, boilerplate shared) → rate = 1/5
+    assert(r.getAs[Double]("overlap_rate") === 0.2)
+    graft.GraftCache.releaseAll()
+  }
+
   test("decontaminateByChunks equals the plain exact anti-join (Bloom only prunes)") {
     val ref = col("source") === "ref"
     val got = Curation.decontaminateByChunks(docsDf, ref, "doc_id", "text", 4)

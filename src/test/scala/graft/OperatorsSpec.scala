@@ -222,11 +222,78 @@ class OperatorsSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents converges on long chains where bounded propagation splits") {
+    // a 12-node chain (diameter 11): labelPropagate(3) must split it,
+    // connectedComponents must not
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === (0L to 11L).map(_ -> 0L).toMap)
+    val bounded = Dedup.labelPropagate(chain, 3)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(bounded.size > 1) // the documented split — the gap cc closes
+    graft.GraftCache.releaseAll()
+  }
+
+  test("connectedComponents handles multiple components, cycles, and empty input") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), // triangle
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L), // cycle + tail
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(empty.collect().isEmpty)
+    graft.GraftCache.releaseAll()
+  }
+
   test("simhashPairs finds hamming-close docs via byte-band blocking") {
     val pairs = Dedup.simhashPairs(docsDf, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     // identical docs 0 and 3 -> hamming 0
     assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0))
+  }
+
+  test("semanticDedup keeps one representative per semantic cluster plus singletons") {
+    // two tight clusters + one singleton; ids 0 and 1 are in different
+    // clusters so the deterministic k-means init (lowest ids) seeds one
+    // centroid in each
+    val emb = Seq(
+      (0L, Seq(1.0, 0.01, 0.0, 0.0)), (2L, Seq(1.0, 0.0, 0.01, 0.0)), (4L, Seq(1.0, 0.0, 0.0, 0.01)),
+      (1L, Seq(0.0, 1.0, 0.01, 0.0)), (3L, Seq(0.0, 1.0, 0.0, 0.01)),
+      (5L, Seq(0.01, 0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(emb, cells = 2, iters = 2, threshold = 0.99)
+      .select(col("vec_id")).as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 1L, 5L))
+    graft.GraftCache.releaseAll()
+  }
+
+  test("quantizeInt8: bytes bounded, reconstruction within scale/2, top-k survives dequantization") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val q = Similarity.quantizeInt8(emb)
+      .select(col("vec_id"), col("scale"),
+        Similarity.toDoubleVec(col("embedding")).as("e"), col("qvec"))
+      .collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val scale = r.getDouble(1)
+      val e = r.getSeq[Double](2); val qv = r.getSeq[Byte](3)
+      assert(e.length === qv.length)
+      qv.foreach(b => assert(math.abs(b.toInt) <= 127))
+      // round-half-up quantization error is at most half a step
+      e.zip(qv).foreach { case (x, b) =>
+        assert(math.abs(x - b * scale) <= scale / 2 + 1e-12)
+      }
+    }
+    // dequantized brute-force top-10 overlaps the exact top-10 heavily
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val deq = Similarity.quantizeInt8(emb)
+      .select(col("vec_id"), transform(col("qvec"), v => v * col("scale")).as("embedding"))
+    val approx = Similarity.bruteForceTopK(deq, 0L, 10).collect().map(_.getLong(0)).toSet
+    assert((exact intersect approx).size >= 8, s"recall too low: $exact vs $approx")
   }
 
   test("label-cell ivfTopK probes one cell and returns ranked neighbors") {

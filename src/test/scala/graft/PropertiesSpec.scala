@@ -99,6 +99,29 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("law: connectedComponents ≡ union-find component minimum (any graph shape)") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOf(Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+        .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
+    for (edges <- samples(edgeGen, 5) if edges.nonEmpty) {
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) parent(find(a)) = find(b)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+      val want = nodes.map(n => n -> minOfRoot(find(n))).toMap
+      assert(got === want, s"edges=$edges")
+      graft.GraftCache.releaseAll()
+    }
+  }
+
   test("MeanAggregator registers as a SQL UDAF (udaf() path)") {
     import org.apache.spark.sql.functions.udaf
     spark.udf.register("graft_mean", udaf(new MeanAggregator[Double](identity)))
