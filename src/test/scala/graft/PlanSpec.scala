@@ -127,6 +127,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("quantizeInt8 plans as a pure scan+project (no shuffle, no join)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val p = plan(graft.operators.Similarity.quantizeInt8(emb)
+      .select(col("vec_id"), col("scale"), col("qvec")))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("session extensions expose the codegen kernels to SQL") {
     graft.plans.GraftExtensions.install(spark)
     val Array(h, ref) = spark.sql(
