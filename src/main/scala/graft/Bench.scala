@@ -35,10 +35,24 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (cold, coldErr) = timed(fn(spark, sfDir).count())
       val (warm, warmErr) = timed(fn(spark, sfDir).count())
+      // Queries must be timed in ISOLATION: the pair/ANN pipelines
+      // persist intermediates through GraftCache, and without a release
+      // here 88 queries x 2 runs accrete hundreds of cached frames —
+      // storage-memory eviction storms made round 4's driver run 3x
+      // slower (and noisy) versus the same tree benched query-by-query.
+      // Released AFTER the warm run so the warm number still reuses the
+      // cold run's persisted frames (CacheManager plan-matching), same
+      // as a real composed pipeline would.
+      GraftCache.releaseAll()
       (name, cold, warm, coldErr.orElse(warmErr))
     }
     def fmt(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Stdout variant rounds to ms: the driver's tail capture holds only
+    // the last ~4 KB of stdout, and full-precision doubles pushed the
+    // line past it three rounds running ("parsed": null).
+    def fmt3(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }.mkString("{", ",", "}")
     val warmQs = fmt(results.map(r => r._1 -> r._3))
     val coldQs = fmt(results.map(r => r._1 -> r._2))
     val errs = results.collect { case (n, _, _, Some(e)) => "\"" + n + "\":\"" + e + "\"" }
@@ -61,6 +75,7 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$warmQs,$tail}""")
+    val warmTotal3 = math.rint(warmTotal * 1000) / 1000
+    println(s"""{"metric":"total","value":$warmTotal3,"unit":"sec","queries":${fmt3(results.map(r => r._1 -> r._3))},"n_errors":$nErrors,"sf":"$sfDir"}""")
   }
 }

@@ -403,7 +403,10 @@ object Dedup {
     // Convergence signature: (edge count, sum of 64-bit edge hashes —
     // summed as decimal(38,0) so ANSI mode can't overflow). One tiny
     // aggregate per round — it doubles as the action that materializes
-    // the round's persisted edge set.
+    // the round's persisted edge set. The signature is PROBABILISTIC
+    // (two distinct edge sets could share count + hash-sum), so a match
+    // only nominates the round for the exact confirmation below — a
+    // collision costs one extra round, never a wrong answer.
     def signature(e: DataFrame): (Long, String) = {
       val r = e.agg(count(lit(1)),
         sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).collect().head
@@ -419,14 +422,24 @@ object Dedup {
     // (`spark.sparkContext.setCheckpointDir` + `.checkpoint()`) —
     // recomputing a lost local block is impossible once lineage is cut.
     var cur = edges0.localCheckpoint(true)
+    // Node ids are enumerated from the FIRST checkpoint, eagerly (its
+    // blocks are released inside the loop, after which the cut lineage
+    // cannot recompute) — deriving them from `edges0` at the end would
+    // re-run the whole upstream pair pipeline a second time.
+    val nodes = cur.select(col("a").as("doc")).union(cur.select(col("b").as("doc")))
+      .distinct().localCheckpoint(true)
     var sig = signature(cur)
     var rounds = 0
     var converged = sig._1 == 0L
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       val nextSig = signature(next)
+      // Signature match => confirm exactly. Counts are equal, so
+      // next ⊆ cur implies set equality; one except().isEmpty is the
+      // whole check, and it runs at most once per collision + once at
+      // the true fixpoint — not per round.
+      converged = nextSig == sig && next.except(cur).isEmpty
       cur.unpersist(blocking = false)
-      converged = nextSig == sig
       cur = next; sig = nextSig; rounds += 1
     }
     if (!converged) {
@@ -437,10 +450,9 @@ object Dedup {
     }
 
     // At the fixpoint the edge set is a star forest: every canonical
-    // edge is (component-min, leaf). Centers label themselves. `cur` is
-    // checkpointed (blocks freed by the ContextCleaner when the frame
-    // is unreachable), so the returned plan is shallow.
-    val nodes = edges0.select(col("a").as("doc")).union(edges0.select(col("b").as("doc"))).distinct()
+    // edge is (component-min, leaf). Centers label themselves. `cur`
+    // and `nodes` are checkpointed (blocks freed by the ContextCleaner
+    // when the frames are unreachable), so the returned plan is shallow.
     val leafLabels = cur.groupBy(col("b").as("doc")).agg(min(col("a")).as("lbl"))
     nodes.join(leafLabels, Seq("doc"), "left")
       .select(col("doc"), coalesce(col("lbl"), col("doc")).as("label"))
