@@ -154,21 +154,38 @@ object Dedup {
     */
   def jaccardVerifyHashed(sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
     verifyCandidatesWithSets(candidates,
-      sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs")), threshold)
+      sh.groupBy(col("doc_id")).agg(sort_array(collect_set(col("h"))).as("hs")), threshold)
 
   /** Shared verify tail: attach each candidate pair's (doc_id, hs) hash
     * sets via two hash joins (AQE broadcasts the set side when it
     * fits — per-pair arrays never cross a shuffle) and keep pairs at or
     * above the Jaccard threshold.
+    *
+    * `hs` must be SORTED sets (every producer sorts once per doc at
+    * aggregation): the per-pair Jaccard is then one merge scan
+    * ([[graft.plans.SortedIntersectCount]]) plus the set identity
+    * |A ∪ B| = |A| + |B| - |A ∩ B| — versus `array_intersect` +
+    * `array_union`, which build two hash sets per PAIR (measured ~3x
+    * on the q53 verify loop; value-identical, pinned in PlanSpec).
     */
   private def verifyCandidatesWithSets(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    scoredCandidates(cand, sets)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Candidate pairs annotated with (|A ∩ B|, |A|, |B|) — the shared
+    * scoring shape both the Jaccard and the containment verify tails
+    * project their metric from.
+    */
+  private def scoredCandidates(cand: DataFrame, sets: DataFrame): DataFrame =
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        graft.plans.SortedIntersectCount.sorted_intersect_count(col("hs_a"), col("hs_b")).as("inter"),
+        size(col("hs_a")).as("na"), size(col("hs_b")).as("nb"))
 
   /** End-to-end MinHash near-dup pipeline over 3-word shingles — see
     * [[pairsFromHashes]] for the shared shuffle-minimal shape (one
@@ -203,7 +220,7 @@ object Dedup {
     val sigSets = graft.GraftCache.registered(sh.groupBy(col("doc_id"))
       .agg(min(permuted(col("h"), 0)).as("mh0"),
         (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")) :+
-          collect_set(col("h")).as("hs"): _*))
+          sort_array(collect_set(col("h"))).as("hs"): _*))
     // band join + skinny-candidate dedup and the verify tail are the
     // single shared implementations — the extra hs column rides along
     // harmlessly through minhashCandidates' projection
@@ -537,15 +554,26 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val base = graft.GraftCache.registered(docs.select(col("doc_id"), col("lang"),
         (col("n_chars") / 64).cast("long").as("len_bucket"),
-        array_distinct(transform(tokenize(col("text")), t => h31(t))).as("toks")))
+        array_sort(array_distinct(transform(tokenize(col("text")), t => h31(t)))).as("toks")))
     requireBoundedBlocks(base.select(col("lang"), col("len_bucket")),
       Seq(col("lang"), col("len_bucket")), "Dedup.ngramJaccardPairsLsh")
+    // J(A,B) >= t bounds the set sizes: t*|B| <= |A ∩ B| <= |A| (and
+    // symmetrically), so the size-ratio predicate below is LOSSLESS —
+    // it prunes pairs before the per-pair merge scan runs. Sizes ride
+    // in the join condition; the merge-scan Jaccard (sorted sets + the
+    // union identity, see [[verifyCandidatesWithSets]]) runs only on
+    // surviving pairs.
     base.as("l").join(base.as("r"),
         col("l.lang") === col("r.lang") && col("l.len_bucket") === col("r.len_bucket") &&
-          col("l.doc_id") < col("r.doc_id"))
+          col("l.doc_id") < col("r.doc_id") &&
+          size(col("l.toks")).cast("double") >= lit(threshold) * size(col("r.toks")) &&
+          size(col("r.toks")).cast("double") >= lit(threshold) * size(col("l.toks")))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        round(size(array_intersect(col("l.toks"), col("r.toks"))).cast("double") /
-          size(array_union(col("l.toks"), col("r.toks"))).cast("double"), 6).as("jaccard"))
+        graft.plans.SortedIntersectCount.sorted_intersect_count(col("l.toks"), col("r.toks")).as("inter"),
+        size(col("l.toks")).as("na"), size(col("r.toks")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

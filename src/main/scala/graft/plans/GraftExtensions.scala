@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   graft_md5prefix32(str)      -> bigint  (shared LSH base hash)
   *   graft_array_dot(a, b)       -> double  (embedding dot product)
   *   graft_clean_len(str)        -> int     (count of [a-z0-9 ] chars)
+  *   graft_sorted_intersect(a, b)-> bigint  (|a ∩ b| of sorted long sets)
   *
   * Wire-up: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
   * at session build, or [[GraftExtensions.install]] on a live session.
@@ -34,7 +35,8 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_md5prefix32" -> arity("graft_md5prefix32", 1)(args => Md5Prefix32(args.head)),
     "graft_array_dot" -> arity("graft_array_dot", 2)(args => ArrayDotProduct(args(0), args(1))),
-    "graft_clean_len" -> arity("graft_clean_len", 1)(args => CleanAlnumLen(args.head)))
+    "graft_clean_len" -> arity("graft_clean_len", 1)(args => CleanAlnumLen(args.head)),
+    "graft_sorted_intersect" -> arity("graft_sorted_intersect", 2)(args => SortedIntersectCount(args(0), args(1))))
 
   /** Register the functions on an already-built session. */
   def install(spark: SparkSession): Unit =

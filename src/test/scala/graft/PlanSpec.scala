@@ -164,6 +164,39 @@ class PlanSpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("SortedIntersectCount equals the hash-set Jaccard spelling on the corpus") {
+    import org.apache.spark.sql.functions._
+    // kernel vs array_intersect/array_union on adversarial shapes
+    graft.plans.GraftExtensions.install(spark)
+    val edge = spark.sql(
+      """SELECT graft_sorted_intersect(array(1L, 3L, 7L), array(3L, 7L, 9L)) AS a,
+                graft_sorted_intersect(array(), array(1L, 2L)) AS b,
+                graft_sorted_intersect(array(5L), array(5L)) AS c,
+                graft_sorted_intersect(array(-9L, -1L, 0L), array(-1L, 0L, 2L)) AS d""")
+      .collect().head
+    assert(edge.toSeq === Seq(2L, 0L, 1L, 2L))
+    // end-to-end: the merge-scan Jaccard pairs equal the hash-set form
+    // pair-for-pair on the real corpus
+    val docs = graft.queries.Q.t(spark, sf001, "documents")
+    val fast = graft.operators.Dedup.ngramJaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val slowBase = docs.select(col("doc_id"), col("lang"),
+      (col("n_chars") / 64).cast("long").as("len_bucket"),
+      array_distinct(transform(graft.functions.TextFunctions.tokenize(col("text")),
+        t => graft.operators.Dedup.h31(t))).as("toks"))
+    val slow = slowBase.as("l").join(slowBase.as("r"),
+        col("l.lang") === col("r.lang") && col("l.len_bucket") === col("r.len_bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id"), col("r.doc_id"),
+        round(size(array_intersect(col("l.toks"), col("r.toks"))).cast("double") /
+          size(array_union(col("l.toks"), col("r.toks"))).cast("double"), 6).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast === slow)
+    assert(fast.nonEmpty)
+    graft.GraftCache.releaseAll()
+  }
+
   test("IVF index probe prunes the scan to exactly the probed cell partitions") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity
