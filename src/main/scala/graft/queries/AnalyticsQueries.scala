@@ -14,13 +14,20 @@ object AnalyticsQueries {
 
   val queries: Map[String, QFn] = Map(
     // approx_count_distinct (HLL) — the modern upgrade the reference
-    // lacks (SURVEY §2.3 "distinct counting (HLL): absent"). No oracle:
-    // sketch estimates are engine-specific; driver does rows-only.
+    // lacks (SURVEY §2.3 "distinct counting (HLL): absent"). The raw
+    // sketch estimate is engine-specific, so what is GRADED is the
+    // bounded-relative-error contract: |estimate - exact| <= 5% * exact
+    // per group, as an integer the oracle computes exactly (the sketch
+    // is deterministic given the data, and rsd=0.01 puts the 5% bound
+    // at 5 sigma — a real HLL regression flips the bit, noise cannot).
     "q13_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("_approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("_approx") - col("exact_parts")) <= lit(0.05) * col("exact_parts"))
+            .cast("int").as("within_5pct"))
         .orderBy(col("l_returnflag"))),
 
     // two-phase salted aggregation over the heavily-skewed returnflag
@@ -143,6 +150,12 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // The oracle asserts the CONTRACT (estimate within 5% of exact):
+    // exact count computed exactly, within_5pct must be 1. A Spark HLL
+    // regression (or a broken sketch merge) makes the hash mismatch.
+    "q13_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, 1 AS within_5pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q65_multimodal_decode" -> {
       val feats = (0 until 8).map(i =>
         s"round((coalesce(list_sum(list_transform(generate_series($i + 1, len(text), 8), j -> ord(substr(text, j, 1)))), 0) % 1000) / 1000.0, 6) AS f$i")

@@ -130,9 +130,41 @@ object CurationQueries {
       Curation.percentileGate(scored, "lang", "quality", 0.2)
         .select(col("doc_id"), col("lang"), col("quality"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the approx-percentile scale path, graded on its rank-error
+    // contract: the sketch threshold (accuracy 10000) must land inside
+    // the stratum's exact [0.15, 0.25] quantile band — guaranteed by
+    // the sketch's rank error (n/10000 ranks) whenever the band is at
+    // least one rank wide, hence the n >= 20 stratum filter. Everything
+    // numeric is computed in Spark; the oracle replays only the integer
+    // contract (strata sizes + the asserted bit).
+    "q97_percentile_approx" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs
+        .join(graft.functions.TextFunctions.tokenAggregates(docs, "doc_id", "text"),
+          Seq("doc_id"), "left_outer")
+        .select(col("lang"),
+          graft.functions.TextFunctions.qualityFromScores(col("text")).as("quality"))
+      scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("quality"), lit(0.2), lit(10000)).as("_approx"),
+          percentile(col("quality"), lit(0.15)).as("_lo"),
+          percentile(col("quality"), lit(0.25)).as("_hi"))
+        .filter(col("n") >= 20)
+        .select(col("lang"), col("n"),
+          (col("_approx") >= col("_lo") && col("_approx") <= col("_hi"))
+            .cast("int").as("within_band"))
+        .orderBy(col("lang"))
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // contract row (see the q97 query comment): strata sizes are exact
+    // integers; within_band must be 1 — a sketch regression (or an
+    // accuracy misconfiguration) flips it and breaks the hash.
+    "q97_percentile_approx" ->
+      s"""SELECT lang, count(*) AS n, 1 AS within_band FROM $DocsPq
+          GROUP BY lang HAVING count(*) >= 20 ORDER BY lang""",
     "q78_chunk_dedup" ->
       s"""WITH chunks AS (${sqlChunks(16, "")})
           SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,

@@ -231,6 +231,34 @@ class PlanSpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
+  test("q68 reuses the persisted exactKept frame across pipeline branches") {
+    // exactKept feeds (a) the minhash signature aggregation and (b) the
+    // final representative join: both branches must read the
+    // InMemoryRelation, not re-run scoring + fingerprint dedup. Two or
+    // more cache scans in the executed plan pin that; a refactor that
+    // drops the persist (or breaks CacheManager plan-matching) would
+    // silently double the two heaviest aggregations at 100 TB.
+    val df = q("q68_corpus_clean")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val cacheScans = "TableCacheQueryStage|InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheScans >= 2, s"expected >=2 cache scans in q68's executed plan, got $cacheScans:\n$p")
+    GraftCache.releaseAll()
+  }
+
+  test("q91 reuses the persisted reference chunk set for the verify join") {
+    // decontaminateByChunks computes the reference chunk fingerprints
+    // once (GraftCache-persisted): the Bloom build consumed it as its
+    // own action, and the exact verify join must read the cache, not
+    // re-chunk the reference partition.
+    val df = q("q91_curation_pipeline")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val cacheScans = "TableCacheQueryStage|InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheScans >= 1, s"expected a cache scan in q91's executed plan, got none:\n$p")
+    GraftCache.releaseAll()
+  }
+
   test("partitioned writes enable partition pruning at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
     graft.queries.Q.t(spark, sf001, "documents")
