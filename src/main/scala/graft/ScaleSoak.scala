@@ -58,7 +58,7 @@ object ScaleSoak {
     "q86_mixture_resample", "q87_simhash_pairs_wide", "q88_quality_percentile",
     "q89_bpe_pair_counts", "q90_unigram_logprob", "q91_curation_pipeline",
     "q92_embedding_lsh_wide", "q93_connected_components", "q94_quantize_int8",
-    "q95_source_overlap")
+    "q95_source_overlap", "q98_fuzzy_pairs_deletion")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the
@@ -89,13 +89,29 @@ object ScaleSoak {
       // shift amount wraps at the dimension: rep >= dim would make the
       // first slice length non-positive (factor > 64 crashed here)
       val shift = col("rep") % dim
+      // Replicas sharing a shift (rep and rep + 64k) would otherwise be
+      // IDENTICAL vector sets under new ids: the first x1000 build held
+      // 14.64M exact cross-replica vector pairs, so every pair query's
+      // TRUE result grew quadratically in the factor — a generator
+      // artifact, not an operator cost (q92 read 481 s on that corpus).
+      // A per-replica sign mask — coordinate j flipped by a
+      // pseudorandom bit of mask = rep / dim — preserves norms and all
+      // within-replica dot products (s_j² = 1) while decorrelating
+      // same-shift replicas, the vector analogue of the token-suffix
+      // rewrite that keeps document replicas disjoint.
+      val mask = (col("rep") / dim).cast("long")
+      val shifted = when(shift === 0, col("embedding"))
+        .otherwise(concat(
+          slice(col("embedding"), shift + 1, lit(dim) - shift),
+          slice(col("embedding"), lit(1), shift)))
+      val signed = when(mask === 0, shifted)
+        .otherwise(transform(shifted, (x, j) =>
+          (x * when(((mask * 2654435761L + (j + 1) * 40503L) % 1000003L) % 2 === 1, -1.0d)
+            .otherwise(1.0d)).cast("float")))
       emb.crossJoin(reps)
         .select(
           (col("vec_id") + col("rep").cast("long") * IdOff).as("vec_id"),
-          when(shift === 0, col("embedding"))
-            .otherwise(concat(
-              slice(col("embedding"), shift + 1, lit(dim) - shift),
-              slice(col("embedding"), lit(1), shift))).as("embedding"),
+          signed.as("embedding"),
           (col("label") + col("rep") * 1000).as("label"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")

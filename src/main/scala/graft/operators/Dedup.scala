@@ -543,6 +543,59 @@ object Dedup {
     }
   }
 
+  /** Deletion-neighborhood fuzzy pairs — the FastSS candidate scheme
+    * (Bocek et al. 2007, "Fast Similarity Search in Large
+    * Dictionaries"), and the scale path that retires
+    * [[editDistancePairs]]'s fixed-key blocking for maxDist = 1.
+    *
+    * Every string emits its deletion neighborhood {s} ∪ {s minus
+    * character i} — at most len+1 variants, 64-bit-hashed down to a
+    * long join key. Two strings within Levenshtein distance 1 ALWAYS
+    * share an element (equal strings: s itself; insert/delete: the
+    * shorter string is in the longer one's neighborhood; substitute:
+    * both sides minus the edited position coincide), so the hash
+    * self-join is a COMPLETE candidate set; and any two strings sharing
+    * an element are within distance 2, so one thresholded `levenshtein`
+    * per distinct candidate pair verifies exactly. Both directions are
+    * property-tested against a brute-force oracle in OperatorsSpec.
+    *
+    * Scale shape: a neighborhood bucket's population is bounded by the
+    * corpus's TRUE near-duplicate structure (plus ~2^-64 hash
+    * collisions, which the verify filter removes), not by corpus size —
+    * unlike 2-char blocking there is no saturation cliff, so no
+    * `graft.block.maxBucket` guard is needed. The candidate self-join
+    * shuffles only (id, 64-bit key) pairs — |s|+1 fixed-width rows per
+    * string, length-INDEPENDENT — and the strings are joined back just
+    * for the (few) surviving pairs' verify step; carrying the string
+    * through the variant explode instead would shuffle O(len²) bytes
+    * per string, which long keys turn into the dominant cost.
+    */
+  def editDistancePairsDeletion(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // index 0 keeps s itself; index i in 1..len deletes character i.
+    // array_distinct collapses equal variants (doubled characters, and
+    // all deletions inside a run) before the explode so a pair is not
+    // joined once per duplicate.
+    val nbrs = base.select(col("id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), length(col("s"))),
+        i => when(i === 0, col("s")).otherwise(
+          concat(col("s").substr(lit(1), i - 1),
+            col("s").substr(i + 1, length(col("s")) - i)))))).as("v"))
+      .select(col("id"), xxhash64(col("v")).as("k"))
+    val cand = nbrs.as("l").join(nbrs.as("r"),
+        col("l.k") === col("r.k") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      // dedup BEFORE scoring: a pair sharing m neighborhood elements
+      // would otherwise pay m levenshtein evaluations
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("s").as("sa")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("s").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), levenshtein(col("sa"), col("sb"), 1).as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
   /** Token-level Jaccard similarity restricted to blocking buckets
     * (same lang, similar length) — the bounded n-gram-Jaccard near-dup
     * scan. Blocking turns the quadratic step into per-bucket work.

@@ -239,6 +239,15 @@ object DedupQueries {
       Dedup.editDistancePairs(t(s, dir, "supplier"), "s_suppkey", "s_name", 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // deletion-neighborhood fuzzy pairs (FastSS): COMPLETE for edit
+    // distance <= 1 with candidate volume driven by true near-pairs,
+    // not bucket population — q76's scale twin. The oracle is the pure
+    // definition (all pairs at levenshtein <= 1), which the blocked
+    // variant cannot honestly claim.
+    "q98_fuzzy_pairs_deletion" -> ((s, dir) =>
+      Dedup.editDistancePairsDeletion(t(s, dir, "supplier"), "s_suppkey", "s_name")
+        .orderBy(col("id_a"), col("id_b"))),
+
     // embedding near-dup: same-label pairs above cosine 0.4 (clusters
     // are weak in the synthetic data; threshold chosen to exercise the
     // filter). Guarded: refuses oversized label blocks, pointing at the
@@ -417,6 +426,17 @@ object DedupQueries {
          FROM supplier l JOIN supplier r
            ON substr(l.s_name, 1, 2) = substr(r.s_name, 1, 2)
            AND abs(len(l.s_name) - len(r.s_name)) <= 1
+           AND l.s_suppkey < r.s_suppkey
+         WHERE levenshtein(l.s_name, r.s_name) <= 1
+         ORDER BY id_a, id_b""",
+    // the deletion-neighborhood variant is complete, so its oracle is
+    // the definition itself: every pair at levenshtein <= 1 (the length
+    // predicate is implied by distance <= 1 — lossless pruning).
+    "q98_fuzzy_pairs_deletion" ->
+      """SELECT l.s_suppkey AS id_a, r.s_suppkey AS id_b,
+         CAST(levenshtein(l.s_name, r.s_name) AS INT) AS dist
+         FROM supplier l JOIN supplier r
+           ON abs(len(l.s_name) - len(r.s_name)) <= 1
            AND l.s_suppkey < r.s_suppkey
          WHERE levenshtein(l.s_name, r.s_name) <= 1
          ORDER BY id_a, id_b""",

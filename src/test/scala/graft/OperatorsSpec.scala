@@ -392,6 +392,12 @@ class OperatorsSpec extends SparkSpec {
     val prefixOnly = Dedup.editDistancePairs(df, "id", "s", 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(prefixOnly.subsetOf(both))
+    // the deletion-neighborhood variant (FastSS) finds exactly the same
+    // complete pair set — including empty strings and length-0/1 edges —
+    // without any corpus-size-dependent blocking
+    val deletion = Dedup.editDistancePairsDeletion(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(deletion === expected)
   }
 
   test("nearDupByLsh only pairs bucket cohabitants and respects the threshold") {
