@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   * space — no cross-replica shingle/minhash/simhash collisions, so
   * near-dup structure per replica matches the original and total pair
   * counts scale linearly, which is how real corpora grow). Embeddings
-  * are circularly shifted by r positions (norms and pairwise geometry
-  * within a replica preserved; buckets/cells repopulate independently).
-  * Supplier names get a length-3r tail so cross-replica names fall
-  * outside the maxDist=1 length window — q76's quadratic-in-bucket
-  * behavior is then measured on the bucket growth itself.
+  * are circularly shifted by r positions and, past the wrap at r = 64,
+  * sign-masked per replica (norms and pairwise geometry within a
+  * replica preserved; buckets/cells repopulate independently; replicas
+  * decorrelated). Supplier names get a doubled-digit replica tag, so
+  * cross-replica names sit ≥ 2 edits apart (true fuzzy-pair counts
+  * scale linearly) while names stay dictionary-sized.
   *
   * Usage: sbt "runMain graft.ScaleSoak <factor> [srcDir] [outBase] [q1,q2,...] [mode]"
   * Writes the scaled tables under <outBase>/x<factor>/ (reused if
@@ -58,7 +59,7 @@ object ScaleSoak {
     "q86_mixture_resample", "q87_simhash_pairs_wide", "q88_quality_percentile",
     "q89_bpe_pair_counts", "q90_unigram_logprob", "q91_curation_pipeline",
     "q92_embedding_lsh_wide", "q93_connected_components", "q94_quantize_int8",
-    "q95_source_overlap", "q98_fuzzy_pairs_deletion")
+    "q95_source_overlap", "q98_fuzzy_pairs_deletion", "q99_embedding_lsh_auto")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the
@@ -119,11 +120,27 @@ object ScaleSoak {
 
     if (missing("supplier")) {
       val sup = spark.read.parquet(s"$srcDir/supplier.parquet")
+      // Replica tag = "~" + rep with every digit DOUBLED ("~1122" for
+      // rep 12): any two distinct reps differ in ≥ 2 edits (a differing
+      // digit position contributes two substitutions; a different digit
+      // count shifts the length by ≥ 2), so no cross-replica pair can
+      // pass maxDist = 1, while appending a constant suffix preserves
+      // every within-replica Levenshtein distance — true pair counts
+      // scale linearly, names stay dictionary-sized. (The previous
+      // length-3r "x" tail kept replicas apart by LENGTH instead, which
+      // made name length grow with the factor — by 1000× the "names"
+      // were 3 KB strings, charging the deletion-neighborhood scan
+      // O(len²) per string for data no dictionary resembles.) With
+      // bounded names, blocked q76's 2-char buckets now absorb the
+      // whole corpus as the factor grows — its maxBucket refusal at
+      // large factors is the designed behavior, and q98 is the path
+      // that keeps working.
       sup.crossJoin(reps)
         .select(
           (col("s_suppkey") + col("rep").cast("long") * IdOff).as("s_suppkey"),
           when(col("rep") === 0, col("s_name"))
-            .otherwise(concat(col("s_name"), lit("~"), repeat(lit("x"), col("rep") * 3 - 1))).as("s_name"),
+            .otherwise(concat(col("s_name"), lit("~"),
+              regexp_replace(col("rep").cast("string"), "(.)", "$1$1"))).as("s_name"),
           col("s_nationkey"), col("s_acctbal"))
         .repartition(8)
         .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")

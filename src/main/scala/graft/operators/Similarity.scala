@@ -139,6 +139,35 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Smallest plane count p ≥ `minPlanes` with n / 2^p ≤ `target` —
+    * the hyperplane-count sizing rule as a pure, integer-exact
+    * function (no floating-point log near a boundary can flip the
+    * result, so the SQL oracle replays it bit-for-bit with an
+    * integer-corrected LOG2). Capped at 62 so the bucket id stays in a
+    * signed long.
+    */
+  def planesFor(n: Long, target: Long = 300L, minPlanes: Int = 8): Int = {
+    require(target > 0, s"target bucket size must be positive, got $target")
+    var p = 0
+    var cap = target
+    while (cap < n && p < 62) { cap <<= 1; p += 1 }
+    math.max(minPlanes, p)
+  }
+
+  /** [[nearDupByLsh]] with the plane count sized from the corpus
+    * itself: planes = [[planesFor]](count). Fixed-plane configs
+    * saturate — bucket population grows ~N/2^planes, so within-bucket
+    * pairs turn quadratic once N outruns the config (measured: the
+    * 10-plane q92 read exp 1.9 into 5M vectors on decorrelated data) —
+    * while auto-sizing holds expected population at ~`target` at ANY
+    * corpus size. Costs one count() pass to pick the width; the count
+    * is deterministic, so the width (and the result) stays
+    * oracle-replayable.
+    */
+  def nearDupByLshAuto(emb: DataFrame, dim: Int, threshold: Double,
+      target: Long = 300L, minPlanes: Int = 8): DataFrame =
+    nearDupByLsh(emb, planesFor(emb.count(), target, minPlanes), dim, threshold)
+
   /** Multi-probe LSH ANN search (Lv et al. 2007): scan only the
     * query's hyperplane bucket PLUS the `nprobe - 1` buckets obtained
     * by flipping the query's lowest-|margin| sign bits — near-boundary

@@ -99,9 +99,29 @@ object DedupQueries {
     * tier) derive from one definition.
     */
   private[queries] def sqlEmbeddingLshPairs(planes: Int): String =
-    s"""WITH pw AS (SELECT p, d,
+    sqlEmbeddingLshPairsWith(s"${planes - 1}", "")
+
+  /** Auto-sized twin: plane count replayed from the corpus count with
+    * the integer-corrected rule of
+    * [[graft.operators.Similarity.planesFor]] — CEIL(LOG2(...)) lands
+    * within ±1 of the true integer, and the POWER(2, ·) comparisons
+    * (exact doubles up to 2^52) pin it, so no float boundary can make
+    * the oracle and the engine disagree on the width.
+    */
+  private[queries] def sqlEmbeddingLshPairsAuto: String =
+    sqlEmbeddingLshPairsWith("(SELECT p FROM pl) - 1",
+      s"""cnt AS (SELECT COUNT(*) AS n FROM $EmbPq),
+          pk AS (SELECT CAST(CEIL(LOG2(GREATEST(n, 1)::DOUBLE / 300.0)) AS BIGINT) AS k, n FROM cnt),
+          pl AS (SELECT LEAST(62, GREATEST(8, CASE
+              WHEN 300 * POWER(2, GREATEST(k - 1, 0)) >= n THEN GREATEST(k - 1, 0)
+              WHEN 300 * POWER(2, k) >= n THEN k
+              ELSE k + 1 END)) AS p FROM pk),
+          """)
+
+  private def sqlEmbeddingLshPairsWith(maxPlaneExpr: String, prefixCtes: String): String =
+    s"""WITH $prefixCtes pw AS (SELECT p, d,
           (((('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0 AS w
-          FROM unnest(generate_series(0, ${planes - 1})) AS tp(p), unnest(generate_series(0, 63)) AS td(d)),
+          FROM unnest(generate_series(0, $maxPlaneExpr)) AS tp(p), unnest(generate_series(0, 63)) AS td(d)),
         e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
         proj AS (SELECT vec_id, p, sum(e.e[d + 1] * pw.w) AS proj
           FROM e CROSS JOIN pw GROUP BY 1, 2),
@@ -222,6 +242,16 @@ object DedupQueries {
     // saturation lever of the 100x soak tier, graded.
     "q92_embedding_lsh_wide" -> ((s, dir) =>
       Similarity.nearDupByLsh(t(s, dir, "embeddings"), planes = 10, dim = 64, threshold = 0.25)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // the config-free scale path: planes sized from the corpus count
+    // (planesFor: smallest p >= 8 with n/2^p <= 300), so bucket
+    // population — and with it the candidate-pair volume — stays flat
+    // as the corpus grows. Fixed-plane q92 bent to exp 1.9 into 5M
+    // vectors at the 1000x soak tier; this is the operator that holds
+    // the curve without hand-tuning.
+    "q99_embedding_lsh_auto" -> ((s, dir) =>
+      Similarity.nearDupByLshAuto(t(s, dir, "embeddings"), dim = 64, threshold = 0.25)
         .orderBy(col("vec_a"), col("vec_b"))),
 
     // deterministic per-group subsample: 3 documents per lang in
@@ -447,6 +477,7 @@ object DedupQueries {
           SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
     "q71_embedding_neardup_lsh" -> sqlEmbeddingLshPairs(8),
     "q92_embedding_lsh_wide" -> sqlEmbeddingLshPairs(10),
+    "q99_embedding_lsh_auto" -> sqlEmbeddingLshPairsAuto,
     "q55_embedding_neardup" ->
       s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
           round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos_sim

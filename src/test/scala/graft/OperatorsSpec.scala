@@ -400,6 +400,30 @@ class OperatorsSpec extends SparkSpec {
     assert(deletion === expected)
   }
 
+  test("planesFor is integer-exact at power-of-two boundaries and caps at 62") {
+    import graft.operators.Similarity.planesFor
+    assert(planesFor(0) === 8)
+    assert(planesFor(300) === 8)      // fits minPlanes buckets already
+    assert(planesFor(500) === 8)      // sf0.01: q99 must equal q71 (8 planes)
+    assert(planesFor(5000) === 8)     // sf0.1
+    assert(planesFor(500000) === 11)  // 100x soak tier
+    assert(planesFor(5000000) === 15) // 1000x soak tier
+    // exact boundary: n = 300 * 2^k needs exactly k, one more vector needs k+1
+    assert(planesFor(300L << 20) === 20)
+    assert(planesFor((300L << 20) + 1) === 21)
+    assert(planesFor(Long.MaxValue) === 62) // bucket id must stay a signed long
+  }
+
+  test("nearDupByLshAuto equals the fixed-plane operator at its chosen width") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val auto = graft.operators.Similarity.nearDupByLshAuto(emb, dim = 64, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fixed = graft.operators.Similarity.nearDupByLsh(emb, planes = 8, dim = 64, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto === fixed) // small corpus -> planesFor picks minPlanes = 8
+    assert(auto.nonEmpty)
+  }
+
   test("nearDupByLsh only pairs bucket cohabitants and respects the threshold") {
     val emb = graft.queries.Q.t(spark, sf001, "embeddings")
     val pairs = Similarity.nearDupByLsh(emb, planes = 4, dim = 64, threshold = 0.3)

@@ -90,7 +90,8 @@ class PlanSpec extends SparkSpec {
     // blocking failed and the plan would not survive 100x data
     for (name <- Seq("q51_minhash_pairs", "q53_ngram_jaccard", "q55_embedding_neardup",
         "q67_dup_clusters", "q68_corpus_clean", "q69_simhash_pairs",
-        "q71_embedding_neardup_lsh", "q72_ngram_jaccard_lsh", "q76_fuzzy_pairs")) {
+        "q71_embedding_neardup_lsh", "q72_ngram_jaccard_lsh", "q76_fuzzy_pairs",
+        "q98_fuzzy_pairs_deletion")) {
       val df = q(name)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
@@ -244,6 +245,36 @@ class PlanSpec extends SparkSpec {
     val cacheScans = "TableCacheQueryStage|InMemoryTableScan".r.findAllIn(p).length
     assert(cacheScans >= 2, s"expected >=2 cache scans in q68's executed plan, got $cacheScans:\n$p")
     GraftCache.releaseAll()
+  }
+
+  test("q98 candidate shuffle carries fixed-width rows, never strings") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val names = Seq((1L, "spark engine"), (2L, "spark enginee"), (3L, "query planner"))
+      .toDF("id", "name")
+    // force the shuffle path: tiny test frames otherwise broadcast
+    // every join and there is no exchange to inspect. AQE off so the
+    // exchanges are visible in executedPlan without running the query
+    // (sparkPlan predates EnsureRequirements and has no exchanges).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.Dedup.editDistancePairsDeletion(names, "id", "name")
+      val exchanges = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      // the deletion-variant string is hashed to a long BEFORE any
+      // shuffle: the candidate exchanges move (id, k) longs only, so
+      // shuffle bytes are length-independent — the operator's scale claim
+      val cand = exchanges.filter(_.output.exists(_.name == "k"))
+      assert(cand.nonEmpty, df.queryExecution.sparkPlan.toString)
+      assert(cand.forall(_.output.forall(_.dataType == LongType)),
+        cand.map(_.output.mkString(", ")).mkString("\n"))
+      // and the exploded variant column itself never crosses an exchange
+      assert(exchanges.forall(!_.output.exists(_.name == "v")))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("q91 reuses the persisted reference chunk set for the verify join") {
