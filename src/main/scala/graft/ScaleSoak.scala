@@ -59,7 +59,8 @@ object ScaleSoak {
     "q86_mixture_resample", "q87_simhash_pairs_wide", "q88_quality_percentile",
     "q89_bpe_pair_counts", "q90_unigram_logprob", "q91_curation_pipeline",
     "q92_embedding_lsh_wide", "q93_connected_components", "q94_quantize_int8",
-    "q95_source_overlap", "q98_fuzzy_pairs_deletion", "q99_embedding_lsh_auto")
+    "q95_source_overlap", "q98_fuzzy_pairs_deletion", "q99_embedding_lsh_auto",
+    "q100_simhash_pairs_auto")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the
@@ -160,9 +161,27 @@ object ScaleSoak {
       }
     val materialize = args.lift(4).contains("materialize")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
+    // Shuffle-partition override for partition-sizing experiments: the
+    // default (= cores) is right while partitions fit in memory, but at
+    // the top soak tiers a 16-way shuffle of 5M docs' shingles spills —
+    // the ladder measures the cost of both settings, the NOTES record
+    // the sizing rule.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // AQE's initialPartitionNum knob for partition-sizing experiments.
+    // Measured at the 1000x tier (NOTES_r6): 512 initial partitions fix
+    // the spill-bound shingle aggregations (q68 195 s -> 51 s) but tax
+    // every CACHED pipeline with task-scheduling overhead (q87 warm
+    // 3.7 s -> 29 s at 100x) because a persisted frame pins its
+    // partition count through the cache boundary where AQE cannot
+    // coalesce. No single local value is right, so the ladder default
+    // leaves it unset; on a real cluster high-initial + AQE coalesce is
+    // the correct setting (tasks are parallelism there, not overhead).
+    val initPn = sys.env.get("SPARK_GRAFT_INITPN")
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
+    val spark = initPn.fold(b0)(
+        v => b0.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", v))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.driver.memory", "8g")
       .config("spark.ui.enabled", "false")

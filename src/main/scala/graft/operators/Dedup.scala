@@ -315,6 +315,29 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Simhash width for an `n`-doc corpus: the banding splits the hash
+    * into 4 bands, so a band has 2^(bits/4) keys and expected bucket
+    * population is n / 2^(bits/4) — this picks the smallest width ≥
+    * `minBits` that holds population at ~`targetBucket`, capped at 60
+    * (the simhash must stay in a signed long). Integer-exact via
+    * [[graft.operators.Similarity.planesFor]], so the SQL oracle
+    * replays the identical width from the same count.
+    */
+  def bitsFor(n: Long, targetBucket: Long = 250L, minBits: Int = 32): Int =
+    4 * math.min(15, Similarity.planesFor(n, targetBucket, minBits / 4))
+
+  /** [[simhashPairs]] with the width sized from the corpus itself —
+    * the config-free twin, same shape as
+    * [[graft.operators.Similarity.nearDupByLshAuto]]: fixed widths
+    * saturate (the 32-bit config bends past ~100k docs, measured in
+    * SOAK.json), auto-sizing keeps band buckets at ~`targetBucket` at
+    * any corpus size. One deterministic count() picks the width, so
+    * the result stays oracle-replayable.
+    */
+  def simhashPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, targetBucket: Long = 250L): DataFrame =
+    simhashPairs(docs, idCol, textCol, bitsFor(docs.count(), targetBucket), maxHamming)
+
   /** Duplicate-cluster assignment from near-dup pairs: `iters` rounds
     * of min-label propagation over the symmetric pair graph. Each round
     * is one join + one aggregate; after k rounds every node within

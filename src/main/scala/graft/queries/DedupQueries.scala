@@ -73,16 +73,37 @@ object DedupQueries {
     * q69 (32-bit) and its wide twin q87 (48-bit — 4096 keys/band, the
     * saturation fix the soak motivated) derive from one definition.
     */
-  private[queries] def sqlSimhashPairs(bits: Int): String = {
-    val bandBits = bits / 4
-    s"""WITH th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM
+  private[queries] def sqlSimhashPairs(bits: Int): String =
+    sqlSimhashPairsWith(s"${bits - 1}", s"${bits / 4}", s"${1L << (bits / 4)}", "")
+
+  /** Auto-width twin: bits replayed from the document count with the
+    * integer-corrected rule of [[graft.operators.Dedup.bitsFor]]
+    * (target band bucket 1000, min 32 bits, cap 60) — same
+    * float-safety argument as [[sqlEmbeddingLshPairsAuto]].
+    */
+  private[queries] def sqlSimhashPairsAuto: String =
+    sqlSimhashPairsWith(
+      "(SELECT bits FROM bl) - 1",
+      "((SELECT bits FROM bl) // 4)",
+      "(1::BIGINT << ((SELECT bits FROM bl) // 4))",
+      s"""cntd AS (SELECT COUNT(*) AS n FROM $DocsPq),
+          bk0 AS (SELECT CAST(CEIL(LOG2(GREATEST(n, 1)::DOUBLE / 250.0)) AS BIGINT) AS k, n FROM cntd),
+          bl AS (SELECT 4 * LEAST(15, GREATEST(8, CASE
+              WHEN 250 * POWER(2, GREATEST(k - 1, 0)) >= n THEN GREATEST(k - 1, 0)
+              WHEN 250 * POWER(2, k) >= n THEN k
+              ELSE k + 1 END)) AS bits FROM bk0),
+          """)
+
+  private def sqlSimhashPairsWith(bitsMaxExpr: String, bandBitsExpr: String,
+      bandKeysExpr: String, prefixCtes: String): String =
+    s"""WITH $prefixCtes th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM
           (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks))),
         votes AS (SELECT doc_id, b, sum(CASE WHEN $SqlBitVote = 1 THEN 1 ELSE -1 END) AS v
-          FROM th, unnest(generate_series(0, ${bits - 1})) AS u(b) GROUP BY 1, 2),
+          FROM th, unnest(generate_series(0, $bitsMaxExpr)) AS u(b) GROUP BY 1, 2),
         sh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
           FROM votes GROUP BY doc_id),
         banded AS (
-          SELECT doc_id, simhash, b AS band, (simhash >> (b * $bandBits)) % ${1L << bandBits} AS band_key
+          SELECT doc_id, simhash, b AS band, (simhash >> (b * $bandBitsExpr)) % $bandKeysExpr AS band_key
           FROM sh, unnest(generate_series(0, 3)) AS u(b)),
         cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
             CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
@@ -90,7 +111,6 @@ object DedupQueries {
           ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
         SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
         ORDER BY doc_a, doc_b"""
-  }
 
   /** Hyperplane-LSH embedding near-dup pair SQL for a given plane
     * count, mirroring [[graft.operators.Similarity.nearDupByLsh]].
@@ -211,6 +231,14 @@ object DedupQueries {
     // more detail), so the pair set is its own oracle row, not q69's.
     "q87_simhash_pairs_wide" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", bits = 48)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // the config-free width: bits sized from the corpus count
+    // (bitsFor: 4 * smallest p >= 8 with n/2^p <= 250, cap 60), so
+    // band buckets stay ~250 docs at any corpus size without picking
+    // 32 vs 48 by hand. Equals q69's 32-bit pair set at gate scale.
+    "q100_simhash_pairs_auto" -> ((s, dir) =>
+      Dedup.simhashPairsAuto(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // blocked token-Jaccard near-dup pairs (same lang + length bucket).
@@ -430,6 +458,7 @@ object DedupQueries {
           FROM votes GROUP BY doc_id ORDER BY doc_id""",
     "q69_simhash_pairs" -> sqlSimhashPairs(32),
     "q87_simhash_pairs_wide" -> sqlSimhashPairs(48),
+    "q100_simhash_pairs_auto" -> sqlSimhashPairsAuto,
     "q53_ngram_jaccard" ->
       s"""WITH base AS (SELECT doc_id, lang, n_chars // 64 AS len_bucket,
             list_distinct(list_transform(

@@ -414,6 +414,23 @@ class OperatorsSpec extends SparkSpec {
     assert(planesFor(Long.MaxValue) === 62) // bucket id must stay a signed long
   }
 
+  test("bitsFor sizes the simhash width from the corpus and caps at 60") {
+    import graft.operators.Dedup.bitsFor
+    assert(bitsFor(500) === 32)       // gate scale: q100 must equal q69
+    assert(bitsFor(5000) === 32)      // sf0.1
+    assert(bitsFor(256000) === 40)    // 250 * 2^10 exactly still fits 10 band bits
+    assert(bitsFor(256001) === 44)
+    assert(bitsFor(500000) === 44)    // 100x soak tier
+    assert(bitsFor(5000000) === 60)   // 1000x soak tier hits the signed-long cap
+    assert(bitsFor(Long.MaxValue) === 60)
+    val pairs = Dedup.simhashPairsAuto(docsDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val fixed = Dedup.simhashPairs(docsDf, "doc_id", "text", bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSet === fixed.toSet) // tiny corpus -> 32 bits
+    graft.GraftCache.releaseAll()
+  }
+
   test("nearDupByLshAuto equals the fixed-plane operator at its chosen width") {
     val emb = graft.queries.Q.t(spark, sf001, "embeddings")
     val auto = graft.operators.Similarity.nearDupByLshAuto(emb, dim = 64, threshold = 0.25)
