@@ -431,6 +431,31 @@ class OperatorsSpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
+  test("the SQL width-correction formula equals the integer loop for any count") {
+    import graft.operators.Similarity.planesFor
+    // mirror of the oracle's arithmetic: float CEIL(LOG2(n/target))
+    // pinned by exact POWER(2, k) comparisons — the claim is that the
+    // correction makes any float rounding irrelevant
+    def sqlRule(n: Long, target: Long, minP: Int): Int = {
+      val k = math.ceil(math.log(math.max(n, 1).toDouble / target) / math.log(2.0)).toLong
+      val kk =
+        if (target.toDouble * math.pow(2.0, math.max(k - 1, 0).toDouble) >= n) math.max(k - 1, 0)
+        else if (target.toDouble * math.pow(2.0, k.toDouble) >= n) k
+        else k + 1
+      math.min(62, math.max(minP, kk)).toInt
+    }
+    val rnd = new scala.util.Random(11)
+    val interesting = Seq(0L, 1L, 299L, 300L, 301L, 500L, 5000L, 500000L, 5000000L) ++
+      (0 to 40).flatMap(k => Seq((300L << k) - 1, 300L << k, (300L << k) + 1)) ++
+      (0 to 40).flatMap(k => Seq((250L << k) - 1, 250L << k, (250L << k) + 1)) ++
+      Seq.fill(2000)(math.abs(rnd.nextLong()) % (1L << 50))
+    for (n <- interesting) {
+      assert(sqlRule(n, 300, 8) === planesFor(n, 300, 8), s"n=$n target=300")
+      assert(sqlRule(n, 250, 8) === planesFor(n, 250, 8), s"n=$n target=250")
+      assert(sqlRule(n, 1000, 8) === planesFor(n, 1000, 8), s"n=$n target=1000")
+    }
+  }
+
   test("nearDupByLshAuto equals the fixed-plane operator at its chosen width") {
     val emb = graft.queries.Q.t(spark, sf001, "embeddings")
     val auto = graft.operators.Similarity.nearDupByLshAuto(emb, dim = 64, threshold = 0.25)
