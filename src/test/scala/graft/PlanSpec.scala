@@ -91,7 +91,9 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq("q51_minhash_pairs", "q53_ngram_jaccard", "q55_embedding_neardup",
         "q67_dup_clusters", "q68_corpus_clean", "q69_simhash_pairs",
         "q71_embedding_neardup_lsh", "q72_ngram_jaccard_lsh", "q76_fuzzy_pairs",
-        "q98_fuzzy_pairs_deletion")) {
+        "q87_simhash_pairs_wide", "q92_embedding_lsh_wide",
+        "q98_fuzzy_pairs_deletion", "q99_embedding_lsh_auto",
+        "q100_simhash_pairs_auto")) {
       val df = q(name)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
