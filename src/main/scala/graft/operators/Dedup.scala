@@ -359,11 +359,23 @@ object Dedup {
     // distance <= iters — identical to round-based min-label
     // propagation, but as ONE linear plan (chained hop joins + union +
     // aggregate) instead of per-round materialization barriers.
-    // PAIRS is what gets persisted, not the symmetrized edge list: the
-    // union below reads `pairs` twice (once per direction), and every
-    // hop level reads it again — unpersisted, each read would re-derive
-    // the whole upstream near-dup pipeline.
-    val p = graft.GraftCache.registered(pairs)
+    // PAIRS is what gets materialized, not the symmetrized edge list:
+    // the union below reads `pairs` twice (once per direction), and
+    // every hop level reads it again. An EAGER localCheckpoint (same
+    // treatment as connectedComponents' rounds) rather than a lazy
+    // persist, for two measured reasons: (a) a lazy persist's blocks
+    // can be EVICTED under storage pressure, silently re-deriving the
+    // whole upstream near-dup pipeline on each of the 5+ plan reads
+    // (the mechanism behind q67's 19s-vs-3.3s driver-sweep artifact in
+    // round 6); (b) the checkpoint CUTS the lineage, so the unrolled
+    // union-of-hops plan contains `iters`+2 scans of a materialized
+    // (long, long) RDD instead of `iters`+2 copies of the MinHash
+    // pipeline's plan tree — codegen compiles one small hop plan, not
+    // a quadratic-size one (q67 isolated cold was 13.3s vs q93's 4.2s
+    // on the same pairs for exactly this reason). On a cluster where
+    // executor loss must be survivable, prefer a reliable checkpoint
+    // (setCheckpointDir + .checkpoint()) — see connectedComponents.
+    val p = pairs.localCheckpoint(true)
     val e = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // Each hop frame that feeds a FURTHER join is reduced to distinct

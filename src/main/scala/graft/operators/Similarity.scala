@@ -150,7 +150,15 @@ object Similarity {
     require(target > 0, s"target bucket size must be positive, got $target")
     var p = 0
     var cap = target
-    while (cap < n && p < 62) { cap <<= 1; p += 1 }
+    // the shift is guarded: past Long.MaxValue/2 the doubled capacity
+    // would wrap negative, making `cap < n` hold forever and the loop
+    // run to the 62 cap — where the SQL oracle's CEIL(LOG2) rule keeps
+    // counting exactly. Saturating at Long.MaxValue (>= any possible n)
+    // keeps both sides on the same rule at every representable n.
+    while (cap < n && p < 62) {
+      cap = if (cap > (Long.MaxValue >> 1)) Long.MaxValue else cap << 1
+      p += 1
+    }
     math.max(minPlanes, p)
   }
 

@@ -78,7 +78,7 @@ object DedupQueries {
 
   /** Auto-width twin: bits replayed from the document count with the
     * integer-corrected rule of [[graft.operators.Dedup.bitsFor]]
-    * (target band bucket 1000, min 32 bits, cap 60) — same
+    * (target band bucket 250, min 32 bits, cap 60) — same
     * float-safety argument as [[sqlEmbeddingLshPairsAuto]].
     */
   private[queries] def sqlSimhashPairsAuto: String =
@@ -87,10 +87,10 @@ object DedupQueries {
       "((SELECT bits FROM bl) // 4)",
       "(1::BIGINT << ((SELECT bits FROM bl) // 4))",
       s"""cntd AS (SELECT COUNT(*) AS n FROM $DocsPq),
-          bk0 AS (SELECT CAST(CEIL(LOG2(GREATEST(n, 1)::DOUBLE / 250.0)) AS BIGINT) AS k, n FROM cntd),
+          bk0 AS (SELECT GREATEST(CAST(CEIL(LOG2(GREATEST(n, 1)::DOUBLE / 250.0)) AS BIGINT), 0) AS k, n FROM cntd),
           bl AS (SELECT 4 * LEAST(15, GREATEST(8, CASE
-              WHEN 250 * POWER(2, GREATEST(k - 1, 0)) >= n THEN GREATEST(k - 1, 0)
-              WHEN 250 * POWER(2, k) >= n THEN k
+              WHEN ((n - 1) >> GREATEST(k - 1, 0)) < 250 THEN GREATEST(k - 1, 0)
+              WHEN ((n - 1) >> k) < 250 THEN k
               ELSE k + 1 END)) AS bits FROM bk0),
           """)
 
@@ -124,17 +124,20 @@ object DedupQueries {
   /** Auto-sized twin: plane count replayed from the corpus count with
     * the integer-corrected rule of
     * [[graft.operators.Similarity.planesFor]] — CEIL(LOG2(...)) lands
-    * within ±1 of the true integer, and the POWER(2, ·) comparisons
-    * (exact doubles up to 2^52) pin it, so no float boundary can make
-    * the oracle and the engine disagree on the width.
+    * within ±1 of the true integer, and the correction arms pin it with
+    * EXACT integer arithmetic: `(n - 1) >> k < target` is the
+    * overflow-free BIGINT test for `target * 2^k >= n` (the earlier
+    * `target * POWER(2, k) >= n` double comparison wobbled ±1 at
+    * boundaries past 2^53, where n is no longer representable — caught
+    * by the full-range property test in OperatorsSpec).
     */
   private[queries] def sqlEmbeddingLshPairsAuto: String =
     sqlEmbeddingLshPairsWith("(SELECT p FROM pl) - 1",
       s"""cnt AS (SELECT COUNT(*) AS n FROM $EmbPq),
-          pk AS (SELECT CAST(CEIL(LOG2(GREATEST(n, 1)::DOUBLE / 300.0)) AS BIGINT) AS k, n FROM cnt),
+          pk AS (SELECT GREATEST(CAST(CEIL(LOG2(GREATEST(n, 1)::DOUBLE / 300.0)) AS BIGINT), 0) AS k, n FROM cnt),
           pl AS (SELECT LEAST(62, GREATEST(8, CASE
-              WHEN 300 * POWER(2, GREATEST(k - 1, 0)) >= n THEN GREATEST(k - 1, 0)
-              WHEN 300 * POWER(2, k) >= n THEN k
+              WHEN ((n - 1) >> GREATEST(k - 1, 0)) < 300 THEN GREATEST(k - 1, 0)
+              WHEN ((n - 1) >> k) < 300 THEN k
               ELSE k + 1 END)) AS p FROM pk),
           """)
 

@@ -75,9 +75,14 @@ class ExamplesSpec extends SparkSpec {
     assert(GraftCache.pendingCount === 2 * afterFirst)
     GraftCache.releaseAll()
     assert(GraftCache.pendingCount === 0)
-    // unpersist(blocking=false) frees executor blocks asynchronously
+    // unpersist(blocking=false) frees executor blocks asynchronously;
+    // labelPropagate's eagerly-checkpointed pair RDDs are freed by the
+    // ContextCleaner once unreachable, which needs a driver GC to
+    // collect the weak references — nudge it while polling
     val deadline = System.currentTimeMillis + 15000
-    while (cachedRdds > baseline && System.currentTimeMillis < deadline) Thread.sleep(100)
+    while (cachedRdds > baseline && System.currentTimeMillis < deadline) {
+      System.gc(); Thread.sleep(200)
+    }
     assert(cachedRdds <= baseline, s"storage grew: $baseline -> $cachedRdds cached RDDs")
   }
 

@@ -411,7 +411,12 @@ class OperatorsSpec extends SparkSpec {
     // exact boundary: n = 300 * 2^k needs exactly k, one more vector needs k+1
     assert(planesFor(300L << 20) === 20)
     assert(planesFor((300L << 20) + 1) === 21)
-    assert(planesFor(Long.MaxValue) === 62) // bucket id must stay a signed long
+    // guarded shift: 300 * 2^55 would wrap a long, but the saturating
+    // capacity keeps counting on the true rule — 55 planes cover every
+    // representable corpus (the unguarded shift used to read 62 here,
+    // diverging from the oracle's CEIL(LOG2))
+    assert(planesFor(Long.MaxValue) === 55)
+    assert(planesFor(Long.MaxValue, target = 1L) === 62) // only a 1-row target hits the signed-long cap
   }
 
   test("bitsFor sizes the simhash width from the corpus and caps at 60") {
@@ -434,21 +439,32 @@ class OperatorsSpec extends SparkSpec {
   test("the SQL width-correction formula equals the integer loop for any count") {
     import graft.operators.Similarity.planesFor
     // mirror of the oracle's arithmetic: float CEIL(LOG2(n/target))
-    // pinned by exact POWER(2, k) comparisons — the claim is that the
-    // correction makes any float rounding irrelevant
+    // pinned by EXACT integer correction arms — `(n - 1) >> k < target`
+    // is the overflow-free integer test for `target * 2^k >= n`, so no
+    // float boundary at ANY representable n can flip the result (the
+    // earlier double POWER(2, k) arms wobbled at n = 300*2^45 + 1,
+    // where n rounds to the boundary itself in a double)
     def sqlRule(n: Long, target: Long, minP: Int): Int = {
-      val k = math.ceil(math.log(math.max(n, 1).toDouble / target) / math.log(2.0)).toLong
+      val kf = math.ceil(math.log(math.max(n, 1).toDouble / target) / math.log(2.0)).toLong
+      val k = math.max(kf, 0L)
       val kk =
-        if (target.toDouble * math.pow(2.0, math.max(k - 1, 0).toDouble) >= n) math.max(k - 1, 0)
-        else if (target.toDouble * math.pow(2.0, k.toDouble) >= n) k
+        if (((n - 1) >> math.max(k - 1, 0)) < target) math.max(k - 1, 0)
+        else if (((n - 1) >> k) < target) k
         else k + 1
       math.min(62, math.max(minP, kk)).toInt
     }
     val rnd = new scala.util.Random(11)
     val interesting = Seq(0L, 1L, 299L, 300L, 301L, 500L, 5000L, 500000L, 5000000L) ++
-      (0 to 40).flatMap(k => Seq((300L << k) - 1, 300L << k, (300L << k) + 1)) ++
-      (0 to 40).flatMap(k => Seq((250L << k) - 1, 250L << k, (250L << k) + 1)) ++
-      Seq.fill(2000)(math.abs(rnd.nextLong()) % (1L << 50))
+      // boundary triples up to k = 52 (300 << 53 wraps a long; the
+      // saturation region past it is covered by the explicit giants)
+      (0 to 52).flatMap(k => Seq((300L << k) - 1, 300L << k, (300L << k) + 1)) ++
+      (0 to 52).flatMap(k => Seq((250L << k) - 1, 250L << k, (250L << k) + 1)) ++
+      // the region the r6 advisor flagged untested: n > target * 2^54,
+      // where the unguarded shift used to saturate the loop to 62 while
+      // the SQL rule kept counting — now both sides agree to MaxValue
+      Seq(Long.MaxValue, Long.MaxValue - 1, (Long.MaxValue >> 1) + 1, 300L << 52, (300L << 52) + 1) ++
+      Seq.fill(2000)(math.abs(rnd.nextLong()) % (1L << 50)) ++
+      Seq.fill(2000)(math.abs(rnd.nextLong() | 1L)) // full positive range incl. > 2^54*target
     for (n <- interesting) {
       assert(sqlRule(n, 300, 8) === planesFor(n, 300, 8), s"n=$n target=300")
       assert(sqlRule(n, 250, 8) === planesFor(n, 250, 8), s"n=$n target=250")

@@ -234,18 +234,24 @@ class PlanSpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
-  test("q68 reuses the persisted exactKept frame across pipeline branches") {
+  test("q68 reuses exactKept via cache and reads pairs from the checkpoint") {
     // exactKept feeds (a) the minhash signature aggregation and (b) the
-    // final representative join: both branches must read the
-    // InMemoryRelation, not re-run scoring + fingerprint dedup. Two or
-    // more cache scans in the executed plan pin that; a refactor that
-    // drops the persist (or breaks CacheManager plan-matching) would
-    // silently double the two heaviest aggregations at 100 TB.
+    // final representative join. Branch (a) was consumed when
+    // labelPropagate eagerly checkpointed the pair frame (reading the
+    // InMemoryRelation once); the FINAL plan must therefore contain
+    //   - at least one cache scan (the representative join's read of
+    //     exactKept — a refactor dropping the persist would re-run
+    //     scoring + fingerprint dedup, the two heaviest aggregations), and
+    //   - a materialized-RDD scan for the labels side (the checkpoint —
+    //     if the MinHash pipeline's file scans reappear under the
+    //     propagation subtree, the lineage cut regressed and every hop
+    //     level would re-derive the pair pipeline).
     val df = q("q68_corpus_clean")
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val cacheScans = "TableCacheQueryStage|InMemoryTableScan".r.findAllIn(p).length
-    assert(cacheScans >= 2, s"expected >=2 cache scans in q68's executed plan, got $cacheScans:\n$p")
+    assert(cacheScans >= 1, s"expected >=1 cache scan in q68's executed plan, got $cacheScans:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the checkpointed pair scan in q68's plan:\n$p")
     GraftCache.releaseAll()
   }
 
