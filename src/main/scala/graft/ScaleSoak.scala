@@ -167,21 +167,19 @@ object ScaleSoak {
     // the ladder measures the cost of both settings, the NOTES record
     // the sizing rule.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    // AQE's initialPartitionNum knob for partition-sizing experiments.
-    // Measured at the 1000x tier (NOTES_r6): 512 initial partitions fix
-    // the spill-bound shingle aggregations (q68 195 s -> 51 s) but tax
-    // every CACHED pipeline with task-scheduling overhead (q87 warm
-    // 3.7 s -> 29 s at 100x) because a persisted frame pins its
-    // partition count through the cache boundary where AQE cannot
-    // coalesce. No single local value is right, so the ladder default
-    // leaves it unset; on a real cluster high-initial + AQE coalesce is
-    // the correct setting (tasks are parallelism there, not overhead).
+    // AQE initialPartitionNum: by default SIZED FROM THE INPUT via
+    // GraftSession.tuneFor (one partition per ~16 MB of parquet, floor
+    // = cores, cap 4096) together with cache-transparent AQE
+    // coalescing — the round-6 grid measured 512 initial partitions
+    // fixing the spill-bound shingle aggregations at the 1000x tier
+    // (q68 195 s -> 51 s) while the cache-boundary conf removes the
+    // tax that made high-initial configs regress cached pipelines
+    // (q87 warm 3.7 s -> 29 s at 100x). SPARK_GRAFT_INITPN overrides
+    // the computed value for sizing experiments.
     val initPn = sys.env.get("SPARK_GRAFT_INITPN")
-    val b0 = SparkSession.builder()
+    val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
-    val spark = initPn.fold(b0)(
-        v => b0.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", v))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.driver.memory", "8g")
       .config("spark.ui.enabled", "false")
@@ -193,6 +191,12 @@ object ScaleSoak {
       buildScaled(spark, srcDir, d, factor)
       d
     }
+
+    val chosenPn = GraftSession.tuneFor(spark, dir)
+    initPn.foreach(v =>
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", v))
+    println(s"[soak] initialPartitionNum=${initPn.getOrElse(chosenPn.toString)} " +
+      s"(auto=$chosenPn, inputBytes=${GraftSession.pathBytes(dir)})")
 
     // warm the JVM on an unrelated plan
     spark.read.parquet(s"$dir/documents.parquet").groupBy("lang").count().count()
