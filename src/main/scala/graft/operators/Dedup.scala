@@ -228,6 +228,65 @@ object Dedup {
       sigSets.select(col("doc_id"), col("hs")), threshold)
   }
 
+  /** Affine MinHash permutation `i` over the 31-bit base hash — the
+    * same arithmetic family the simhash bit votes use, so ANY number
+    * of permutations can be generated from the index alone (the fixed
+    * [[MinhashA]]/[[MinhashB]] lists stop at 8) and a SQL oracle can
+    * replay permutation i without a constant table. Multipliers stay
+    * < 2^21 for any realistic i, so `mult * h < 2^52` never overflows
+    * a long or a DuckDB BIGINT.
+    */
+  def permutedAffine(h: Column, i: Int): Column =
+    pmod(lit(1299721L + 2L * i) * h + lit(104729L * (i + 1L)), lit(P))
+
+  /** Rows-per-band for an `n`-doc corpus (2 bands): the smallest r ≥ 4
+    * with n / 2^r ≤ `targetBucket`, capped at 16 — integer-exact via
+    * [[graft.operators.Similarity.planesFor]] so the SQL oracle
+    * replays the identical width. The model treats per-row signature
+    * agreement of NON-near-dup pairs as ≤ 1/2 (adversarially high —
+    * real shingle-set Jaccard of random pairs is far lower), so
+    * expected accidental band cohabitation stays ~targetBucket as the
+    * corpus grows. The trade this buys candidate volume with is the
+    * standard LSH S-curve shift: near-exact duplicate classes
+    * (J ≈ 1 — what corpus boilerplate actually is) keep recall ~1 at
+    * any r, while partial overlaps near the threshold lose candidate
+    * recall as r grows (P ≈ 1-(1-J^r)^2). Workloads needing a FIXED
+    * recall floor at a given threshold should pick (k, bands) by the
+    * S-curve with [[minhashPairs]] instead.
+    */
+  def minhashRowsFor(n: Long, targetBucket: Long = 250L): Int =
+    math.min(16, Similarity.planesFor(n, targetBucket, 4))
+
+  /** [[pairsFromHashes]] over the affine permutation family with
+    * dynamic signature width k = 2·rows — the same one-aggregation /
+    * skinny-band-join / broadcastable-verify shape, parameterized so
+    * [[minhashPairsAuto]] can size rows from the corpus count.
+    */
+  def pairsFromHashesAffine(sh: DataFrame, rows: Int, bands: Int, threshold: Double): DataFrame = {
+    val k = rows * bands
+    val sigSets = graft.GraftCache.registered(sh.groupBy(col("doc_id"))
+      .agg(min(permutedAffine(col("h"), 0)).as("mh0"),
+        (1 until k).map(i => min(permutedAffine(col("h"), i)).as(s"mh$i")) :+
+          sort_array(collect_set(col("h"))).as("hs"): _*))
+    verifyCandidatesWithSets(minhashCandidates(sigSets, k, bands),
+      sigSets.select(col("doc_id"), col("hs")), threshold)
+  }
+
+  /** [[minhashPairs]] with the band width sized from the corpus count
+    * — the config-free twin completing the auto-sizing family (q99
+    * planes, q100 simhash bits, this one MinHash rows-per-band): fixed
+    * r = 4 lets accidental band collisions grow ~n²·J̄⁴ with the
+    * corpus, auto-sizing holds expected band cohabitation at
+    * ~`targetBucket` at any size. One deterministic count() picks the
+    * width, so the result stays oracle-replayable (the oracle replays
+    * [[minhashRowsFor]] from the same COUNT(*) with the shared
+    * integer-corrected CEIL(LOG2) rule).
+    */
+  def minhashPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, targetBucket: Long = 250L): DataFrame =
+    pairsFromHashesAffine(shingleHashes(docs, idCol, textCol),
+      minhashRowsFor(docs.count(), targetBucket), 2, threshold)
+
   /** LSH-banded token-Jaccard near-dup pairs — the 100 TB alternative
     * to [[ngramJaccardPairs]]: same verified token-set Jaccard, but
     * candidates come from MinHash bands over the token hashes instead
@@ -583,16 +642,22 @@ object Dedup {
     * Dictionaries"), and the scale path that retires
     * [[editDistancePairs]]'s fixed-key blocking for maxDist = 1.
     *
-    * Every string emits its deletion neighborhood {s} ∪ {s minus
-    * character i} — at most len+1 variants, 64-bit-hashed down to a
-    * long join key. Two strings within Levenshtein distance 1 ALWAYS
-    * share an element (equal strings: s itself; insert/delete: the
-    * shorter string is in the longer one's neighborhood; substitute:
-    * both sides minus the edited position coincide), so the hash
-    * self-join is a COMPLETE candidate set; and any two strings sharing
-    * an element are within distance 2, so one thresholded `levenshtein`
-    * per distinct candidate pair verifies exactly. Both directions are
-    * property-tested against a brute-force oracle in OperatorsSpec.
+    * Every string emits its deletion neighborhood — all strings
+    * reachable by deleting up to `maxDist` characters (maxDist = 1: at
+    * most len+1 variants; maxDist = 2: ~len²/2, see the length guard
+    * below) — 64-bit-hashed down to a long join key. Two strings
+    * within Levenshtein distance d ≤ maxDist ALWAYS share an element:
+    * take an optimal alignment and delete from each side the positions
+    * it edits (≤ d on each side) — the surviving common subsequence is
+    * in both neighborhoods (for d = 1 concretely: equal strings share
+    * s itself; insert/delete: the shorter string is in the longer
+    * one's neighborhood; substitute: both sides minus the edited
+    * position coincide). So the hash self-join is a COMPLETE candidate
+    * set; and any two strings sharing an element are within distance
+    * 2·maxDist, so one thresholded `levenshtein` per distinct
+    * candidate pair verifies exactly. Both directions are
+    * property-tested against a brute-force oracle in OperatorsSpec
+    * (maxDist = 1 and 2).
     *
     * Scale shape: a neighborhood bucket's population is bounded by the
     * corpus's TRUE near-duplicate structure (plus ~2^-64 hash
@@ -605,19 +670,59 @@ object Dedup {
     * through the variant explode instead would shuffle O(len²) bytes
     * per string, which long keys turn into the dominant cost.
     */
-  def editDistancePairsDeletion(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+  def editDistancePairsDeletion(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
-    // index 0 keeps s itself; index i in 1..len deletes character i.
-    // array_distinct collapses equal variants (doubled characters, and
-    // all deletions inside a run) before the explode so a pair is not
-    // joined once per duplicate.
-    val nbrs = base.select(col("id"),
-      explode(array_distinct(transform(
-        sequence(lit(0), length(col("s"))),
-        i => when(i === 0, col("s")).otherwise(
-          concat(col("s").substr(lit(1), i - 1),
-            col("s").substr(i + 1, length(col("s")) - i)))))).as("v"))
-      .select(col("id"), xxhash64(col("v")).as("k"))
+    val nbrs =
+      if (maxDist == 1) {
+        // index 0 keeps s itself; index i in 1..len deletes character i.
+        // array_distinct collapses equal variants (doubled characters,
+        // and all deletions inside a run) before the explode so a pair
+        // is not joined once per duplicate.
+        base.select(col("id"),
+          explode(array_distinct(transform(
+            sequence(lit(0), length(col("s"))),
+            i => when(i === 0, col("s")).otherwise(
+              concat(col("s").substr(lit(1), i - 1),
+                col("s").substr(i + 1, length(col("s")) - i)))))).as("v"))
+          .select(col("id"), xxhash64(col("v")).as("k"))
+      } else {
+        // maxDist = 2: the 2-deletion neighborhood is ~len^2/2 variants
+        // per string, so the blowup is quadratic in STRING LENGTH (not
+        // corpus size) — guarded by `graft.fuzzy.maxLen` (default 64:
+        // ~2k variants/string; entity-resolution strings — names,
+        // titles, ids — sit far below it). The guard refuses, naming
+        // the conf, instead of silently exploding a long-document
+        // column that should be deduped by shingles, not edit distance.
+        val spark = df.sparkSession
+        val key = "graft.fuzzy.maxLen"
+        val maxLen = spark.conf.getOption(key).map(_.trim.toInt).getOrElse(64)
+        val longest = base.agg(max(length(col("s")))).collect().head
+        val actual = if (longest.isNullAt(0)) 0 else longest.getInt(0)
+        if (actual > maxLen) throw new IllegalArgumentException(
+          s"longest string has $actual chars > $key=$maxLen: the 2-deletion " +
+            s"neighborhood would hold ~${actual.toLong * actual / 2} variants per string. " +
+            s"Raise $key, or use shingle-based dedup (Dedup.minhashPairs) for long text.")
+        // variant generation runs as a typed flatMap (the doubly-nested
+        // index loop has no codegen-friendly Column form); the variants
+        // are xxhash64-hashed in the SAME stage, so — exactly like the
+        // maxDist = 1 path — only (id, long) rows ever reach a shuffle.
+        import spark.implicits._
+        base.select(col("id").cast("long"), col("s")).as[(Long, String)].flatMap { case (id, s) =>
+          val out = scala.collection.mutable.LinkedHashSet[String](s)
+          var i = 0
+          while (i < s.length) {
+            val d1 = s.substring(0, i) + s.substring(i + 1)
+            out += d1
+            var j = 0
+            while (j < d1.length) { out += d1.substring(0, j) + d1.substring(j + 1); j += 1 }
+            i += 1
+          }
+          out.iterator.map(v => (id, v))
+        }.toDF("id", "v")
+          .select(col("id"), xxhash64(col("v")).as("k"))
+      }
     val cand = nbrs.as("l").join(nbrs.as("r"),
         col("l.k") === col("r.k") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -627,7 +732,7 @@ object Dedup {
     cand
       .join(base.select(col("id").as("id_a"), col("s").as("sa")), "id_a")
       .join(base.select(col("id").as("id_b"), col("s").as("sb")), "id_b")
-      .select(col("id_a"), col("id_b"), levenshtein(col("sa"), col("sb"), 1).as("dist"))
+      .select(col("id_a"), col("id_b"), levenshtein(col("sa"), col("sb"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
   }
 

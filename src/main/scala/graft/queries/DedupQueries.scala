@@ -158,6 +158,39 @@ object DedupQueries {
         WHERE round(list_cosine_similarity(le.embedding::DOUBLE[], re.embedding::DOUBLE[]), 6) >= 0.25
         ORDER BY vec_a, vec_b"""
 
+  /** Auto-width MinHash pair SQL: rows-per-band replayed from the
+    * document count with the shared integer-corrected rule
+    * ([[graft.operators.Dedup.minhashRowsFor]]), permutations from the
+    * affine family (index-generated, so the dynamic width needs no
+    * constant table), signatures as LISTS sliced into 2 bands — the
+    * list form is what lets the band width be a query-time value.
+    */
+  private[queries] def sqlMinhashPairsAuto: String =
+    s"""WITH cntm AS (SELECT COUNT(*) AS n FROM $DocsPq),
+        mk AS (SELECT GREATEST(CAST(CEIL(LOG2(GREATEST(n, 1)::DOUBLE / 250.0)) AS BIGINT), 0) AS k, n FROM cntm),
+        mr AS (SELECT LEAST(16, GREATEST(4, CASE
+            WHEN ((n - 1) >> GREATEST(k - 1, 0)) < 250 THEN GREATEST(k - 1, 0)
+            WHEN ((n - 1) >> k) < 250 THEN k
+            ELSE k + 1 END)) AS r FROM mk),
+        sh AS (SELECT doc_id, ${sqlH31("shingle")} AS h FROM ($SqlShingles)),
+        mins AS (SELECT doc_id, i,
+            min(((1299721 + 2 * i) * h + 104729 * (i + 1)) % ${Dedup.P}) AS mh
+          FROM sh, unnest(generate_series(0, 2 * (SELECT r FROM mr) - 1)) AS u(i)
+          GROUP BY 1, 2),
+        sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mins GROUP BY doc_id),
+        banded AS (SELECT doc_id, b,
+            list_slice(mhs, b * (SELECT r FROM mr) + 1, (b + 1) * (SELECT r FROM mr)) AS bk
+          FROM sig, unnest(generate_series(0, 1)) AS u(b)),
+        cand AS (SELECT DISTINCT l.doc_id AS doc_a, r2.doc_id AS doc_b
+          FROM banded l JOIN banded r2 ON l.b = r2.b AND l.bk = r2.bk AND l.doc_id < r2.doc_id),
+        sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id),
+        jac AS (SELECT doc_a, doc_b,
+            round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+              (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6) AS jaccard
+          FROM cand JOIN sets a ON a.doc_id = doc_a JOIN sets b ON b.doc_id = doc_b)
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.6
+        ORDER BY doc_a, doc_b"""
+
   /** Min-label propagation over `pairs` in path-expansion form
     * (min over nodes within distance <= iters — same semantics as
     * iterated rounds). Final CTE is named l{iters}.
@@ -285,6 +318,15 @@ object DedupQueries {
       Similarity.nearDupByLshAuto(t(s, dir, "embeddings"), dim = 64, threshold = 0.25)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // the auto-sizing family's MinHash member: rows-per-band sized
+    // from the document count (minhashRowsFor: smallest r >= 4 with
+    // n/2^r <= 250, cap 16, 2 bands), permutations from the affine
+    // family so any width is oracle-replayable. At gate scale r = 4
+    // (k = 8) — q51's shape with index-generated permutations.
+    "q103_minhash_pairs_auto" -> ((s, dir) =>
+      Dedup.minhashPairsAuto(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // deterministic per-group subsample: 3 documents per lang in
     // salted-md5 pseudorandom order — reproducible curation sampling.
     "q77_group_sample" -> ((s, dir) =>
@@ -307,6 +349,14 @@ object DedupQueries {
     // variant cannot honestly claim.
     "q98_fuzzy_pairs_deletion" -> ((s, dir) =>
       Dedup.editDistancePairsDeletion(t(s, dir, "supplier"), "s_suppkey", "s_name")
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // the distance-2 generalization (FastSS 2-deletion neighborhoods):
+    // complete for levenshtein <= 2 — the oracle is again the pure
+    // definition. Variant blowup is quadratic in string LENGTH, not
+    // corpus size (guarded by graft.fuzzy.maxLen).
+    "q102_fuzzy_pairs_deletion2" -> ((s, dir) =>
+      Dedup.editDistancePairsDeletion(t(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
     // embedding near-dup: same-label pairs above cosine 0.4 (clusters
@@ -372,6 +422,23 @@ object DedupQueries {
       Similarity.ivfSearch(t(s, dir, "embeddings"), 0L, k = 10,
         cells = 8, iters = 0, nprobe = 2)),
 
+    // the PERSISTED-index path graded end-to-end: train + write the
+    // cell-partitioned index (same replayable iters = 0 quantizer),
+    // then probe it through the partition-pruned scan — must return
+    // q59's exact top-10 (one shared oracle SQL). The write-then-read
+    // round trip is the point: it proves the at-rest layout + pruning
+    // path, not just the in-session plan PlanSpec pins.
+    "q101_ann_ivf_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+        .toString + "/index"
+      Similarity.writeIvfIndex(emb, path, cells = 8, iters = 0)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(Similarity.toDoubleVec(col("embedding")).as("e"))
+        .collect().head.getSeq[Double](0)
+      Similarity.ivfSearchIndexed(s, path, qv, 0L, k = 10, nprobe = 2)
+    }),
+
     // trained-IVF recall contract: Lloyd-trained cells (iters = 2,
     // engine-internal float averaging — not oracle-replayable), graded
     // on the integer that matters to a user: how many of the exact
@@ -430,6 +497,29 @@ object DedupQueries {
         WHERE l3.label IS NULL OR l3.label = k.doc_id
         ORDER BY k.doc_id"""
   }
+
+  /** Full replay of the iters = 0 IVF path, shared by q59 (inline
+    * search) and q101 (persisted-index probe — same quantizer, same
+    * probes, so the same top-10 by construction).
+    */
+  private val oracleQ59: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
+        cents AS (SELECT CAST(vec_id AS INT) AS cell, e AS c FROM e ORDER BY vec_id LIMIT 8),
+        d AS (SELECT e.vec_id, cents.cell,
+            round(list_sum(list_transform(generate_series(1, 64),
+              i -> (e.e[i] - cents.c[i]) * (e.e[i] - cents.c[i]))), 9) AS d
+          FROM e CROSS JOIN cents),
+        assigned AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d)
+          WHERE rn = 1),
+        q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+        probes AS (SELECT cell FROM (
+            SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn FROM d WHERE vec_id = 0)
+          WHERE rn <= 2)
+        SELECT e.vec_id, round(list_cosine_similarity(e.e, q.qe), 6) AS cos_sim
+        FROM e JOIN assigned USING (vec_id) JOIN probes USING (cell), q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""
 
   val oracleSql: Map[String, String] = Map(
     "q68_corpus_clean" -> SqlCorpusClean,
@@ -502,6 +592,15 @@ object DedupQueries {
            AND l.s_suppkey < r.s_suppkey
          WHERE levenshtein(l.s_name, r.s_name) <= 1
          ORDER BY id_a, id_b""",
+    "q102_fuzzy_pairs_deletion2" ->
+      """SELECT l.s_suppkey AS id_a, r.s_suppkey AS id_b,
+         CAST(levenshtein(l.s_name, r.s_name) AS INT) AS dist
+         FROM supplier l JOIN supplier r
+           ON abs(len(l.s_name) - len(r.s_name)) <= 2
+           AND l.s_suppkey < r.s_suppkey
+         WHERE levenshtein(l.s_name, r.s_name) <= 2
+         ORDER BY id_a, id_b""",
+    "q103_minhash_pairs_auto" -> sqlMinhashPairsAuto,
     "q72_ngram_jaccard_lsh" ->
       s"""WITH ${sqlPairsCtesFromHashes(
         s"SELECT doc_id, ${sqlH31("token")} AS h FROM (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks))",
@@ -554,24 +653,10 @@ object DedupQueries {
     // assignment and probe selection (probe distances are just the
     // d rows of the query vector — sq distance is symmetric), exact
     // search over the 2 probed cells only.
-    "q59_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
-          cents AS (SELECT CAST(vec_id AS INT) AS cell, e AS c FROM e ORDER BY vec_id LIMIT 8),
-          d AS (SELECT e.vec_id, cents.cell,
-              round(list_sum(list_transform(generate_series(1, 64),
-                i -> (e.e[i] - cents.c[i]) * (e.e[i] - cents.c[i]))), 9) AS d
-            FROM e CROSS JOIN cents),
-          assigned AS (SELECT vec_id, cell FROM (
-              SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d)
-            WHERE rn = 1),
-          q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
-          probes AS (SELECT cell FROM (
-              SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn FROM d WHERE vec_id = 0)
-            WHERE rn <= 2)
-          SELECT e.vec_id, round(list_cosine_similarity(e.e, q.qe), 6) AS cos_sim
-          FROM e JOIN assigned USING (vec_id) JOIN probes USING (cell), q
-          WHERE e.vec_id <> 0
-          ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    "q59_ann_ivf" -> oracleQ59,
+    // the persisted-index probe must reproduce the replayable inline
+    // search exactly — one oracle serves both rows
+    "q101_ann_ivf_indexed" -> oracleQ59,
     // the contract row for the trained path (see the q96 query comment):
     // the oracle states the expected floor, Spark computes the actual
     // overlap of trained-IVF top-10 vs exact brute-force top-10.

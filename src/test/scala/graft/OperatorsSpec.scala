@@ -398,6 +398,43 @@ class OperatorsSpec extends SparkSpec {
     val deletion = Dedup.editDistancePairsDeletion(df, "id", "s")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(deletion === expected)
+    // maxDist = 2 (2-deletion neighborhoods): complete for lev <= 2 on
+    // the same corpus — the regime where one string absorbs two edits
+    // at both ends, doubled characters collapse variants, and short
+    // strings shrink to empty twice
+    val expected2 = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs
+      if ia < ib && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb))).toSet
+    val deletion2 = Dedup.editDistancePairsDeletion(df, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(deletion2 === expected2)
+    assert(deletion.subsetOf(deletion2)) // distance-1 pairs survive with the same dist
+  }
+
+  test("editDistancePairsDeletion(2) refuses strings past the length guard") {
+    val df = Seq((1L, "a" * 100), (2L, "a" * 99)).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistancePairsDeletion(df, "id", "s", maxDist = 2).collect()
+    }
+    assert(e.getMessage.contains("graft.fuzzy.maxLen"))
+    // raising the conf admits the same frame
+    spark.conf.set("graft.fuzzy.maxLen", "128")
+    try {
+      val got = Dedup.editDistancePairsDeletion(df, "id", "s", maxDist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(got.toSeq === Seq((1L, 2L, 1)))
+    } finally spark.conf.unset("graft.fuzzy.maxLen")
+  }
+
+  test("minhashRowsFor sizes rows-per-band from the corpus and caps at 16") {
+    import graft.operators.Dedup.minhashRowsFor
+    assert(minhashRowsFor(0) === 4)
+    assert(minhashRowsFor(500) === 4)     // gate scale: k = 8, q51's shape
+    assert(minhashRowsFor(5000) === 5)    // sf0.1
+    assert(minhashRowsFor(500000) === 11) // 100x soak tier
+    assert(minhashRowsFor(5000000) === 15)
+    assert(minhashRowsFor(Long.MaxValue) === 16)
   }
 
   test("planesFor is integer-exact at power-of-two boundaries and caps at 62") {

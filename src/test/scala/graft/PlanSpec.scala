@@ -93,7 +93,8 @@ class PlanSpec extends SparkSpec {
         "q71_embedding_neardup_lsh", "q72_ngram_jaccard_lsh", "q76_fuzzy_pairs",
         "q87_simhash_pairs_wide", "q92_embedding_lsh_wide",
         "q98_fuzzy_pairs_deletion", "q99_embedding_lsh_auto",
-        "q100_simhash_pairs_auto")) {
+        "q100_simhash_pairs_auto", "q102_fuzzy_pairs_deletion2",
+        "q103_minhash_pairs_auto")) {
       val df = q(name)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
