@@ -40,22 +40,26 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** One shuffle partition per this many bytes of compressed input.
-    * Parquet→shuffle expansion (decode + shingle/signature blowup)
-    * lands a 16 MB input slice at a comfortably in-memory partition;
-    * the round-6 grid measured 5 GB of input fastest at 512 initial
-    * partitions (≈ 10 MB/partition) with 96 static a close second.
+    * Parquet→shuffle expansion (snappy decode ~3-5×, then the
+    * shingle/signature blowup another ~2-3×) turns a 4 MB input slice
+    * into tens of MB of in-flight aggregation state — comfortably in
+    * memory. Calibrated against the round-6 grid: 1.4 GB of scaled
+    * input ran fastest at 512 initial partitions (≈ 2.7 MB/partition);
+    * 96 (≈ 15 MB/partition) was ~18% slower; static 16 spilled and
+    * read 2-4× slower.
     */
-  val TargetInputBytesPerPartition: Long = 16L << 20
+  val TargetInputBytesPerPartition: Long = 4L << 20
 
   /** Initial-partition cap: far above any local tier, and on a cluster
-    * 4096 × 16 MB ≈ 64 GB of input per AQE stage before the cap binds
-    * — at 100 TB the input is partitioned by the source scan anyway
-    * and this knob only governs mid-plan shuffles.
+    * 4096 × 4 MB ≈ 16 GB of input per AQE stage before the cap binds —
+    * at 100 TB the input is partitioned by the source scan anyway and
+    * this knob only governs mid-plan shuffles, where AQE coalescing
+    * (now cache-transparent) sizes the actual task counts.
     */
   val MaxInitialPartitions: Int = 4096
 
   /** The sizing rule, as a pure function (unit-tested): partitions =
-    * clamp(bytes / 16 MB, parallelism, 4096).
+    * clamp(bytes / 4 MB, parallelism, 4096).
     */
   def initialPartitionsFor(inputBytes: Long, parallelism: Int): Int = {
     val byData = (inputBytes / TargetInputBytesPerPartition) + 1

@@ -67,6 +67,84 @@ object Multimodal {
       }
   }
 
+  /** REAL PNG ENCODE via `javax.imageio` (JDK-public, no external
+    * libraries): lay `bytes` row-major into a `width`-wide 8-bit
+    * grayscale raster (zero-padded to fill the last row) and compress
+    * to PNG. Grayscale PNG is LOSSLESS, so the encode→decode round
+    * trip reproduces the raster exactly — which is what lets the
+    * decoded statistics be oracle-checked instead of rows-only.
+    */
+  def pngEncodeGray(bytes: Array[Byte], width: Int): Array[Byte] = {
+    require(width > 0, s"width must be positive, got $width")
+    val h = math.max(1, (bytes.length + width - 1) / width)
+    val img = new java.awt.image.BufferedImage(
+      width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < width * h) {
+      raster.setSample(i % width, i / width, 0,
+        if (i < bytes.length) bytes(i) & 0xff else 0)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL PNG DECODE via `javax.imageio` — the non-stub codec behind
+    * the same (media_type, width, height, features) interface as
+    * [[stubDecode]]. Features are the stubDecode stride sums computed
+    * over the DECODED raster (row-major, positions ≡ i mod 8): pure
+    * integer arithmetic over pixel samples, so a faithful codec
+    * reproduces exactly the sums an oracle derives from the source
+    * bytes — any raster-extraction or codec bug breaks the hash.
+    */
+  def pngDecode(payload: Array[Byte]): (String, Int, Int, Array[Float]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val acc = new Array[Long](8)
+    var i = 0
+    while (i < w * h) {
+      acc(i % 8) += raster.getSample(i % w, i / w, 0)
+      i += 1
+    }
+    ("image/png", w, h, acc.map(a => (a % 1000).toFloat / 1000.0f))
+  }
+
+  /** Documents rendered as REAL PNG payloads: each doc's (ASCII) text
+    * bytes become a 16-wide grayscale raster, PNG-compressed. The
+    * binary column now holds genuine image bytes a real pipeline
+    * could feed to any decoder.
+    */
+  def asPngMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, pngEncodeGray(text.getBytes(java.nio.charset.StandardCharsets.UTF_8), 16))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Batch decode with the REAL codec — same per-partition shape as
+    * [[decodeFeatures]] (codec init once per task; payload bytes never
+    * shuffle), over actual PNG bytes. `n_bytes` reports the DECODED
+    * pixel count (w×h), not the compressed payload length — compressed
+    * size is codec-version-dependent and has no place in an
+    * oracle-checked row.
+    */
+  def decodePngFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (mt, w, h, feats) = pngDecode(payload)
+          MediaFeatures(id, w * h, mt, w, h, feats)
+        }
+      }
+  }
+
   /** STUB RESIZE — deterministic fake of an image resize: maps a
     * payload to a fixed-size byte grid by strided sampling (a real
     * deployment swaps in an actual scaler). Keeps the true contract:

@@ -147,6 +147,23 @@ object AnalyticsQueries {
           (0 until 8).map(i =>
             round(element_at(col("features"), i + 1).cast("double"), 6).as(s"f$i")): _*)
         .orderBy(col("doc_id"))
+    }),
+
+    // q65's REAL-codec twin: text bytes rendered into a 16-wide
+    // grayscale raster, PNG-compressed with javax.imageio, decoded
+    // back with the REAL decoder, stride features computed over the
+    // decoded raster. Grayscale PNG is lossless, so the oracle can
+    // state the decoded stats exactly from the source text — a codec
+    // or raster-extraction bug breaks the hash. (The compressed byte
+    // length is codec-version-dependent and deliberately absent;
+    // n_bytes reports the decoded pixel count.)
+    "q104_multimodal_png" -> ((s, dir) => {
+      val media = Multimodal.asPngMediaTable(s, t(s, dir, "documents"))
+      Multimodal.decodePngFeatures(s, media).toDF()
+        .select(Seq(col("doc_id"), col("n_bytes"), col("media_type"), col("width"), col("height")) ++
+          (0 until 8).map(i =>
+            round(element_at(col("features"), i + 1).cast("double"), 6).as(s"f$i")): _*)
+        .orderBy(col("doc_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -165,6 +182,22 @@ object AnalyticsQueries {
           CASE WHEN len(text) % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
           CAST(16 + (CASE WHEN len(text) = 0 THEN 0 ELSE ord(substr(text, 1, 1)) END % 64) AS INT) AS width,
           CAST(16 + (len(text) % 64) AS INT) AS height,
+          $feats
+          FROM $DocsPq ORDER BY doc_id"""
+    },
+    // the real-PNG twin: the raster is the text bytes zero-padded to a
+    // 16-wide grid, so height = ceil(len/16) (min 1), pixel count =
+    // 16*height, and the stride sums see exactly the text's byte
+    // values (padding contributes 0) — same f_i shape as q65
+    "q104_multimodal_png" -> {
+      val feats = (0 until 8).map(i =>
+        s"round((coalesce(list_sum(list_transform(generate_series($i + 1, len(text), 8), j -> ord(substr(text, j, 1)))), 0) % 1000) / 1000.0, 6) AS f$i")
+        .mkString(", ")
+      s"""SELECT doc_id,
+          CAST(16 * GREATEST(1, (len(text) + 15) // 16) AS INT) AS n_bytes,
+          'image/png' AS media_type,
+          CAST(16 AS INT) AS width,
+          CAST(GREATEST(1, (len(text) + 15) // 16) AS INT) AS height,
           $feats
           FROM $DocsPq ORDER BY doc_id"""
     },

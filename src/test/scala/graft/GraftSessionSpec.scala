@@ -15,10 +15,10 @@ class GraftSessionSpec extends SparkSpec {
     // small inputs keep the core-count default
     assert(initialPartitionsFor(0L, 16) === 16)
     assert(initialPartitionsFor(10L << 20, 16) === 16)
-    // the round-6 grid's 1000x tier: ~5 GB of parquet -> a few hundred
-    // partitions (the measured-fastest 512 came from ~8 GB scaled
-    // tables; the rule lands the same decade)
-    assert(initialPartitionsFor(5L << 30, 16) === 321)
+    // the round-6 grid's 1000x tier: 1.4 GB of parquet -> ~350
+    // partitions, the same decade as the measured-fastest 512
+    // (2.7 MB/partition) and well clear of the 2-4x-slower static 16
+    assert(initialPartitionsFor(1400L << 20, 16) === 351)
     // cap binds at 4096 no matter the input
     assert(initialPartitionsFor(1L << 50, 16) === 4096)
     // parallelism floor wins over tiny data

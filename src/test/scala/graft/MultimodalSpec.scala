@@ -58,4 +58,40 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length === 10)
     assert(rows.forall(_.getAs[Seq[Double]]("doc_features").length === 8))
   }
+
+  test("PNG round trip is lossless: decode reproduces dims and stride sums") {
+    // local codec check, no Spark: grayscale PNG must reproduce the
+    // raster exactly, and the decoded stride sums must equal the sums
+    // computed directly from the source bytes (the q104 oracle's claim)
+    val bytes = "The quick brown fox jumps over the lazy dog 0123456789"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val png = Multimodal.pngEncodeGray(bytes, 16)
+    // a real PNG: magic bytes present
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    val (mt, w, h, feats) = Multimodal.pngDecode(png)
+    assert(mt === "image/png")
+    assert(w === 16)
+    assert(h === (bytes.length + 15) / 16)
+    val expect = Array.tabulate(8) { i =>
+      var acc = 0L
+      var j = i
+      while (j < bytes.length) { acc += (bytes(j) & 0xff); j += 8 }
+      (acc % 1000).toFloat / 1000.0f
+    }
+    assert(feats.toSeq === expect.toSeq)
+    // non-image payloads refuse loudly instead of returning junk
+    intercept[IllegalArgumentException] {
+      Multimodal.pngDecode("not a png".getBytes)
+    }
+  }
+
+  test("q104 PNG decode pipeline matches the stub twin's row count at sf0.001") {
+    val real = graft.queries.AnalyticsQueries.queries("q104_multimodal_png")(spark, sf001)
+    val stub = graft.queries.AnalyticsQueries.queries("q65_multimodal_decode")(spark, sf001)
+    assert(real.count() === stub.count())
+    // every decoded raster is 16 wide with the text's stride sums
+    val r = real.collect()
+    assert(r.forall(_.getAs[Int]("width") === 16))
+    assert(r.forall(_.getAs[String]("media_type") === "image/png"))
+  }
 }
