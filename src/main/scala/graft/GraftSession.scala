@@ -94,6 +94,22 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n.toString)
+    // Once AQE may size partitions EVERYWHERE (including into persisted
+    // frames, per the conf above), the advisory size is the lever that
+    // bounds per-task deserialized state — BUT it only governs when
+    // parallelismFirst is off: the default (true) coalesces to
+    // totalBytes/parallelism, which at a multi-GB shuffle on 16 cores
+    // is ~128 MB partitions. The pair pipelines carry wide aggregation
+    // rows (shingle-set arrays: ~5-10x deserialized expansion off the
+    // shuffle bytes), and partitions that size OOMed an 8 GB local
+    // driver at the 1000x soak tier the moment the cache boundary
+    // stopped shielding them. parallelismFirst=false + a 16 MB
+    // advisory keeps in-flight state bounded at ~1-3 GB for 16 threads
+    // while staying far above the 1 MB floor where task-scheduling
+    // overhead dominates; small inputs still coalesce to few
+    // partitions, so the local gate loses nothing.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
     n
   }
 }

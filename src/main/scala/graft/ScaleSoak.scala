@@ -121,27 +121,31 @@ object ScaleSoak {
 
     if (missing("supplier")) {
       val sup = spark.read.parquet(s"$srcDir/supplier.parquet")
-      // Replica tag = "~" + rep with every digit DOUBLED ("~1122" for
-      // rep 12): any two distinct reps differ in ≥ 2 edits (a differing
-      // digit position contributes two substitutions; a different digit
-      // count shifts the length by ≥ 2), so no cross-replica pair can
-      // pass maxDist = 1, while appending a constant suffix preserves
-      // every within-replica Levenshtein distance — true pair counts
-      // scale linearly, names stay dictionary-sized. (The previous
-      // length-3r "x" tail kept replicas apart by LENGTH instead, which
-      // made name length grow with the factor — by 1000× the "names"
-      // were 3 KB strings, charging the deletion-neighborhood scan
-      // O(len²) per string for data no dictionary resembles.) With
-      // bounded names, blocked q76's 2-char buckets now absorb the
-      // whole corpus as the factor grows — its maxBucket refusal at
-      // large factors is the designed behavior, and q98 is the path
-      // that keeps working.
+      // Replica tag = "~" + rep with every digit TRIPLED ("~111222"
+      // for rep 12): any two distinct reps differ in ≥ 3 edits (a
+      // differing digit position contributes three substitutions; a
+      // different digit count shifts the length by ≥ 3), so no
+      // cross-replica pair can pass maxDist ≤ 2 — while appending a
+      // constant suffix preserves every within-replica Levenshtein
+      // distance, so true pair counts scale LINEARLY for both the
+      // distance-1 (q98) and distance-2 (q102) ladders. (Doubled
+      // digits — the previous scheme — only guaranteed ≥ 2: at
+      // maxDist = 2 every same-number name pair whose tags differed in
+      // one doubled digit sat at distance exactly 2, growing the TRUE
+      // result quadratically in the factor — the same class of
+      // generator artifact as round 6's embedding shift wrap. And the
+      // length-3r "x" tail before that kept replicas apart by LENGTH,
+      // making names 3 KB strings by 1000×.) With bounded names,
+      // blocked q76's 2-char buckets absorb the whole corpus as the
+      // factor grows — its maxBucket refusal at large factors is the
+      // designed behavior, and q98/q102 are the paths that keep
+      // working.
       sup.crossJoin(reps)
         .select(
           (col("s_suppkey") + col("rep").cast("long") * IdOff).as("s_suppkey"),
           when(col("rep") === 0, col("s_name"))
             .otherwise(concat(col("s_name"), lit("~"),
-              regexp_replace(col("rep").cast("string"), "(.)", "$1$1"))).as("s_name"),
+              regexp_replace(col("rep").cast("string"), "(.)", "$1$1$1"))).as("s_name"),
           col("s_nationkey"), col("s_acctbal"))
         .repartition(8)
         .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")

@@ -723,15 +723,33 @@ object Dedup {
         }.toDF("id", "v")
           .select(col("id"), xxhash64(col("v")).as("k"))
       }
-    val cand = nbrs.as("l").join(nbrs.as("r"),
+    // The candidate self-join is ALSO shuffle-hash-hinted: the variant
+    // frame explodes ~len rows per string off a small parquet source,
+    // and Catalyst's static estimate stays near the SOURCE size — at
+    // the 1000x tier the planner tried to broadcast ~1.2 GB of actual
+    // (id, hash) rows (driver maxResultSize abort). Per-partition hash
+    // builds scale; driver-side broadcasts of estimate-defying frames
+    // do not.
+    val cand = nbrs.hint("shuffle_hash").as("l").join(nbrs.as("r"),
         col("l.k") === col("r.k") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       // dedup BEFORE scoring: a pair sharing m neighborhood elements
       // would otherwise pay m levenshtein evaluations
       .dropDuplicates("id_a", "id_b")
+    // The verify joins carry a SHUFFLE_HASH hint on the corpus side:
+    // Catalyst's static size estimate for `cand` (a self-join behind a
+    // dropDuplicates) is a gross UNDERestimate, and without the hint
+    // the planner broadcast the candidate side — at the 1000x soak
+    // tier that tried to collect ~1.2 GB of actual pairs to the driver
+    // (spark.driver.maxResultSize abort), and at 100 TB it is fatal by
+    // construction. Hashing the corpus side per partition is the shape
+    // that scales: both sides shuffle by id (cand rows are fixed-width
+    // longs), and the build side is the bounded corpus, never the
+    // estimate-defying candidate set. Pinned in PlanSpec (no broadcast
+    // exchange anywhere in the q102 plan).
     cand
-      .join(base.select(col("id").as("id_a"), col("s").as("sa")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("s").as("sb")), "id_b")
+      .join(base.select(col("id").as("id_a"), col("s").as("sa")).hint("shuffle_hash"), "id_a")
+      .join(base.select(col("id").as("id_b"), col("s").as("sb")).hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"), levenshtein(col("sa"), col("sb"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
   }

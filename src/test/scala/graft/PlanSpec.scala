@@ -286,6 +286,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("deletion-pair verify joins never broadcast the candidate frame") {
+    // Catalyst statically UNDERestimates `cand` (self-join behind a
+    // dropDuplicates), so without the shuffle-hash hint the planner
+    // broadcast the candidate side of the verify joins — ~1.2 GB
+    // collected to the driver at the 1000x tier, fatal at 100 TB. The
+    // hint must surface as two ShuffledHashJoins (one per id side)
+    // building on the bounded corpus frame. (The nbrs self-join MAY
+    // broadcast: that decision is AQE's, made from runtime sizes, and
+    // reverts to a shuffle join when the frame outgrows the threshold.)
+    for (name <- Seq("q98_fuzzy_pairs_deletion", "q102_fuzzy_pairs_deletion2")) {
+      val df = q(name)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val shuffledJoins = "ShuffledHashJoin".r.findAllIn(p).length
+      assert(shuffledJoins >= 2,
+        s"$name: expected both verify joins as ShuffledHashJoin, found $shuffledJoins:\n$p")
+      GraftCache.releaseAll()
+    }
+  }
+
   test("q91 reuses the persisted reference chunk set for the verify join") {
     // decontaminateByChunks computes the reference chunk fingerprints
     // once (GraftCache-persisted): the Bloom build consumed it as its
