@@ -457,6 +457,42 @@ object DedupQueries {
       ivf.select(col("vec_id")).join(brute.select(col("vec_id")), "vec_id")
         .agg(count(lit(1)).as("n_overlap"))
         .select(lit(10).as("k"), (col("n_overlap") >= 8).cast("int").as("recall_ge_80pct"))
+    }),
+
+    // Product-quantization ANN (Jegou et al. 2011), oracle-exact
+    // configuration: 8 subspaces x 16 centroids, iters = 0 — each
+    // codebook is the 16 lowest vec_ids' subvectors, so encoding, the
+    // ADC tables and the final ranking are all replayable in SQL. The
+    // scan side of the search reads CODES only (8 small ints/vector —
+    // 32x less than the float32 vectors at rest): the 100 TB shape is
+    // encode-once, then every query is a code-scan + m table lookups.
+    // The TRAINED books (iters > 0, float averaging) are graded by the
+    // q106 recall contract.
+    "q105_ann_pq" -> ((s, dir) =>
+      Similarity.pqSearchADC(t(s, dir, "embeddings"), 0L, k = 10,
+        m = 8, ksub = 16, iters = 0)),
+
+    // trained-PQ recall contract (same shape as q96): Lloyd-trained
+    // codebooks (iters = 1) are not oracle-replayable, so the graded
+    // integer is the overlap of the re-ranked top-10 with the exact
+    // brute-force top-10. The graded path is the production shape —
+    // ADC code-scan to a 100-wide shortlist, exact cosine re-rank of
+    // only those rows ([[Similarity.pqSearchRerank]]): direct ADC
+    // ranking at 16^8 code words is recall-limited by quantization
+    // error (measured 1-4 of 10 across the SF ladder), while the
+    // re-ranked top-10 recovers 6-10 of 10 because the true neighbors
+    // survive INTO the shortlist even when their ADC order within it
+    // is scrambled. Floor: >= 5 of 10 (worst measured rung is 6). A
+    // code-assignment or ADC-table regression empties the shortlist's
+    // overlap with the true neighborhood and breaks the hash.
+    "q106_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pq = Similarity.pqSearchRerank(emb, 0L, k = 10, shortlist = 100,
+        m = 8, ksub = 16, iters = 1)
+      val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+      pq.select(col("vec_id")).join(brute.select(col("vec_id")), "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10).as("k"), (col("n_overlap") >= 5).cast("int").as("recall_ge_50pct"))
     }))
 
   /** Oracle for the full cleaning pipeline: quality/lang scoring CTEs
@@ -661,6 +697,33 @@ object DedupQueries {
     // the oracle states the expected floor, Spark computes the actual
     // overlap of trained-IVF top-10 vs exact brute-force top-10.
     "q96_ivf_recall" -> "SELECT CAST(10 AS INT) AS k, CAST(1 AS INT) AS recall_ge_80pct",
+    // full replay of the iters=0 PQ/ADC path: books = per-subspace
+    // subvectors of the 16 lowest vec_ids (kept as full vectors,
+    // indexed e[j*8+i] — same arithmetic as the engine's slice), codes
+    // by 9-decimal-rounded argmin per (vec, subspace), ADC tables =
+    // the query row's own d values, final distance = the 8 table hits
+    // summed in subspace order (list_sum over an ORDER BY j list — the
+    // engine's left fold) then rounded to 6.
+    "q105_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
+          b AS (SELECT CAST(vec_id AS INT) AS code, e AS c
+            FROM (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT 16)),
+          books AS (SELECT j, code, c FROM b, unnest(generate_series(0, 7)) AS u(j)),
+          d AS (SELECT e.vec_id, bk.j, bk.code,
+              round(list_sum(list_transform(generate_series(1, 8),
+                i -> (e.e[bk.j*8+i] - bk.c[bk.j*8+i]) * (e.e[bk.j*8+i] - bk.c[bk.j*8+i]))), 9) AS d
+            FROM e CROSS JOIN books bk),
+          codes AS (SELECT vec_id, j, code FROM (
+              SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+              FROM d)
+            WHERE rn = 1),
+          tab AS (SELECT j, code, d AS t FROM d WHERE vec_id = 0),
+          adc AS (SELECT c.vec_id, round(list_sum(list(t.t ORDER BY c.j)), 6) AS adc_dist
+            FROM codes c JOIN tab t ON t.j = c.j AND t.code = c.code
+            WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+          SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10""",
+    // contract row for the trained-PQ path (see the q106 query comment)
+    "q106_pq_recall" -> "SELECT CAST(10 AS INT) AS k, CAST(1 AS INT) AS recall_ge_50pct",
     "q58_ann_lsh_bucket" ->
       s"""WITH pw AS (SELECT p, d,
             (((('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0 AS w

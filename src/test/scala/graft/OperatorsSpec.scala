@@ -527,4 +527,67 @@ class OperatorsSpec extends SparkSpec {
     // sign-agreeing vectors correlate: pairs exist at this threshold
     assert(pairs.nonEmpty)
   }
+
+  // ------------------------------------------------------------ PQ/ADC
+
+  /** 16 distinct 8-dim ramp vectors: with ksub = 16 and iters = 0 every
+    * vector IS a codebook centroid in every subspace, so quantization
+    * error is zero and ADC must reproduce exact squared L2.
+    */
+  def rampEmb = (0 until 16).map { i =>
+    (i.toLong, Array.tabulate(8)(d => (i * 8 + d).toFloat / 10f), 0)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("pqSearchADC with zero quantization error ranks by exact squared L2") {
+    val got = Similarity.pqSearchADC(rampEmb, 0L, k = 15, m = 4, ksub = 16, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // the ramp's squared L2 to vec 0 grows monotonically with vec_id
+    assert(got.map(_._1).toSeq === (1L to 15L))
+    // and the ADC distance equals the true squared L2 (0.8*i per dim^2)
+    for ((id, d) <- got) {
+      val exact = (0 until 8).map { dd => val x = id * 0.8; x * x }.sum
+      assert(math.abs(d - exact) < 1e-2, s"vec $id: adc=$d exact=$exact")
+    }
+  }
+
+  test("pqSearchRerank with corpus-covering shortlist equals brute force exactly") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rer = Similarity.pqSearchRerank(emb, 0L, k = 10, shortlist = 1 << 20,
+        m = 8, ksub = 16, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // shortlist >= corpus: the exact re-rank sees every vector, so the
+    // books cannot matter — ids AND cosines must match brute force
+    assert(rer === brute)
+  }
+
+  test("pqTrainLocal is deterministic and keeps init centroids for empty codes") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val embD = emb.select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
+    val b1 = Similarity.pqTrainLocal(embD, m = 8, ksub = 16, iters = 2)
+    val b2 = Similarity.pqTrainLocal(embD, m = 8, ksub = 16, iters = 2)
+    assert(b1 === b2) // same input -> same books, end to end
+    assert(b1.length === 8 && b1.forall(_.length === 16) && b1.forall(_.forall(_.length === 8)))
+    // duplicate init vectors: code 1 can never win (ties go to code 0),
+    // so its centroid must survive training unchanged from the init
+    val dup = Seq(
+      (0L, Array.fill(4)(1.0f)), (1L, Array.fill(4)(1.0f)),
+      (2L, Array.fill(4)(5.0f)), (3L, Array.fill(4)(9.0f))
+    ).toDF("vec_id", "embedding")
+    val dupD = dup.select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
+    val books = Similarity.pqTrainLocal(dupD, m = 2, ksub = 4, iters = 3)
+    for (j <- 0 until 2) assert(books(j)(1) === Seq(1.0, 1.0), s"subspace $j")
+  }
+
+  test("trained-PQ rerank recall meets the q106 floor on sf0.001") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val rer = Similarity.pqSearchRerank(emb, 0L, k = 10, shortlist = 100,
+        m = 8, ksub = 16, iters = 1)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect rer).size
+    info(s"rerank recall@10 = $recall/10")
+    assert(recall >= 5) // measured 9-10 at this rung; floor matches q106
+  }
 }

@@ -77,6 +77,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p)
   }
 
+  test("q105 PQ/ADC search plans as a pure code-scan -> TakeOrdered (no shuffle)") {
+    val p = plan(q("q105_ann_pq"))
+    // encoding and the ADC sum are projections over driver-held literal
+    // tables: the whole search is scan -> project -> bounded top-k
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("q51 band self-join reuses one exchange for both sides") {
     val df = q("q51_minhash_pairs")
     df.collect() // AQE stitches exchange reuse during execution
