@@ -456,14 +456,19 @@ object Similarity {
     var books: Seq[Seq[Seq[Double]]] =
       (0 until m).map(j => initRows.toSeq.map(_.getSeq[Double](0).slice(j * sub, (j + 1) * sub)))
     for (_ <- 0 until iters) {
-      val coded = assignPqCodes(embD, books)
-      val parts = (0 until m).map(j =>
-        coded.select(lit(j).as("sub"), col("code").getItem(j).as("code"),
-          slice(col("e"), j * sub + 1, sub).as("sv")))
+      // ONE evaluation of the (m*ksub)-way code assignment per round:
+      // build the per-subspace (sub, code, subvector) structs in the
+      // same projection and explode — a union of m selects here would
+      // re-evaluate the full assignment m times (measured 8x the
+      // training cost at m=8 on the sf0.1 rung)
+      val exploded = assignPqCodes(embD, books)
+        .select(explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub"), col("code").getItem(j).as("code"),
+            slice(col("e"), j * sub + 1, sub).as("sv"))): _*)).as("x"))
+        .select(col("x.sub").as("sub"), col("x.code").as("code"), col("x.sv").as("sv"))
       val recomputed = centroids(
-        parts.reduce(_ unionAll _).select(
-          concat_ws("_", col("sub"), col("code")).as("sc"), col("sv").as("e"))
-          .withColumnRenamed("sc", "cell"),
+        exploded.select(
+          concat_ws("_", col("sub"), col("code")).as("cell"), col("sv").as("e")),
         "cell", "e")
         .collect()
         .map { r =>
@@ -492,6 +497,11 @@ object Similarity {
       val sv = slice(col("e"), j * sub + 1, sub)
       val scored = book.zipWithIndex.map { case (cvec, c) =>
         val carr = array(cvec.map(lit): _*)
+        // aggregate(zip_with(...)) beats spelling the sum out as
+        // getItem arithmetic here: m*ksub*sub explicit terms blow past
+        // Janino's limits (InternalCompilerException) and the whole
+        // stage falls back to interpreted mode — measured 3x slower
+        // than the lambda form at m=8/ksub=16 on sf0.1
         val d = aggregate(zip_with(sv, carr, (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, v) => acc + v)
         struct(round(d, 9).as("d"), lit(c).as("code"))
@@ -568,6 +578,154 @@ object Similarity {
       .head.getSeq[Double](0)
     val qCol = array(qv.map(lit): _*)
     embD.join(broadcast(short), "vec_id")
+      .select(col("vec_id"), round(cosine(col("e"), qCol), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
+  }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** The corpus IVF-PQ-encoded (Jégou et al. 2011 §IV: coarse k-means
+    * cells + product quantization of the RESIDUAL e − centroid(cell),
+    * which is what FAISS's IVFPQ stores): returns ((cents, books),
+    * frame with `vec_id, e, cell, code`). Residuals concentrate around
+    * the origin regardless of which cell a vector landed in, so one
+    * shared `m`×`ksub` codebook covers all cells at far lower
+    * quantization error than coding raw vectors — the standard
+    * composition. Both trainers are the deterministic driver-held
+    * mini-Lloyd ([[kmeansCellsLocal]], [[pqTrainLocal]]); cell
+    * assignment, residual subtraction (an `element_at` into a literal
+    * cell→centroid map) and code assignment are all map-side
+    * projections — encoding never shuffles.
+    */
+  def ivfPqEncode(embD: DataFrame, cells: Int, m: Int, ksub: Int, iters: Int)
+      : ((Seq[(Int, Seq[Double])], Seq[Seq[Seq[Double]]]), DataFrame) = {
+    val cents = kmeansCellsLocal(embD, cells, iters)
+    val centMap = map(cents.flatMap { case (c, cv) =>
+      Seq(lit(c), array(cv.map(lit): _*)) }: _*)
+    // MATERIALIZED before the PQ stages: Catalyst's projection collapse
+    // would otherwise inline the residual zip_with (and its 16-entry
+    // literal centroid map) into every one of the m*ksub distance
+    // expressions — measured ~2x the whole search at m=8/ksub=16 — and
+    // training + final coding each rescan the residuals anyway
+    val resid = graft.GraftCache.registered(assignCells(embD, cents)
+      .withColumn("r", zip_with(col("e"), element_at(centMap, col("cell")), (x, y) => x - y)))
+    val books = pqTrainLocal(resid.select(col("vec_id"), col("r").as("e")), m, ksub, iters)
+    // assignPqCodes codes whatever sits in `e` and passes other columns
+    // through — swap the residual in, keep cell and the original vector,
+    // so coding stays a single projection (no join back by id)
+    val coded = assignPqCodes(
+      resid.select(col("vec_id"), col("r").as("e"), col("cell"), col("e").as("orig")), books)
+    ((cents, books), coded.select(col("vec_id"), col("orig").as("e"), col("cell"), col("code")))
+  }
+
+  /** IVF-PQ ANN, the shape production vector search actually runs at
+    * corpus scale (FAISS IndexIVFPQ + refine): probe the `nprobe`
+    * nearest cells (driver-side, against `cells` held centroids), scan
+    * ONLY those cells' PQ codes with per-cell ADC tables built from the
+    * query's residual vs each probed centroid, keep a `shortlist`, then
+    * exact-cosine re-rank only those rows to the final `k`. The scan
+    * cost at rest is (nprobe/cells) of the corpus × (m bytes per vector
+    * instead of 4·dim) — at cells=16/nprobe=4/m=8 over 64-dim float32
+    * that is ~0.8% of the raw bytes, which is what makes a 100 TB
+    * corpus answerable per-query; see [[writeIvfPqIndex]] for the
+    * at-rest variant where partition pruning realizes the nprobe/cells
+    * factor against files. The ADC distance is selected per-row by a
+    * `when` chain over the probed cells (each arm = m literal-table
+    * lookups), so the whole search is scan → filter → project →
+    * TakeOrdered — no shuffle, no join before the bounded rerank.
+    */
+  def ivfPqSearch(emb: DataFrame, queryId: Long, k: Int, cells: Int, nprobe: Int,
+      m: Int, ksub: Int, iters: Int, shortlist: Int): DataFrame = {
+    val embD = graft.GraftCache.registered(
+      emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
+    val ((cents, books), coded) = ivfPqEncode(embD, cells, m, ksub, iters)
+    val qRows = embD.filter(col("vec_id") === queryId).select(col("e")).collect()
+    require(qRows.nonEmpty, s"ivfPqSearch: query vector vec_id=$queryId not found in the corpus")
+    val qv = qRows.head.getSeq[Double](0)
+    val short = ivfPqAdcShortlist(coded, cents, books, qv, queryId, nprobe, shortlist)
+    val qCol = array(qv.map(lit): _*)
+    embD.join(broadcast(short), "vec_id")
+      .select(col("vec_id"), round(cosine(col("e"), qCol), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
+  }
+
+  /** The probe-pruned ADC shortlist over an IVF-PQ-coded frame: per
+    * probed cell, the ADC table is built on the driver from the QUERY
+    * residual vs that cell's centroid (asymmetric: the query is never
+    * quantized), and a row's distance is chosen by its `cell` — rows in
+    * un-probed cells are filtered before the projection.
+    */
+  private def ivfPqAdcShortlist(coded: DataFrame, cents: Seq[(Int, Seq[Double])],
+      books: Seq[Seq[Seq[Double]]], qv: Seq[Double], queryId: Long,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    val sub = books.head.head.length
+    val probes = cents.map { case (c, cv) => (sq9(cv, qv), c) }.sorted.take(nprobe).map(_._2)
+    val centById = cents.toMap
+    // each arm is null outside its cell, so coalesce picks the probed
+    // cell's table sum (the filter below guarantees exactly one match)
+    val adc = coalesce(probes.map { c =>
+      val qr = qv.zip(centById(c)).map { case (x, y) => x - y }
+      val cellAdc = books.zipWithIndex.map { case (book, j) =>
+        val tbl = book.map(cvec => sq9(qr.slice(j * sub, (j + 1) * sub), cvec))
+        element_at(array(tbl.map(lit): _*), col("code").getItem(j) + 1)
+      }.reduce(_ + _)
+      when(col("cell") === c, cellAdc)
+    }: _*)
+    coded.filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(adc, 6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id")).limit(shortlist)
+      .select(col("vec_id"))
+  }
+
+  /** Train and WRITE an IVF-PQ index: `vec_id, code` partitioned by
+    * `cell` (a probe's scan prunes to nprobe/cells of the files — the
+    * [[writeIvfIndex]] layout), with the trained centroids AND
+    * codebooks stored under underscore-prefixed side paths (invisible
+    * to partition discovery). Unlike the plain IVF index the data files
+    * hold PQ codes, not vectors: the index is ~m bytes per vector at
+    * rest, and a probe's scan reads (nprobe/cells)·(m/4·dim) of the
+    * corpus bytes. Re-ranking fetches the shortlist's full vectors from
+    * the SOURCE table by id (production keeps vectors and index
+    * separate for exactly this reason).
+    */
+  def writeIvfPqIndex(emb: DataFrame, path: String, cells: Int,
+      m: Int, ksub: Int, iters: Int): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val embD = graft.GraftCache.registered(
+      emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
+    val ((cents, books), coded) = ivfPqEncode(embD, cells, m, ksub, iters)
+    coded.select(col("vec_id"), col("code"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cvec, c) => (j, c, cvec) } }
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_books")
+  }
+
+  /** Probe a [[writeIvfPqIndex]] index: centroids + books are read back
+    * (tiny), the code scan partition-prunes on `cell` to the probed
+    * files, and the shortlist re-ranks against the source `emb` table —
+    * the scan side never touches a float vector.
+    */
+  def ivfPqSearchIndexed(emb: DataFrame, path: String, queryVec: Seq[Double],
+      excludeId: Long, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](r.fieldIndex("centroid"))).toSeq
+    val bookRows = spark.read.parquet(s"$path/_books").collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code")) -> r.getSeq[Double](r.fieldIndex("centroid"))).toMap
+    val m = bookRows.keys.map(_._1).max + 1
+    val ksub = bookRows.keys.map(_._2).max + 1
+    val books = (0 until m).map(j => (0 until ksub).map(c => bookRows((j, c))))
+    val coded = spark.read.parquet(path)
+    val short = ivfPqAdcShortlist(coded, cents, books, queryVec, excludeId, nprobe, shortlist)
+    val qCol = array(queryVec.map(lit): _*)
+    emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+      .filter(col("vec_id") =!= excludeId)
+      .join(broadcast(short), "vec_id")
       .select(col("vec_id"), round(cosine(col("e"), qCol), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
   }

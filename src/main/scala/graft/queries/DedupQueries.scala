@@ -493,6 +493,25 @@ object DedupQueries {
       pq.select(col("vec_id")).join(brute.select(col("vec_id")), "vec_id")
         .agg(count(lit(1)).as("n_overlap"))
         .select(lit(10).as("k"), (col("n_overlap") >= 5).cast("int").as("recall_ge_50pct"))
+    }),
+
+    // IVF-PQ recall contract (trained coarse + residual-PQ quantizers,
+    // shortlist rerank — the FAISS IndexIVFPQ+refine composition,
+    // [[Similarity.ivfPqSearch]]): the scan side reads nprobe/cells of
+    // the corpus as m-byte codes (~0.8% of the raw bytes at this
+    // config), so recall is bounded by the coarse probe — the true
+    // neighbors it keeps survive the rerank exactly. Floor: >= 5 of 10
+    // at nprobe = 8 of 16 cells (measured 6-10 across the SF ladder;
+    // the weakly-clustered synthetic embeddings make the probe the
+    // binding constraint, same as q96's trained-IVF contract).
+    "q107_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ann = Similarity.ivfPqSearch(emb, 0L, k = 10, cells = 16, nprobe = 8,
+        m = 8, ksub = 16, iters = 1, shortlist = 100)
+      val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+      ann.select(col("vec_id")).join(brute.select(col("vec_id")), "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10).as("k"), (col("n_overlap") >= 5).cast("int").as("recall_ge_50pct"))
     }))
 
   /** Oracle for the full cleaning pipeline: quality/lang scoring CTEs
@@ -724,6 +743,8 @@ object DedupQueries {
           SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10""",
     // contract row for the trained-PQ path (see the q106 query comment)
     "q106_pq_recall" -> "SELECT CAST(10 AS INT) AS k, CAST(1 AS INT) AS recall_ge_50pct",
+    // contract row for the trained IVF-PQ path (see the q107 comment)
+    "q107_ivfpq_recall" -> "SELECT CAST(10 AS INT) AS k, CAST(1 AS INT) AS recall_ge_50pct",
     "q58_ann_lsh_bucket" ->
       s"""WITH pw AS (SELECT p, d,
             (((('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0 AS w

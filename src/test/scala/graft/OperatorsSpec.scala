@@ -580,6 +580,46 @@ class OperatorsSpec extends SparkSpec {
     for (j <- 0 until 2) assert(books(j)(1) === Seq(1.0, 1.0), s"subspace $j")
   }
 
+  test("ivfPqSearch with all cells probed and corpus-covering shortlist equals brute force") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ann = Similarity.ivfPqSearch(emb, 0L, k = 10, cells = 4, nprobe = 4,
+        m = 8, ksub = 16, iters = 1, shortlist = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // nprobe = cells and shortlist >= corpus: nothing is pruned, so the
+    // exact re-rank must reproduce brute force bit-for-bit
+    assert(ann === brute)
+  }
+
+  test("ivfPqEncode codes every vector, in range, as a join-free projection") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val embD = emb.select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
+    val ((cents, books), coded) = Similarity.ivfPqEncode(embD, cells = 8, m = 8, ksub = 16, iters = 1)
+    assert(cents.length === 8 && books.length === 8 && books.forall(_.length === 16))
+    val rows = coded.collect()
+    assert(rows.length === embD.count())
+    val cellIds = cents.map(_._1).toSet
+    assert(rows.forall(r => cellIds(r.getAs[Int]("cell"))))
+    assert(rows.forall(r => r.getSeq[Int](r.fieldIndex("code")).forall(c => c >= 0 && c < 16)))
+    assert(!coded.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
+  test("persisted IVF-PQ index probe matches the in-memory search") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val direct = Similarity.ivfPqSearch(emb, 0L, k = 10, cells = 8, nprobe = 3,
+        m = 8, ksub = 16, iters = 1, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.writeIvfPqIndex(emb, s"$dir/index", cells = 8, m = 8, ksub = 16, iters = 1)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding"))).collect().head.getSeq[Double](0)
+    val indexed = Similarity.ivfPqSearchIndexed(emb, s"$dir/index", qv, 0L,
+        k = 10, nprobe = 3, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed === direct) // same quantizers, same probes, same rerank
+  }
+
   test("trained-PQ rerank recall meets the q106 floor on sf0.001") {
     val emb = graft.queries.Q.t(spark, sf001, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
