@@ -244,6 +244,35 @@ class PlanSpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
+  test("IVF-PQ index probe prunes to nprobe cells and scans codes, not vectors") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_plan").toString + "/idx"
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    Similarity.writeIvfPqIndex(emb, dir, cells = 8, m = 8, ksub = 16, iters = 1)
+    // the index at rest holds m-int codes per vector — no float payload
+    val full = spark.read.parquet(dir)
+    assert(full.columns.toSet === Set("vec_id", "code", "cell"))
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding"))).collect().head.getSeq[Double](0)
+    val probe = Similarity.ivfPqSearchIndexed(emb, dir, qv, excludeId = 0L,
+      k = 10, nprobe = 3, shortlist = 50)
+    val p = plan(probe)
+    // the cell filter reaches the code scan as partition pruning — the
+    // at-rest claim: a probe reads (nprobe/cells)*(m-byte codes) only
+    assert(p.contains("PartitionFilters:") && p.contains("cell"), p)
+    val codeScan = probe.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.schema.fieldNames.contains("code") => s
+    }
+    assert(codeScan.nonEmpty, p)
+    assert(codeScan.head.selectedPartitions.partitionCount === 3,
+      s"probe read ${codeScan.head.selectedPartitions.partitionCount} partitions")
+    // and the shortlist side never reads a vector column
+    assert(!codeScan.head.schema.fieldNames.contains("e"), codeScan.head.schema.treeString)
+    graft.GraftCache.releaseAll()
+  }
+
   test("q68 reuses exactKept via cache and reads pairs from the checkpoint") {
     // exactKept feeds (a) the minhash signature aggregation and (b) the
     // final representative join. Branch (a) was consumed when
