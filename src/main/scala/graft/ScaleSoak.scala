@@ -60,7 +60,8 @@ object ScaleSoak {
     "q89_bpe_pair_counts", "q90_unigram_logprob", "q91_curation_pipeline",
     "q92_embedding_lsh_wide", "q93_connected_components", "q94_quantize_int8",
     "q95_source_overlap", "q98_fuzzy_pairs_deletion", "q99_embedding_lsh_auto",
-    "q100_simhash_pairs_auto", "q102_fuzzy_pairs_deletion2", "q103_minhash_pairs_auto")
+    "q100_simhash_pairs_auto", "q102_fuzzy_pairs_deletion2", "q103_minhash_pairs_auto",
+    "q105_ann_pq", "q106_pq_recall", "q107_ivfpq_recall", "q108_quality_classifier")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

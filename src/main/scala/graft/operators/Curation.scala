@@ -345,4 +345,43 @@ object Curation {
         round(col("shared_fps").cast("double") / least(col("n_a"), col("n_b")).cast("double"), 6)
           .as("overlap_rate"))
   }
+
+  /** Full-batch logistic-regression fit over a feature frame — the
+    * training half of a model-based quality/language filter (the
+    * fastText-classifier stage of DCLM/FineWeb-style pipelines, scored
+    * here over interpretable features instead of word n-grams). Each
+    * gradient-descent iteration is ONE distributed aggregation: the
+    * mean gradient `avg((sigmoid(w·x) − y) · x_j)` per feature, which
+    * map-side-combines to `numFeatures` doubles per partition — at
+    * 100 TB each step shuffles kilobytes, and the driver holds only the
+    * weight vector. Determinism contract: weights start at 0, the mean
+    * gradient is rounded to 6 decimals IN the aggregation (both engines
+    * round the same near-identical double), and `lr` is an integer so
+    * the driver-side update `w − lr·g` stays on 6-decimal values
+    * without a second engine-dependent rounding — the whole fit replays
+    * exactly in SQL as `iters` unrolled scalar CTEs.
+    *
+    * `featCols` should include an explicit all-ones bias column.
+    */
+  def logisticFit(features: DataFrame, featCols: Seq[String], labelCol: String,
+      iters: Int, lr: Int = 1): Seq[Double] = {
+    var w = Seq.fill(featCols.size)(0.0)
+    for (_ <- 0 until iters) {
+      val margin = featCols.zip(w).map { case (c, wj) => col(c) * lit(wj) }.reduce(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-margin))
+      val gExprs = featCols.map(c => round(avg((p - col(labelCol)) * col(c)), 6))
+      val g = features.agg(gExprs.head, gExprs.tail: _*).head().toSeq
+        .map { case d: Double => d }
+      w = w.zip(g).map { case (wj, gj) => wj - lr * gj }
+    }
+    w
+  }
+
+  /** The fitted score column: `sigmoid(w·x)` over the same feature
+    * columns — a pure projection, applied corpus-wide with no shuffle.
+    */
+  def logisticScore(featCols: Seq[String], weights: Seq[Double]): Column = {
+    val margin = featCols.zip(weights).map { case (c, wj) => col(c) * lit(wj) }.reduce(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-margin))
+  }
 }

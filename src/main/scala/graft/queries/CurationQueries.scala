@@ -156,7 +156,116 @@ object CurationQueries {
           (col("_approx") >= col("_lo") && col("_approx") <= col("_hi"))
             .cast("int").as("within_band"))
         .orderBy(col("lang"))
+    }),
+
+    // model-based quality filter (the classifier stage of DCLM /
+    // FineWeb-Edu-style pipelines): distill a teacher's keep/drop
+    // labels — here the C4/Gopher-rule scorer [[TextFunctions
+    // .qualityFromScores]] thresholded at 0.8, standing in for the
+    // LLM judge those pipelines train against — into a full-batch
+    // logistic regression over replayable features (bias, length
+    // score, clean-char ratio, stopword score, and an en-marker-ratio
+    // nuisance feature the fit must learn to ignore). Training =
+    // ClfIters aggregations of round-6 mean gradients (kilobytes
+    // shuffled per step at any corpus size); scoring = one projection.
+    // The whole fit replays in SQL as unrolled scalar CTEs, so the
+    // doc-level scores are hash-exact; accuracy vs the teacher (~0.93
+    // across the SF ladder, majority baseline ~0.60) is pinned in
+    // OperatorsSpec.
+    "q108_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val aggs = graft.functions.TextFunctions.tokenAggregates(docs, "doc_id", "text")
+      val lower_ = lower(col("text"))
+      val cleanLen = graft.plans.CleanAlnumLen.cleanLen(lower_)
+      val nTok = coalesce(col("n_tok"), lit(0L)).cast("double")
+      // scanned ClfIters + 1 times (one per gradient step + scoring),
+      // so partition it by its own size, not the source text's 32-way
+      // layout: 6 doubles/doc is ~0.5% of the corpus bytes, and a
+      // 24-step fit over a small-sf frame would otherwise pay 24
+      // rounds of 32-task scheduling for kilobytes of data (measured
+      // 4.6 -> 1.9 s warm at sf0.1; at 100 TB the same rule yields
+      // thousands of partitions and per-step shuffles stay kilobytes)
+      val nPart = math.max(1L, math.min(4096L,
+        graft.GraftSession.pathBytes(s"$dir/documents.parquet") / (64L << 20))).toInt
+      val feats = graft.GraftCache.registered(
+        docs.join(aggs, Seq("doc_id"), "left_outer").select(
+          col("doc_id"),
+          lit(1.0).as("x0"),
+          least(nTok / 50.0, lit(1.0)).as("x1"),
+          (lit(1.0) - (length(lower_) - cleanLen).cast("double") /
+            greatest(length(lower_), lit(1)).cast("double")).as("x2"),
+          least(coalesce(col("n_stop"), lit(0L)).cast("double") /
+            greatest(nTok, lit(1.0)) * 5.0, lit(1.0)).as("x3"),
+          (coalesce(col("s_en"), lit(0L)).cast("double") /
+            greatest(nTok, lit(1.0))).as("x4"),
+          (graft.functions.TextFunctions.qualityFromScores(col("text")) >= 0.8)
+            .cast("double").as("y"))
+          .repartition(nPart)) // after the projection: shuffles 6 doubles/doc, not text
+      val w = Curation.logisticFit(feats, ClfFeats, "y", ClfIters, ClfLr)
+      val score = r6(Curation.logisticScore(ClfFeats, w))
+      feats.select(col("doc_id"), score.as("score"),
+          (score >= 0.5).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
     }))
+
+  /** q108 classifier hyperparameters — shared with the SQL replay.
+    * 24 full-batch steps at integer lr 4 reach ~0.93 teacher-agreement
+    * on this corpus; fewer steps leave the informative length feature
+    * still dominated by the near-constant ones, larger rates ring.
+    */
+  private val ClfFeats = Seq("x0", "x1", "x2", "x3", "x4")
+  private val ClfIters = 24
+  private val ClfLr = 4
+
+  /** The q108 fit unrolled as SQL: weight CTE w0 = zeros, then per
+    * iteration a gradient CTE (round-6 mean gradients — the same
+    * rounding [[Curation.logisticFit]] applies inside its aggregation)
+    * and a weight CTE `w − lr·g`. Engine and oracle round the SAME
+    * near-identical double at each step, so the fit can't drift.
+    */
+  private def sqlLogisticReplay: String = {
+    val markers = graft.functions.TextFunctions.langMarkers
+    val enMarkers = markers.toMap.apply("en")
+    val allMarkers = markers.flatMap(_._2).distinct
+    def inList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("(", ", ", ")")
+    val js = ClfFeats.indices
+    def margin(w: String) = js.map(j => s"$w.w$j * f.x$j").mkString(" + ")
+    def sigmoid(w: String) = s"1.0 / (1.0 + exp(-(${margin(w)})))"
+    // every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs
+    // per reference, so the 24-deep weight chain would otherwise blow
+    // up 5x per level (and the 25 reads of `f` reopen the parquet
+    // until the process runs out of file handles)
+    val steps = (1 to ClfIters).map { k =>
+      val grads = js.map(j =>
+        s"round(avg((${sigmoid("w")} - f.y) * f.x$j), 6) AS g$j").mkString(", ")
+      val upds = js.map(j => s"w.w$j - $ClfLr * g.g$j AS w$j").mkString(", ")
+      s"""g$k AS MATERIALIZED (SELECT $grads FROM f, w${k - 1} w),
+          w$k AS MATERIALIZED (SELECT $upds FROM w${k - 1} w, g$k g)"""
+    }.mkString(",\n          ")
+    s"""WITH base AS (SELECT doc_id, lower(text) AS lt, lang,
+            list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM $DocsPq),
+        m AS (SELECT doc_id, lang,
+            len(toks)::DOUBLE AS n_tok,
+            len(list_filter(toks, t -> t IN ${inList(allMarkers)}))::DOUBLE AS n_stop,
+            len(list_filter(toks, t -> t IN ${inList(enMarkers)}))::DOUBLE AS s_en,
+            len(lt) AS n_ch,
+            len(regexp_replace(lt, '[^a-z0-9 ]', '', 'g')) AS n_clean FROM base),
+        f AS MATERIALIZED (SELECT doc_id,
+            1.0 AS x0,
+            least(n_tok / 50.0, 1.0) AS x1,
+            1.0 - (n_ch - n_clean)::DOUBLE / greatest(n_ch, 1)::DOUBLE AS x2,
+            least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0) AS x3,
+            s_en / greatest(n_tok, 1.0) AS x4,
+            (round(0.4 * least(n_tok / 50.0, 1.0)
+              + 0.4 * (1.0 - (n_ch - n_clean)::DOUBLE / greatest(n_ch, 1)::DOUBLE)
+              + 0.2 * least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0), 6) >= 0.8
+            )::INT::DOUBLE AS y FROM m),
+        w0 AS (SELECT ${js.map(j => s"0.0 AS w$j").mkString(", ")}),
+        $steps
+        SELECT f.doc_id, round(${sigmoid("w")}, 6) AS score,
+          CAST(round(${sigmoid("w")}, 6) >= 0.5 AS INT) AS keep
+        FROM f, w$ClfIters w ORDER BY f.doc_id"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     // contract row (see the q97 query comment): strata sizes are exact
@@ -165,6 +274,7 @@ object CurationQueries {
     "q97_percentile_approx" ->
       s"""SELECT lang, count(*) AS n, 1 AS within_band FROM $DocsPq
           GROUP BY lang HAVING count(*) >= 20 ORDER BY lang""",
+    "q108_quality_classifier" -> sqlLogisticReplay,
     "q78_chunk_dedup" ->
       s"""WITH chunks AS (${sqlChunks(16, "")})
           SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,

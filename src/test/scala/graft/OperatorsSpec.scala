@@ -620,6 +620,27 @@ class OperatorsSpec extends SparkSpec {
     assert(indexed === direct) // same quantizers, same probes, same rerank
   }
 
+  test("q108 distilled quality classifier beats the majority baseline against its teacher") {
+    val rows = graft.queries.CurationQueries.queries("q108_quality_classifier")(spark, sf001)
+      .collect()
+    assert(rows.forall { r =>
+      val s = r.getDouble(r.fieldIndex("score")); s >= 0.0 && s <= 1.0 })
+    // teacher labels recomputed independently of the query path
+    val docs = graft.queries.Q.t(spark, sf001, "documents")
+    val teacher = docs
+      .join(TextFunctions.tokenAggregates(docs, "doc_id", "text"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        (TextFunctions.qualityFromScores(col("text")) >= 0.8).cast("int").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val n = rows.length.toDouble
+    val agree = rows.count(r => r.getInt(r.fieldIndex("keep")) === teacher(r.getLong(0))) / n
+    val majority = math.max(teacher.values.sum / n, 1.0 - teacher.values.sum / n)
+    // measured 0.92-0.93 across the ladder vs ~0.60 majority; the fit
+    // must clearly beat always-keep for the filter to mean anything
+    assert(agree >= 0.85 && agree > majority + 0.1, s"agree=$agree majority=$majority")
+    graft.GraftCache.releaseAll()
+  }
+
   test("trained-PQ rerank recall meets the q106 floor on sf0.001") {
     val emb = graft.queries.Q.t(spark, sf001, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
