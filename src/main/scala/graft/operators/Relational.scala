@@ -78,4 +78,44 @@ object Relational {
       .select(explode(col("postings")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_match"))
       .filter(col("n_match") >= minMatch)
+
+  /** BM25-ranked top-k retrieval (Robertson/Sparck Jones idf with the
+    * Lucene-style `+1` smoothing and `(k1+1)` numerator) for a
+    * bag-of-words query — the RANKED flavor of [[indexUnion]]/
+    * [[indexIntersect]], and the ad-hoc probe curation pipelines run
+    * against a corpus (targeted decontamination, quality spot-checks)
+    * when no index is at rest. One pass, one shuffle: per-doc length
+    * AND per-query-term frequencies come out of a single map-side-
+    * combined aggregation whose rows are fixed-width longs (the term
+    * columns are literal conditionals — no token strings shuffle);
+    * corpus stats (N, avgdl, per-term df) reduce to ONE driver row off
+    * the cached frame, ride into the scoring projection as literals,
+    * and the ranking is TakeOrdered bounded by `k`. Ordering is on the
+    * ROUNDED score (ties broken by id) so the ranking is engine-exact.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 64, "bm25TopK: 1..64 query terms")
+    val toks = docs.select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val tfCols = terms.map(t =>
+      sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val agged = graft.GraftCache.registered(
+      toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"), tfCols: _*))
+    val statCols = avg(col("dl")).as("avgdl") +:
+      terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+    val st = agged.agg(count(lit(1)).as("n"), statCols: _*).head()
+    val n = st.getAs[Long]("n").toDouble
+    val avgdl = st.getAs[Double]("avgdl")
+    val score = terms.map { t =>
+      val idf = math.log((n - st.getAs[Long](s"df_$t") + 0.5) /
+        (st.getAs[Long](s"df_$t") + 0.5) + 1.0)
+      val tf = col(s"tf_$t").cast("double")
+      lit(idf) * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    }.reduce(_ + _)
+    agged.filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .select(col(idCol), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol)).limit(k)
+  }
 }

@@ -101,6 +101,14 @@ object SortSetQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25-ranked retrieval over the same probe terms — the ranked
+    // flavor of q38/q39 (see Relational.bm25TopK for the one-shuffle
+    // fixed-width plan). Ordering is on the round-6 score with doc_id
+    // tie-break, so the top-k cut is engine-exact.
+    "q109_bm25_topk" -> ((s, dir) =>
+      Relational.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "query", "join"), 15)),
+
     // tumbling-window event aggregation — the batch semantics of the
     // phase-9 streaming query (SURVEY §2.10; reference has no
     // streaming at all). window() buckets == DuckDB time_bucket.
@@ -168,6 +176,23 @@ object SortSetQueries {
           SELECT doc_id, count(*) AS n_match FROM tok
           WHERE token IN ('spark', 'query', 'join')
           GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""",
+    // BM25: Robertson idf with Lucene +1 smoothing, k1=1.2 b=0.75 —
+    // the same arithmetic Relational.bm25TopK builds from its one
+    // driver stats row; both engines order by the ROUNDED score.
+    "q109_bm25_topk" ->
+      s"""WITH tok AS (SELECT doc_id, token FROM ($SqlTok) WHERE token <> ''),
+          d AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+          tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                 WHERE token IN ('spark', 'query', 'join') GROUP BY 1, 2),
+          dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+          SELECT tf.doc_id,
+            round(sum(ln((stats.n - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / stats.avgdl))), 6) AS bm25
+          FROM tf JOIN dfx USING (token) JOIN d USING (doc_id) CROSS JOIN stats
+          GROUP BY tf.doc_id, stats.n, stats.avgdl
+          ORDER BY bm25 DESC, tf.doc_id LIMIT 15""",
     "q40_window_events" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
          count(*) AS n,

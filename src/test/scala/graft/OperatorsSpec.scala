@@ -651,4 +651,39 @@ class OperatorsSpec extends SparkSpec {
     info(s"rerank recall@10 = $recall/10")
     assert(recall >= 5) // measured 9-10 at this rung; floor matches q106
   }
+
+  test("bm25TopK matches a driver-side BM25 reimplementation exactly") {
+    val corpus = Seq(
+      (0L, "spark join spark query engine"),
+      (1L, "query planner for the spark engine"),
+      (2L, "join order and join strategy notes"),
+      (3L, "completely unrelated gardening text"),
+      (4L, "spark spark spark spark spark"),
+      (5L, "a query about a join in spark")
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "query", "join")
+    val got = Relational.bm25TopK(corpus, "doc_id", "text", terms, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // naive recompute: same whitespace tokenization, Robertson idf with
+    // the +1 smoothing, k1=1.2, b=0.75, round-6, ties by doc_id
+    val toks = Seq(0L, 1L, 2L, 3L, 4L, 5L).map { id =>
+      id -> corpus.filter(col("doc_id") === id).head.getString(1)
+        .toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    def score(id: Long): Double = terms.map { t =>
+      val tf = toks(id).count(_ == t).toDouble
+      if (tf == 0) 0.0 else {
+        val df = toks.values.count(_.contains(t))
+        math.log((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+          (tf + 1.2 * (0.25 + 0.75 * toks(id).size / avgdl))
+      }
+    }.sum
+    val want = toks.keys.toSeq.filter(id => terms.exists(toks(id).contains))
+      .map(id => (id, math.rint(score(id) * 1e6) / 1e6))
+      .sortBy { case (id, s) => (-s, id) }.take(4)
+    assert(got.toSeq === want)
+    graft.GraftCache.releaseAll()
+  }
 }
