@@ -118,4 +118,29 @@ object Relational {
       .select(col(idCol), round(score, 6).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol)).limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of several
+    * retrieval lists: each input is (id, score, higher-better), rank is
+    * re-derived inside the fusion with the engine-exact (score desc, id)
+    * ordering, and the fused score is Σ 1/(c + rank). The inputs are
+    * top-k-bounded lists (the product of [[bm25TopK]] / ANN searches),
+    * so the single-partition ranking windows and the fusion aggregation
+    * touch O(lists·k) rows total — at 100 TB all the scale lives in the
+    * retrieval stages, which have already reduced to k rows each; the
+    * fusion itself is constant-size by construction. The fused score is
+    * rounded (ties broken by id) so the final cut is engine-exact: with
+    * a handful of lists the sum is a commutative add of ≤ |lists|
+    * doubles, identical in any evaluation order.
+    */
+  def rrfFusion(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+      k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFusion: at least one ranking")
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+    rankings
+      .map(_.select(col(idCol),
+        (lit(1.0) / (lit(c.toDouble) + row_number().over(w))).as("contrib")))
+      .reduce(_ union _)
+      .groupBy(col(idCol)).agg(round(sum(col("contrib")), 9).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol)).limit(k)
+  }
 }

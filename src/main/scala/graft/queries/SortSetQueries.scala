@@ -109,6 +109,19 @@ object SortSetQueries {
       Relational.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "query", "join"), 15)),
 
+    // hybrid retrieval: RRF-fuse the BM25 lexical list with a dense
+    // ANN list for query vector 0 (doc_id = vec_id in the testdata) —
+    // the two-tower retrieval pattern RAG/curation probes run. Both
+    // lists are top-50-bounded before fusion, so the fusion stage is
+    // O(100) rows regardless of corpus size.
+    "q110_hybrid_rrf" -> ((s, dir) => {
+      val bm = Relational.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "query", "join"), 50).withColumnRenamed("bm25", "score")
+      val ann = graft.operators.Similarity.bruteForceTopK(t(s, dir, "embeddings"), 0L, 50)
+        .select(col("vec_id").as("doc_id"), col("cos_sim").as("score"))
+      Relational.rrfFusion(Seq(bm, ann), "doc_id", "score", 10)
+    }),
+
     // tumbling-window event aggregation — the batch semantics of the
     // phase-9 streaming query (SURVEY §2.10; reference has no
     // streaming at all). window() buckets == DuckDB time_bucket.
@@ -193,6 +206,33 @@ object SortSetQueries {
           FROM tf JOIN dfx USING (token) JOIN d USING (doc_id) CROSS JOIN stats
           GROUP BY tf.doc_id, stats.n, stats.avgdl
           ORDER BY bm25 DESC, tf.doc_id LIMIT 15""",
+    // RRF: ranks re-derived with the same (score desc, id) ordering the
+    // engine uses; fused score = sum of 1/(60+rank) over the two lists
+    // (two-term double add — order-independent), round-9 tie-break by id.
+    "q110_hybrid_rrf" ->
+      s"""WITH tok AS (SELECT doc_id, token FROM ($SqlTok) WHERE token <> ''),
+          d AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+          tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                 WHERE token IN ('spark', 'query', 'join') GROUP BY 1, 2),
+          dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+          bm AS (SELECT tf.doc_id,
+              round(sum(ln((stats.n - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / stats.avgdl))), 6) AS score
+            FROM tf JOIN dfx USING (token) JOIN d USING (doc_id) CROSS JOIN stats
+            GROUP BY tf.doc_id, stats.n, stats.avgdl
+            ORDER BY score DESC, tf.doc_id LIMIT 50),
+          q AS (SELECT embedding::DOUBLE[] AS qe FROM $EmbPq WHERE vec_id = 0),
+          ann AS (SELECT vec_id AS doc_id,
+              round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS score
+            FROM $EmbPq, q WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id LIMIT 50),
+          u AS (SELECT doc_id, 1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) AS contrib FROM bm
+                UNION ALL
+                SELECT doc_id, 1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) FROM ann)
+          SELECT doc_id, round(sum(contrib), 9) AS rrf FROM u
+          GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""",
     "q40_window_events" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
          count(*) AS n,

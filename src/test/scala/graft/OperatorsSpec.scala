@@ -686,4 +686,17 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq === want)
     graft.GraftCache.releaseAll()
   }
+
+  test("rrfFusion fuses two lists by reciprocal rank with id tie-break") {
+    // list A ranks: 10 (r1), 20 (r2), 30 (r3); list B: 20 (r1), 40 (r2)
+    val a = Seq((10L, 3.0), (20L, 2.0), (30L, 1.0)).toDF("doc_id", "score")
+    val b = Seq((20L, 9.0), (40L, 8.0)).toDF("doc_id", "score")
+    val got = Relational.rrfFusion(Seq(a, b), "doc_id", "score", k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def rr(r: Int) = 1.0 / (60 + r)
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    // 20 appears in both lists (r2 + r1) and must win
+    assert(got.toSeq === Seq(
+      (20L, r9(rr(2) + rr(1))), (10L, r9(rr(1))), (40L, r9(rr(2)))))
+  }
 }
