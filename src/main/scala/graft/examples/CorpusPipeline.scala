@@ -41,7 +41,7 @@ object CorpusPipeline {
     // aggregation run once
     val exactKept = graft.GraftCache.registered(scored
       .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
-      .agg(min_by(struct(scored.columns.map(col): _*), col("doc_id")).as("_r"))
+      .agg(min_by(struct(scored.columns.toIndexedSeq.map(col): _*), col("doc_id")).as("_r"))
       .select(col("_r.*")))
     // 3. near-dedup: LSH pairs over the surviving docs, keep cluster
     //    representatives (label == own id) and untouched docs

@@ -794,4 +794,81 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Duplicated-substring SPANS (the token-level form of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — their unit is a 50-char substring over a
+    * suffix array; ours is an `l`-token gram over a distributed
+    * hash-count, the shape that parallelizes): a position is
+    * duplicated when the `l`-gram starting there occurs >= `minCount`
+    * times across the whole corpus (within-doc repeats included, as in
+    * the paper); overlapping/adjacent duplicated grams merge into
+    * maximal spans via a per-doc gaps-and-islands window.
+    *
+    * Scale: gram hashing is map-side (`h31`, so the oracle replays it);
+    * only fixed-width (doc_id, start, hash) longs ever shuffle — gram
+    * STRINGS never leave the map stage. Three shuffles total: count by
+    * hash, hash-join occurrences to the duplicated-hash set, and one
+    * per-doc window; each is keyed, never all-pairs. The occurrence
+    * frame is read twice (count + join) and is persisted via
+    * [[graft.GraftCache]].
+    *
+    * Output: (doc_id, span_start, span_end, span_len) in 1-based token
+    * positions, one row per maximal duplicated span.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String, l: Int = 5,
+      minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(l >= 2, "dupSpans: gram length >= 2")
+    val occ = graft.GraftCache.registered(
+      docs.select(col(idCol).as("doc_id"),
+          posexplode(shingles(tokenize(col(textCol)), l)).as(Seq("p0", "gram")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"), h31(col("gram")).as("gh")))
+    val dup = occ.groupBy(col("gh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount).select(col("gh"))
+    val hits = occ.join(dup, Seq("gh"))
+      .select(col("doc_id"), col("s"), (col("s") + (l - 1)).as("e"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val prevMax = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("fresh",
+        when(prevMax.isNull || col("s") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("fresh"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** Substring-level dedup: drop every token covered by a
+    * [[dupSpans]] span and reassemble the surviving tokens (the
+    * paper's aggressive variant — ALL occurrences of a duplicated
+    * span are removed, which is the deterministic contract; keep-first
+    * requires a global owner election per span cluster). All docs are
+    * returned, including untouched ones (n_removed = 0) and fully-
+    * boilerplate ones (clean_text = '').
+    *
+    * Scale: the spans frame is keyed by doc and bounded by token
+    * count; the removal itself is MAP-SIDE — spans aggregate to one
+    * array per doc, ride a single key join back to the doc row, and a
+    * codegen `filter(tokens, (tok, i) -> !exists(spans covering i))`
+    * rebuilds the text without any per-token shuffle.
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String, l: Int = 5,
+      minCount: Long = 2L): DataFrame = {
+    val spans = dupSpans(docs, idCol, textCol, l, minCount)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("tk"))
+      .join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("tk"),
+        when(col("spans").isNull, col("tk")).otherwise(
+          filter(col("tk"), (_, i) => !exists(col("spans"),
+            sp => i + 1 >= sp("span_start") && i + 1 <= sp("span_end"))))
+          .as("kept"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
 }

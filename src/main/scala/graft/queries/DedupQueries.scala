@@ -25,6 +25,30 @@ object DedupQueries {
     s"min((${Dedup.MinhashA(i)} * h + ${Dedup.MinhashB(i)}) % ${Dedup.P}) AS mh$i"
   private val SqlToks = sqlToks(s"SELECT doc_id, text FROM $DocsPq")
   private val SqlShingles = sqlShingles(s"SELECT doc_id, text FROM $DocsPq")
+
+  /** CTE chain replaying [[Dedup.dupSpans]] (l=5, minCount=2): 5-gram
+    * occurrences with 1-based start positions, h31 gram hashes,
+    * corpus-wide duplicate filter, and the per-doc gaps-and-islands
+    * merge — bit-for-bit the engine's windows (same ordering, same
+    * adjacency rule `s > prev_e + 1`). Terminates at `isl`; callers
+    * group by (doc_id, island).
+    */
+  private val SqlDupSpanCtes: String = {
+    val gram = (0 until 5).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
+    s"""g AS (SELECT doc_id, i AS s, ${sqlH31(s"($gram)")} AS gh
+          FROM ($SqlToks), unnest(generate_series(1, len(tk) - 4)) AS u(i)),
+        dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        hits AS (SELECT doc_id, s, s + 4 AS e FROM g JOIN dup USING (gh)),
+        m AS (SELECT doc_id, s, e,
+            max(e) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+          FROM hits),
+        isl AS (SELECT doc_id, s, e,
+            sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM m)"""
+  }
   private val SqlSig =
     s"""SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")}
         FROM (SELECT doc_id, ${sqlH31("shingle")} AS h FROM ($SqlShingles)) GROUP BY doc_id"""
@@ -359,6 +383,19 @@ object DedupQueries {
       Dedup.editDistancePairsDeletion(t(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // duplicated-substring spans (token-level Lee et al. 2022): maximal
+    // per-doc spans of 5-grams occurring >= 2 times corpus-wide.
+    "q111_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text", l = 5)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // substring-level dedup: the q111 spans removed from every doc and
+    // the surviving tokens reassembled (aggressive variant — see
+    // Dedup.removeDupSpans on why keep-first needs an owner election).
+    "q112_substring_dedup" -> ((s, dir) =>
+      Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text", l = 5)
+        .orderBy(col("doc_id"))),
+
     // embedding near-dup: same-label pairs above cosine 0.4 (clusters
     // are weak in the synthetic data; threshold chosen to exercise the
     // filter). Guarded: refuses oversized label blocks, pointing at the
@@ -655,6 +692,30 @@ object DedupQueries {
            AND l.s_suppkey < r.s_suppkey
          WHERE levenshtein(l.s_name, r.s_name) <= 2
          ORDER BY id_a, id_b""",
+    "q111_dup_spans" ->
+      s"""WITH $SqlDupSpanCtes
+          SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+            max(e) - min(s) + 1 AS span_len
+          FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    "q112_substring_dedup" ->
+      s"""WITH $SqlDupSpanCtes,
+          spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se
+                    FROM isl GROUP BY doc_id, island),
+          rem AS (SELECT DISTINCT doc_id, u.i AS pos
+                  FROM spans, unnest(generate_series(ss, se)) AS u(i)),
+          tokpos AS (SELECT doc_id, i AS pos, tk[i] AS token
+                     FROM ($SqlToks), unnest(generate_series(1, len(tk))) AS u(i)),
+          kept AS (SELECT t.doc_id, t.pos, t.token
+                   FROM tokpos t ANTI JOIN rem r USING (doc_id, pos)),
+          agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS ct,
+                    count(*) AS n_kept
+                  FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(agg.ct, '') AS clean_text,
+            len(tk.tk) - coalesce(agg.n_kept, 0) AS n_removed
+          FROM $DocsPq d
+          JOIN (SELECT doc_id, tk FROM ($SqlToks)) tk USING (doc_id)
+          LEFT JOIN agg USING (doc_id)
+          ORDER BY d.doc_id""",
     "q103_minhash_pairs_auto" -> sqlMinhashPairsAuto,
     "q72_ngram_jaccard_lsh" ->
       s"""WITH ${sqlPairsCtesFromHashes(

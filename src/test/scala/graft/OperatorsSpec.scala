@@ -687,6 +687,44 @@ class OperatorsSpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
+  test("dupSpans merges overlapping duplicated grams into maximal spans") {
+    // docs 0 and 1 share the 5-token run "alpha beta gamma delta eps"
+    // (3 consecutive duplicated 3-grams -> ONE merged span of len 5);
+    // doc 2 shares nothing.
+    val df = Seq(
+      (0L, "alpha beta gamma delta eps tail0 u0 v0"),
+      (1L, "head1 alpha beta gamma delta eps w1"),
+      (2L, "totally disjoint words only here now")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(df, "doc_id", "text", l = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSet === Set((0L, 1L, 5L, 5L), (1L, 2L, 6L, 5L)))
+    graft.GraftCache.releaseAll()
+  }
+
+  test("removeDupSpans drops exactly the covered tokens and keeps clean docs intact") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta eps tail0 u0 v0"),
+      (1L, "head1 alpha beta gamma delta eps w1"),
+      (2L, "totally disjoint words only here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(df, "doc_id", "text", l = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(0L) === (("tail0 u0 v0", 5L)))
+    assert(out(1L) === (("head1 w1", 5L)))
+    assert(out(2L) === (("totally disjoint words only here now", 0L)))
+    graft.GraftCache.releaseAll()
+  }
+
+  test("dupSpans counts within-doc gram repeats toward the duplicate threshold") {
+    // the 3-gram "x y z" occurs twice INSIDE one doc (positions 1 and 5)
+    val df = Seq((7L, "x y z pad x y z")).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(df, "doc_id", "text", l = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSet === Set((7L, 1L, 3L), (7L, 5L, 7L)))
+    graft.GraftCache.releaseAll()
+  }
+
   test("rrfFusion fuses two lists by reciprocal rank with id tie-break") {
     // list A ranks: 10 (r1), 20 (r2), 30 (r3); list B: 20 (r1), 40 (r2)
     val a = Seq((10L, 3.0), (20L, 2.0), (30L, 1.0)).toDF("doc_id", "score")
