@@ -285,6 +285,59 @@ object Curation {
         round(avg(col("lp")), 6).as("avg_logprob"))
   }
 
+  /** Jelinek-Mercer interpolated BIGRAM log-prob per doc — the
+    * KenLM-perplexity-filter shape (CCNet trains a 5-gram LM; the
+    * estimation/backoff machinery is identical at order 2 and every
+    * count is corpus-derived, so the whole model stays
+    * oracle-replayable). Per-bigram score is
+    * `ln(λ·P(w2|w1) + (1−λ)·P(w2))` with `P(w2|w1) = c(w1,w2)/c(w1·)`
+    * over the bigram event space and `P(w2)` the corpus unigram MLE;
+    * rounded to 6 decimals BEFORE the per-doc mean (same contract as
+    * [[unigramLogProb]]). Docs with fewer than 2 tokens have no bigram
+    * events and drop out.
+    *
+    * Scale: the model IS two count aggregations (bigram, unigram) —
+    * map-side combined, keyed shuffles only; the scored join back to
+    * occurrences is keyed by the bigram. The occurrence frame is read
+    * twice (model + scoring) and rides [[graft.GraftCache]]. λ and
+    * (1−λ) are both computed driver-side and rendered into the oracle
+    * SQL from the SAME doubles — `1−0.7` is not the double `0.3`, and
+    * the difference survives round-6.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    import graft.functions.TextFunctions.{shingles, tokenize}
+    val bi = graft.GraftCache.registered(
+      docs.select(col(idCol), explode(shingles(tokenize(col(textCol)), 2)).as("bg"))
+        .select(col(idCol),
+          substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2")))
+    val f2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val hist = f2.groupBy(col("w1")).agg(sum(col("c2")).as("ch"))
+    val uni = Q.explodedTokens(docs, idCol, textCol)
+      .groupBy(col("token")).agg(count(lit(1)).as("cu"))
+      .withColumn("tot", sum(col("cu")).over(Window.partitionBy()))
+    // Per-bigram scores are integer-ized to MICRO-units before the
+    // per-doc mean: a float mean of round-6 doubles is summed in
+    // engine-dependent order, and with ~30 addends the last-ulp drift
+    // crosses a round-6 boundary on real data (3/500 docs at sf0.01
+    // when this used round-then-avg). An integer sum is order-free;
+    // the single division + round at the end is engine-exact.
+    val lp = f2.join(hist, Seq("w1"))
+      .join(uni.withColumnRenamed("token", "w2"), Seq("w2"))
+      .select(col("w1"), col("w2"),
+        round(log(
+          lit(lambda) * (col("c2").cast("double") / col("ch").cast("double")) +
+          lit(1.0 - lambda) * (col("cu").cast("double") / col("tot").cast("double"))) * 1e6)
+          .cast("long").as("lpm"))
+    bi.join(lp, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nb"), sum(col("lpm")).as("s"))
+      .select(col(idCol), col("nb").cast("int").as("n_bigrams"),
+        round(col("s").cast("double") / (col("nb").cast("double") * 1e6), 6)
+          .as("avg_logprob"))
+  }
+
   /** Gopher-style repetition statistics per document: total token
     * count, top-token frequency ratio (high → "the the the" spam) and
     * distinct-token ratio (low → repetitive). Two map-side-combined

@@ -115,6 +115,12 @@ object CurationQueries {
       Curation.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // order-2 LM scoring: Jelinek-Mercer interpolated bigram log-prob
+    // (the KenLM-filter shape with a fully corpus-replayable model).
+    "q113_bigram_logprob" -> ((s, dir) =>
+      Curation.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // data-derived quality gate: keep docs at or above their lang's
     // 20th-percentile quality (exact percentile, round-6 threshold).
     // Scoring goes through the codegen'd tokenAggregates path (same
@@ -413,6 +419,27 @@ object CurationQueries {
             round(ln(cnt::DOUBLE / (SELECT sum(cnt)::BIGINT FROM f)::DOUBLE), 6) AS lp FROM f)
           SELECT doc_id, CAST(count(*) AS INT) AS n_tokens, round(avg(lp), 6) AS avg_logprob
           FROM t JOIN ft USING (token) GROUP BY doc_id ORDER BY doc_id""",
+    // interpolation weights rendered from the SAME Scala doubles the
+    // engine uses: 1-0.7 is 0.30000000000000004, not the literal 0.3.
+    "q113_bigram_logprob" -> {
+      val lam = 0.7
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+            FROM $DocsPq),
+          bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+                 FROM tk, unnest(generate_series(1, len(tk) - 1)) AS u(i)),
+          f2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+          h AS (SELECT w1, sum(c2) AS ch FROM f2 GROUP BY 1),
+          u1 AS (SELECT token, count(*) AS cu FROM
+            (SELECT unnest(tk) AS token FROM tk) GROUP BY 1),
+          tot AS (SELECT sum(cu)::BIGINT AS tot FROM u1),
+          lp AS (SELECT f2.w1, f2.w2,
+              CAST(round(ln($lam * (c2::DOUBLE / ch::DOUBLE)
+                + ${1.0 - lam} * (cu::DOUBLE / tot::DOUBLE)) * 1e6) AS BIGINT) AS lpm
+            FROM f2 JOIN h USING (w1) JOIN u1 ON u1.token = f2.w2 CROSS JOIN tot)
+          SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+            round(sum(lpm)::DOUBLE / (count(*)::DOUBLE * 1e6), 6) AS avg_logprob
+          FROM bi JOIN lp USING (w1, w2) GROUP BY doc_id ORDER BY doc_id"""
+    },
     "q88_quality_percentile" -> {
       // same quality formula as the q62 oracle, plus lang
       val markers = graft.functions.TextFunctions.langMarkers.flatMap(_._2).distinct

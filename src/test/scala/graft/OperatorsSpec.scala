@@ -725,6 +725,25 @@ class OperatorsSpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
+  test("bigramLogProb matches the interpolated-LM formula computed by hand") {
+    // doc 0: bigrams (a,b),(b,a),(a,b); doc 1: (a,b),(b,c)
+    // f2: (a,b)=3 (b,a)=1 (b,c)=1; hist: a=3 b=2; uni: a=3 b=3 c=1 tot=7
+    val df = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val got = graft.operators.Curation.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val lam = 0.7
+    def lpm(c2: Long, ch: Long, cu: Long): Long =
+      BigDecimal(math.log(lam * (c2.toDouble / ch) + (1.0 - lam) * (cu.toDouble / 7.0)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val ab = lpm(3, 3, 3); val ba = lpm(1, 2, 3); val bc = lpm(1, 2, 1)
+    def avg6(s: Long, n: Int): Double =
+      BigDecimal(s.toDouble / (n.toDouble * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0L) === ((3, avg6(ab + ba + ab, 3))))
+    assert(got(1L) === ((2, avg6(ab + bc, 2))))
+    graft.GraftCache.releaseAll()
+  }
+
   test("rrfFusion fuses two lists by reciprocal rank with id tie-break") {
     // list A ranks: 10 (r1), 20 (r2), 30 (r3); list B: 20 (r1), 40 (r2)
     val a = Seq((10L, 3.0), (20L, 2.0), (30L, 1.0)).toDF("doc_id", "score")
