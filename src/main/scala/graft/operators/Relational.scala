@@ -119,6 +119,37 @@ object Relational {
       .orderBy(col("bm25").desc, col(idCol)).limit(k)
   }
 
+  /** Skew-resilient inner equi-join: the big side gets a deterministic
+    * per-row salt (hash of the whole row, mod `salts`), the small side
+    * is replicated `salts` ways, and the join key becomes (key, salt) —
+    * so one hot key's rows spread over `salts` shuffle partitions
+    * instead of hot-spotting one task. Results are exactly the plain
+    * join's (every salted big row meets its key's every small row in
+    * exactly one salt bucket).
+    *
+    * When to reach for this at 100 TB: AQE's skew-join handles
+    * sort-merge skew by splitting oversized partitions at runtime, and
+    * [[graft.GraftSession]] enables it — prefer that for plain joins.
+    * Explicit salting is the remaining lever when the skewed side must
+    * ALSO feed a hash-partitioned downstream op on the same key (AQE
+    * splits would be re-merged by the reuse), when the join is
+    * shuffle-hash (AQE skew handling is SMJ-shaped), or when the salt
+    * should persist into a bucketed layout. The cost is explicit:
+    * `salts`× replication of the small side — same trade as q73's
+    * salted aggregation ([[graft.queries.CoreQueries]]).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
+      salts: Int): DataFrame = {
+    require(salts >= 1, "saltedJoin: salts >= 1")
+    val salted = big.withColumn("_salt",
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(salts)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated,
+        salted(bigKey) === replicated(smallKey) && salted("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of several
     * retrieval lists: each input is (id, score, higher-better), rank is
     * re-derived inside the fusion with the engine-exact (score desc, id)

@@ -114,6 +114,19 @@ object JoinQueries {
           abs(su("s_acctbal") - c("c_acctbal")) < 100)
         .select(col("s_suppkey"), col("c_custkey"))
         .orderBy(col("s_suppkey"), col("c_custkey"))
+    }),
+
+    // salted skew join: results are the PLAIN join's (the oracle is a
+    // plain SQL join — salt is pure partitioning mechanics and must not
+    // leak into results). q73's salted aggregation's join-shaped twin.
+    "q114_salted_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      graft.operators.Relational.saltedJoin(l, o, "l_orderkey", "o_orderkey", 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -152,5 +165,10 @@ object JoinQueries {
     "q28_theta_join" ->
       """SELECT s_suppkey, c_custkey FROM supplier JOIN customer
          ON s_nationkey = c_nationkey AND abs(s_acctbal - c_acctbal) < 100
-         ORDER BY s_suppkey, c_custkey""")
+         ORDER BY s_suppkey, c_custkey""",
+    "q114_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber""")
 }

@@ -725,6 +725,24 @@ class OperatorsSpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
+  test("saltedJoin equals the plain join on skewed keys and spreads the hot key") {
+    // 90% of big rows share key 1 — the hot-key shape salting exists for
+    val big = (1 to 200).map(i => (if (i <= 180) 1L else i.toLong, i)).toDF("k", "payload")
+    val small = Seq((1L, "hot"), (190L, "cold"), (999L, "nomatch")).toDF("kk", "name")
+    val got = Relational.saltedJoin(big, small, "k", "kk", salts = 4)
+      .select(col("k"), col("payload"), col("name"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val want = big.join(small, col("k") === col("kk"))
+      .select(col("k"), col("payload"), col("name"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(got === want && got.length === 181)
+    // the hot key's rows must occupy >1 salt bucket, else nothing was gained
+    val saltsUsed = big.filter(col("k") === 1L)
+      .withColumn("_salt", pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(4)))
+      .select("_salt").distinct().count()
+    assert(saltsUsed > 1)
+  }
+
   test("bigramLogProb matches the interpolated-LM formula computed by hand") {
     // doc 0: bigrams (a,b),(b,a),(a,b); doc 1: (a,b),(b,c)
     // f2: (a,b)=3 (b,a)=1 (b,c)=1; hist: a=3 b=2; uni: a=3 b=3 c=1 tot=7
