@@ -370,4 +370,36 @@ class PlanSpec extends SparkSpec {
       graft.queries.Q.t(spark, sf001, "documents")
         .filter(org.apache.spark.sql.functions.col("lang") === "en").count())
   }
+
+  test("q109 bm25 ranking is TakeOrdered over one aggregation (no total sort)") {
+    val p = plan(q("q109_bm25_topk"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    graft.GraftCache.releaseAll()
+  }
+
+  test("dupSpans shuffles only fixed-width longs — gram strings stay map-side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e x y")).toDF("doc_id", "text")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.Dedup.dupSpans(docs, "doc_id", "text", l = 3)
+      val exchanges = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, df.queryExecution.sparkPlan.toString)
+      // the operator's scale claim: every shuffle row is (doc_id, s, gh)
+      // longs — the gram STRING is hashed before any exchange, so
+      // shuffle bytes are document-length-independent
+      assert(exchanges.forall(!_.output.exists(_.name == "gram")),
+        exchanges.map(_.output.mkString(", ")).mkString("\n"))
+      assert(exchanges.forall(_.output.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType)),
+        exchanges.map(_.output.mkString(", ")).mkString("\n"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      graft.GraftCache.releaseAll()
+    }
+  }
 }
