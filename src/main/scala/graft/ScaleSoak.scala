@@ -61,7 +61,9 @@ object ScaleSoak {
     "q92_embedding_lsh_wide", "q93_connected_components", "q94_quantize_int8",
     "q95_source_overlap", "q98_fuzzy_pairs_deletion", "q99_embedding_lsh_auto",
     "q100_simhash_pairs_auto", "q102_fuzzy_pairs_deletion2", "q103_minhash_pairs_auto",
-    "q105_ann_pq", "q106_pq_recall", "q107_ivfpq_recall", "q108_quality_classifier")
+    "q105_ann_pq", "q106_pq_recall", "q107_ivfpq_recall", "q108_quality_classifier",
+    "q109_bm25_topk", "q110_hybrid_rrf", "q111_dup_spans", "q112_substring_dedup",
+    "q113_bigram_logprob")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

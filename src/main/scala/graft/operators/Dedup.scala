@@ -121,17 +121,26 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
     signaturesFromHashes(shingleHashes(docs, idCol, textCol), k)
 
+  /** (doc_id, band, band_key) rows for a signature frame — the banding
+    * used by [[minhashCandidates]] and stored at rest by
+    * [[writeDedupIndex]] (ONE definition, so in-session pairs and
+    * index-probe candidates can never disagree on bucketing).
+    */
+  def bandKeys(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      sigs.select(col("doc_id"), lit(b).as("band"), concat_ws("_", cols: _*).as("band_key"))
+    }.reduce(_.union(_))
+  }
+
   /** LSH banding: candidate pairs = docs agreeing on an entire band of
     * the signature. Bands are hashed to one key column and self-joined
     * on (band, band_key) — the shuffle key is the bucket, so
     * cross-corpus pairs never materialize.
     */
   def minhashCandidates(sigs: DataFrame, k: Int = 8, bands: Int = 2): DataFrame = {
-    val rowsPerBand = k / bands
-    val banded = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      sigs.select(col("doc_id"), lit(b).as("band"), concat_ws("_", cols: _*).as("band_key"))
-    }.reduce(_.union(_))
+    val banded = bandKeys(sigs, k, bands)
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -839,6 +848,92 @@ object Dedup {
       .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** At-rest dedup index for INCREMENTAL ingestion — the production
+    * shape at 100 TB: the already-ingested corpus is summarized ONCE
+    * into three skinny parquet tables under `path`, and every new
+    * batch dedups against those summaries without ever re-reading (or
+    * re-shingling) the corpus itself:
+    *
+    *   - `fingerprints/` (fp)                — exact-dup keys
+    *   - `bands/` (doc_id, band, band_key)   — LSH band buckets
+    *   - `sets/`  (doc_id, hs)               — sorted shingle-hash sets
+    *                                           for candidate verify
+    *
+    * Index bytes are O(corpus docs), not O(corpus bytes): a fingerprint
+    * row is 32 hex chars, a band row ~3 longs' worth, and `hs` the
+    * distinct shingle hashes — the 100 TB corpus's text never lives in
+    * the index. Signatures and sets come out of ONE aggregation (the
+    * q51 lesson), and banding goes through [[bandKeys]] so index
+    * buckets are bit-identical to in-session LSH.
+    */
+  def writeDedupIndex(corpus: DataFrame, idCol: String, textCol: String, path: String,
+      k: Int = 8, bands: Int = 2): Unit = {
+    val sigSets = graft.GraftCache.registered(
+      shingleHashes(corpus, idCol, textCol).groupBy(col("doc_id"))
+        .agg(min(permuted(col("h"), 0)).as("mh0"),
+          (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")) :+
+            sort_array(collect_set(col("h"))).as("hs"): _*))
+    corpus.select(fingerprint(col(textCol)).as("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
+    bandKeys(sigSets, k, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    sigSets.select(col("doc_id"), col("hs"))
+      .write.mode("overwrite").parquet(s"$path/sets")
+  }
+
+  /** Incremental dedup of a new batch against a [[writeDedupIndex]]
+    * index: per new doc, verdict `exact_dup` (fingerprint already in
+    * the corpus), `near_dup` (an LSH band collision with a corpus doc
+    * verified at Jaccard >= `threshold`), or `kept` — exact wins when
+    * both hold (it is the stronger claim, and the near check on an
+    * exact copy is redundant work the verdict order makes harmless).
+    *
+    * Scale: the batch shingles/hashes map-side; the exact check is a
+    * semi-join on fingerprints; candidates come from a keyed join of
+    * batch band keys against the at-rest buckets (the shuffle key is
+    * the bucket — corpus×batch pairs never materialize); the verify
+    * join touches only colliding (new, corpus) pairs and runs the same
+    * sorted-merge intersect kernel as [[pairsFromHashes]]. Nothing in
+    * the plan scales with corpus TEXT bytes — only with index rows and
+    * collision counts.
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String, path: String,
+      threshold: Double = 0.6, k: Int = 8, bands: Int = 2): DataFrame = {
+    val spark = newDocs.sparkSession
+    val idxFp = spark.read.parquet(s"$path/fingerprints")
+    val idxBands = spark.read.parquet(s"$path/bands")
+      .select(col("doc_id").as("corpus_id"), col("band"), col("band_key"))
+    val idxSets = spark.read.parquet(s"$path/sets")
+      .select(col("doc_id").as("corpus_id"), col("hs").as("corpus_hs"))
+    val sigSets = graft.GraftCache.registered(
+      shingleHashes(newDocs, idCol, textCol).groupBy(col("doc_id"))
+        .agg(min(permuted(col("h"), 0)).as("mh0"),
+          (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")) :+
+            sort_array(collect_set(col("h"))).as("hs"): _*))
+    val base = newDocs.select(col(idCol).cast("long").as("doc_id"),
+      fingerprint(col(textCol)).as("fp"))
+    val exactIds = base.join(idxFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit("exact_dup").as("v_exact"))
+    val cand = bandKeys(sigSets, k, bands)
+      .join(idxBands, Seq("band", "band_key"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    val nearIds = cand
+      .join(sigSets.select(col("doc_id"), col("hs")), Seq("doc_id"))
+      .join(idxSets, Seq("corpus_id"))
+      .select(col("doc_id"),
+        graft.plans.SortedIntersectCount.sorted_intersect_count(col("hs"), col("corpus_hs")).as("inter"),
+        size(col("hs")).as("na"), size(col("corpus_hs")).as("nb"))
+      .filter(round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"), 6) >= threshold)
+      .select(col("doc_id")).distinct()
+      .withColumn("v_near", lit("near_dup"))
+    base.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left_outer")
+      .join(nearIds, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("v_exact"), col("v_near"), lit("kept")).as("verdict"))
   }
 
   /** Substring-level dedup: drop every token covered by a

@@ -383,6 +383,24 @@ object DedupQueries {
       Dedup.editDistancePairsDeletion(t(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // incremental dedup against an at-rest index: corpus = docs < 400
+    // summarized to fingerprints/bands/sets parquet, then the "new
+    // batch" (docs >= 400) is deduped against those summaries alone —
+    // the write-then-probe round trip is the point (as q101 for IVF).
+    "q115_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+      Dedup.writeDedupIndex(docs.filter(col("doc_id") < 400), "doc_id", "text", path)
+      // the natural >= 400 batch holds near-dups but no exact copy of a
+      // corpus doc, so the batch re-ingests corpus doc 5 under a fresh
+      // id — the exact-verdict path must be graded, not just compiled
+      val batch = docs.filter(col("doc_id") >= 400)
+        .unionByName(docs.filter(col("doc_id") === 5)
+          .withColumn("doc_id", lit(9001L)))
+      Dedup.dedupAgainstIndex(batch, "doc_id", "text", path)
+        .orderBy(col("doc_id"))
+    }),
+
     // duplicated-substring spans (token-level Lee et al. 2022): maximal
     // per-doc spans of 5-grams occurring >= 2 times corpus-wide.
     "q111_dup_spans" -> ((s, dir) =>
@@ -692,6 +710,40 @@ object DedupQueries {
            AND l.s_suppkey < r.s_suppkey
          WHERE levenshtein(l.s_name, r.s_name) <= 2
          ORDER BY id_a, id_b""",
+    // cross-set replay of the incremental pipeline: same fingerprints,
+    // same 8-perm signatures and band equality, same round-6 Jaccard
+    // floor — exact verdict wins over near.
+    "q115_incremental_dedup" -> {
+      val bandCond = (0 until 2).map(b => bandEq("", b, 4)).mkString(" OR ")
+      s"""WITH corpus AS (SELECT doc_id, text FROM $DocsPq WHERE doc_id < 400),
+          nw AS (SELECT doc_id, text FROM $DocsPq WHERE doc_id >= 400
+                 UNION ALL
+                 SELECT 9001 AS doc_id, text FROM $DocsPq WHERE doc_id = 5),
+          cfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+                  FROM corpus),
+          nfp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+                  FROM nw),
+          csh AS (SELECT doc_id, ${sqlH31("shingle")} AS h
+                  FROM (${sqlShingles("SELECT doc_id, text FROM corpus")})),
+          nsh AS (SELECT doc_id, ${sqlH31("shingle")} AS h
+                  FROM (${sqlShingles("SELECT doc_id, text FROM nw")})),
+          csig AS (SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")} FROM csh GROUP BY doc_id),
+          nsig AS (SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")} FROM nsh GROUP BY doc_id),
+          cand AS (SELECT l.doc_id AS new_id, r.doc_id AS corpus_id
+                   FROM nsig l JOIN csig r ON ($bandCond)),
+          csets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM csh GROUP BY doc_id),
+          nsets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM nsh GROUP BY doc_id),
+          near AS (SELECT DISTINCT new_id AS doc_id FROM cand
+                   JOIN nsets a ON a.doc_id = cand.new_id
+                   JOIN csets b ON b.doc_id = cand.corpus_id
+                   WHERE round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+                     (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6) >= 0.6)
+          SELECT nfp.doc_id,
+            CASE WHEN nfp.fp IN (SELECT fp FROM cfp) THEN 'exact_dup'
+                 WHEN nfp.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+                 ELSE 'kept' END AS verdict
+          FROM nfp ORDER BY nfp.doc_id"""
+    },
     "q111_dup_spans" ->
       s"""WITH $SqlDupSpanCtes
           SELECT doc_id, min(s) AS span_start, max(e) AS span_end,

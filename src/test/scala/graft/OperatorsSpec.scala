@@ -725,6 +725,25 @@ class OperatorsSpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
+  test("incremental dedup classifies a new batch against the at-rest index") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "completely different corpus content in this document here"),
+      (2L, "a third unrelated text about spark plans and shuffles")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "The  quick brown fox jumps over the lazy dog tonight"), // exact after normalization
+      (11L, "the quick brown fox jumps over the lazy cat tonight"),  // near-dup of doc 0
+      (12L, "entirely fresh material nothing like the indexed corpus att all")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+    Dedup.writeDedupIndex(corpus, "doc_id", "text", path)
+    val out = Dedup.dedupAgainstIndex(batch, "doc_id", "text", path, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "kept"))
+    graft.GraftCache.releaseAll()
+  }
+
   test("saltedJoin equals the plain join on skewed keys and spreads the hot key") {
     // 90% of big rows share key 1 — the hot-key shape salting exists for
     val big = (1 to 200).map(i => (if (i <= 180) 1L else i.toLong, i)).toDF("k", "payload")
