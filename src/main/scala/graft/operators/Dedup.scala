@@ -966,4 +966,37 @@ object Dedup {
         array_join(col("kept"), " ").as("clean_text"),
         (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"))
   }
+
+  /** Canonical-document selection per near-duplicate cluster — the
+    * "which duplicate do you keep" step of a production dedup pass.
+    * [[CorpusPipeline.clean]] keeps each cluster's min-label member
+    * (arbitrary but deterministic); the standard refinement in
+    * quality-aware pipelines is keeping the BEST member, ranked by
+    * (quality DESC, doc_id ASC).
+    *
+    * `scored` carries (doc_id, quality); `pairs` is any near-dup pair
+    * frame (doc_a, doc_b). Clusters are the EXACT connected components
+    * of the pair graph ([[connectedComponents]] — O(log² n) rounds);
+    * docs in no pair are their own singleton cluster. The winner
+    * election is ONE `max_by` hash aggregate keyed on the cluster
+    * label — partial aggregation on the map side, no per-cluster sort,
+    * so the shuffle carries at most one candidate row per cluster per
+    * map partition regardless of cluster size.
+    *
+    * Scale: the labels frame holds only docs that appear in some pair
+    * (dup clusters are a small fraction of a deduped corpus), so the
+    * attach join broadcasts under AQE; the corpus-sized `scored` frame
+    * never reshuffles for it.
+    */
+  def keepBestPerCluster(scored: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+    scored.join(labels, scored("doc_id") === labels("doc"), "left_outer")
+      .select(scored("doc_id"),
+        coalesce(col("label"), scored("doc_id")).as("cluster"), col("quality"))
+      .groupBy(col("cluster"))
+      .agg(
+        max_by(col("doc_id"), struct(col("quality"), lit(0L) - col("doc_id"))).as("kept_doc"),
+        max(col("quality")).as("kept_quality"),
+        count(lit(1)).as("n_docs"))
+  }
 }

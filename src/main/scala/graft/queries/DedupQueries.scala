@@ -414,6 +414,21 @@ object DedupQueries {
       Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text", l = 5)
         .orderBy(col("doc_id"))),
 
+    // canonical keep-best per near-dup cluster: exact CC labels over
+    // the MinHash pair graph, winner per cluster by
+    // (quality DESC, doc_id ASC) via one max_by hash aggregate —
+    // quality-aware representative selection (vs q68's min-label).
+    "q116_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs
+        .join(graft.functions.TextFunctions.tokenAggregates(docs, "doc_id", "text"),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.qualityFromScores(col("text")).as("quality"))
+      Dedup.keepBestPerCluster(scored, Dedup.minhashPairs(docs, "doc_id", "text"))
+        .orderBy(col("cluster"))
+    }),
+
     // embedding near-dup: same-label pairs above cosine 0.4 (clusters
     // are weak in the synthetic data; threshold chosen to exercise the
     // filter). Guarded: refuses oversized label blocks, pointing at the
@@ -749,6 +764,26 @@ object DedupQueries {
           SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
             max(e) - min(s) + 1 AS span_len
           FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    // CC labels replayed per q93 (recursive reachability, min label),
+    // quality per q62 (the shared kb_* CTE chain), winner per cluster
+    // by (quality DESC, doc_id ASC); singletons are their own cluster.
+    "q116_keep_best" ->
+      s"""WITH RECURSIVE $SqlPairsCtes,
+          e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+          reach(src, dst) AS (
+            SELECT src, src AS dst FROM e
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+          lab AS (SELECT src AS doc, min(dst) AS label FROM reach GROUP BY src),
+          ${TextQueries.sqlQualityCtes},
+          kb_cl AS (SELECT qual.doc_id, coalesce(l.label, qual.doc_id) AS cluster, qual.quality
+                    FROM qual LEFT JOIN lab l ON qual.doc_id = l.doc),
+          kb_r AS (SELECT cluster, doc_id, quality,
+                     row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY cluster) AS n_docs FROM kb_cl)
+          SELECT cluster, doc_id AS kept_doc, quality AS kept_quality, n_docs
+          FROM kb_r WHERE rn = 1 ORDER BY cluster""",
     "q112_substring_dedup" ->
       s"""WITH $SqlDupSpanCtes,
           spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se

@@ -17,6 +17,26 @@ object TextQueries {
   private val langs = TextFunctions.langMarkers
   private val allMarkers = langs.flatMap(_._2).distinct
 
+  /** CTE chain replaying [[TextFunctions.qualityScore]] exactly —
+    * `qual` yields (doc_id, quality). Shared by the q62 oracle and the
+    * cluster keep-best oracle (q116) so the quality replay cannot
+    * drift between them. Names are kb-prefixed to avoid colliding with
+    * the dedup pair CTEs when composed.
+    */
+  private[queries] val sqlQualityCtes: String =
+    s"""kb_base AS (SELECT doc_id, lower(text) AS lt,
+          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM $DocsPq),
+        kb_m AS (SELECT doc_id,
+          len(toks)::DOUBLE AS n_tok,
+          len(list_filter(toks, t -> t IN ${sqlMarkers(allMarkers)}))::DOUBLE AS n_stop,
+          len(lt) AS n_ch,
+          len(regexp_replace(lt, '[^a-z0-9 ]', '', 'g')) AS n_clean FROM kb_base),
+        qual AS (SELECT doc_id,
+          round(0.4 * least(n_tok / 50.0, 1.0)
+            + 0.4 * (1.0 - (n_ch - n_clean)::DOUBLE / greatest(n_ch, 1)::DOUBLE)
+            + 0.2 * least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0), 6) AS quality
+          FROM kb_m)"""
+
   /** docs left-joined to the codegen'd per-doc token aggregates (the
     * fast corpus-scoring path; see TextFunctions.tokenAggregates).
     */
@@ -114,18 +134,7 @@ object TextQueries {
           SELECT doc_id, CASE $caseArms ELSE 'und' END AS lang_pred FROM g ORDER BY doc_id"""
     },
     "q62_quality" ->
-      s"""WITH base AS (SELECT doc_id, lower(text) AS lt,
-            list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM $DocsPq),
-          m AS (SELECT doc_id,
-            len(toks)::DOUBLE AS n_tok,
-            len(list_filter(toks, t -> t IN ${sqlMarkers(allMarkers)}))::DOUBLE AS n_stop,
-            len(lt) AS n_ch,
-            len(regexp_replace(lt, '[^a-z0-9 ]', '', 'g')) AS n_clean FROM base)
-          SELECT doc_id,
-            round(0.4 * least(n_tok / 50.0, 1.0)
-              + 0.4 * (1.0 - (n_ch - n_clean)::DOUBLE / greatest(n_ch, 1)::DOUBLE)
-              + 0.2 * least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0), 6) AS quality
-          FROM m ORDER BY doc_id""",
+      s"WITH $sqlQualityCtes SELECT doc_id, quality FROM qual ORDER BY doc_id",
     "q63_fingerprint" ->
       s"""SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
           FROM $DocsPq ORDER BY doc_id""",

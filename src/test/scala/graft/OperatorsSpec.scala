@@ -793,4 +793,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq === Seq(
       (20L, r9(rr(2) + rr(1))), (10L, r9(rr(1))), (40L, r9(rr(2)))))
   }
+
+  test("keepBestPerCluster keeps the max-quality member, min-id on ties; singletons kept") {
+    // cluster {1,2,3} (chained pairs), cluster {10,11}, singleton 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val scored = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9),  // 2 and 3 tie — min id 2 wins
+      (10L, 0.3), (11L, 0.8),
+      (20L, 0.1)
+    ).toDF("doc_id", "quality")
+    val got = Dedup.keepBestPerCluster(scored, pairs)
+      .orderBy(col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 0.9, 3L),    // label = min member id
+      (10L, 11L, 0.8, 2L),
+      (20L, 20L, 0.1, 1L))) // singleton: own cluster, kept
+  }
 }
