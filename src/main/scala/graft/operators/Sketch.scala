@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005): frequency
+  * estimation in O(d·w) state regardless of corpus size — the
+  * fixed-memory alternative to an exact item→count table when the key
+  * space is unbounded (token vocabularies, URLs, n-grams at 100 TB).
+  *
+  * The sketch is a d×w counter grid; item x increments cell
+  * (r, h_r(x) mod w) for each of the d hash rows, and the estimate is
+  * the MIN over the d cells — always >= the true count, and within
+  * εN of it (ε = e/w) with probability 1 − e^{−d}.
+  *
+  * Spark shape: the build is ONE hash aggregation keyed on (row,
+  * bucket). Because the grid has at most d·w distinct keys, map-side
+  * partial aggregation collapses every partition to <= d·w cells
+  * before the shuffle — kilobytes per partition at any corpus size,
+  * where the exact count (q84's shape) must shuffle every distinct
+  * key. Sketches built over different corpus slices merge by cell-wise
+  * sum ([[countMinMerge]]), the same union-then-sum shape HLL merging
+  * uses.
+  *
+  * Hashing is the repo-wide md5-derived h31 over a row-tagged key
+  * ("cm<r>_" prefix), so every cell — and therefore every estimate —
+  * replays exactly in the DuckDB oracle (no probabilistic slack needed
+  * in grading; the CONTRACT est >= exact is additionally pinned in
+  * OperatorsSpec).
+  */
+object Sketch {
+
+  /** Bucket of `key` in hash row `r`: h31("cm<r>_" + key) mod w. */
+  private def bucket(key: org.apache.spark.sql.Column, r: Int, w: Int) =
+    pmod(graft.functions.TextFunctions.h31(concat(lit(s"cm${r}_"), key)), lit(w))
+
+  /** Build the d×w sketch over one string key column: one aggregation,
+    * output <= d·w rows of (r, bucket, cnt).
+    */
+  def countMinSketch(items: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
+    val rows = array((0 until d).map(r =>
+      struct(lit(r).as("r"), bucket(col(keyCol), r, w).as("bucket"))): _*)
+    items.select(explode(rows).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the count of each distinct key in `keys`: min over
+    * the d row cells. The sketch side is <= d·w rows — broadcast by
+    * AQE — so the probe never reshuffles the key frame. Keys never
+    * inserted estimate as 0 (their cells may be absent).
+    */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      d: Int, w: Int): DataFrame = {
+    val probes = keys.select(col(keyCol).as("key")).distinct()
+      .select(col("key"), explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), bucket(col("key"), r, w).as("bucket"))): _*)).as("cell"))
+      .select(col("key"), col("cell.r").as("r"), col("cell.bucket").as("bucket"))
+    probes.join(sketch, Seq("r", "bucket"), "left_outer")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Merge sketches built over disjoint corpus slices: cell-wise sum.
+    * Estimates over the merged sketch bound the union's true counts
+    * exactly as a single-pass sketch over the whole corpus would.
+    */
+  def countMinMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+}

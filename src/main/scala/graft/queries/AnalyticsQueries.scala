@@ -30,6 +30,24 @@ object AnalyticsQueries {
             .cast("int").as("within_5pct"))
         .orderBy(col("l_returnflag"))),
 
+    // Count-Min sketch frequency estimation (d=4, w=32): the
+    // fixed-memory counter grid vs q84's exact vocab counts. Every
+    // cell derives from the shared md5 h31 hash, so estimates replay
+    // EXACTLY in the oracle; est >= exact by construction (w=32 vs
+    // ~31-token vocab forces real collisions, so overcount is
+    // exercised, not vacuous).
+    "q117_countmin_freq" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokenize(col("text"))).as("token"))
+      val sk = graft.operators.Sketch.countMinSketch(toks, "token", d = 4, w = 32)
+      val est = graft.operators.Sketch.countMinEstimate(sk, toks, "token", d = 4, w = 32)
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+      est.join(exact, est("key") === exact("token"))
+        .select(col("token"), col("est"), col("exact"),
+          (col("est") - col("exact")).as("overcount"))
+        .orderBy(col("token"))
+    }),
+
     // two-phase salted aggregation over the heavily-skewed returnflag
     // key (3 distinct values across the whole table — one reducer each
     // without salting). Result is salt-invariant for associative
@@ -173,6 +191,23 @@ object AnalyticsQueries {
     "q13_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, 1 AS within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // Full integer replay of the d=4 x w=32 counter grid: same
+    // row-tagged md5 h31 buckets, cell counts, and min-over-rows
+    // estimate as Sketch.countMinSketch/countMinEstimate.
+    "q117_countmin_freq" -> {
+      def b(key: String) =
+        s"${DedupQueries.sqlH31(key)} % 32"
+      s"""WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+            FROM $DocsPq),
+          hr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+          cells AS (SELECT r, ${b("'cm' || CAST(r AS VARCHAR) || '_' || token")} AS bucket, count(*) AS cnt
+            FROM toks, hr GROUP BY 1, 2),
+          tc AS (SELECT token, count(*) AS exact FROM toks GROUP BY token),
+          probe AS (SELECT token, r, ${b("'cm' || CAST(r AS VARCHAR) || '_' || token")} AS bucket FROM tc, hr),
+          est AS (SELECT token, min(cnt) AS est FROM probe JOIN cells USING (r, bucket) GROUP BY token)
+          SELECT t.token, e.est, t.exact, e.est - t.exact AS overcount
+          FROM tc t JOIN est e USING (token) ORDER BY t.token"""
+    },
     "q65_multimodal_decode" -> {
       val feats = (0 until 8).map(i =>
         s"round((coalesce(list_sum(list_transform(generate_series($i + 1, len(text), 8), j -> ord(substr(text, j, 1)))), 0) % 1000) / 1000.0, 6) AS f$i")

@@ -810,4 +810,31 @@ class OperatorsSpec extends SparkSpec {
       (10L, 11L, 0.8, 2L),
       (20L, 20L, 0.1, 1L))) // singleton: own cluster, kept
   }
+
+  test("countMin: est >= exact always; est == exact when w kills collisions; merge == one pass") {
+    import graft.operators.Sketch
+    val toks = docsDf.select(explode(TextFunctions.tokenize(col("text"))).as("token"))
+    val exact = toks.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tight grid (w=8): collisions certain, but min-over-rows never undercounts
+    val est8 = Sketch.countMinEstimate(
+      Sketch.countMinSketch(toks, "token", 4, 8), toks, "token", 4, 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est8.keySet === exact.keySet)
+    est8.foreach { case (t, e) => assert(e >= exact(t), s"undercount for $t") }
+    // wide grid (w=4096) over a ~30-token vocab: no collisions, exact
+    val est4k = Sketch.countMinEstimate(
+      Sketch.countMinSketch(toks, "token", 4, 4096), toks, "token", 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est4k === exact)
+    // cell-wise merge of per-slice sketches == single-pass sketch
+    val a = toks.filter(length(col("token")) <= 4)
+    val b = toks.filter(length(col("token")) > 4)
+    val merged = Sketch.countMinMerge(
+      Sketch.countMinSketch(a, "token", 4, 8), Sketch.countMinSketch(b, "token", 4, 8))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketch.countMinSketch(toks, "token", 4, 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === whole)
+  }
 }
