@@ -182,6 +182,19 @@ object AnalyticsQueries {
           (0 until 8).map(i =>
             round(element_at(col("features"), i + 1).cast("double"), 6).as(s"f$i")): _*)
         .orderBy(col("doc_id"))
+    }),
+
+    // the audio leg: REAL RIFF/PCM16 WAV bytes (manual canonical
+    // header, chunk-walking decode), lossless like the PNG twin, so
+    // the decoded |sample| stride sums hash-check against the source
+    // text — a codec or chunk-walk bug breaks the hash.
+    "q118_multimodal_wav" -> ((s, dir) => {
+      val media = Multimodal.asWavMediaTable(s, t(s, dir, "documents"))
+      Multimodal.decodeWavFeatures(s, media)
+        .select(Seq(col("doc_id"), col("n_samples"), col("sample_rate")) ++
+          (0 until 8).map(i =>
+            round(element_at(col("features"), i + 1).cast("double"), 6).as(s"f$i")): _*)
+        .orderBy(col("doc_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -233,6 +246,19 @@ object AnalyticsQueries {
           'image/png' AS media_type,
           CAST(16 AS INT) AS width,
           CAST(GREATEST(1, (len(text) + 15) // 16) AS INT) AS height,
+          $feats
+          FROM $DocsPq ORDER BY doc_id"""
+    },
+    // samples replay as (byte − 128) · 256 per text position; the
+    // stride sums see |sample| = |ord − 128| · 256 — PCM is lossless
+    // and the canonical header fixes n_samples = len(text), rate 8000.
+    "q118_multimodal_wav" -> {
+      val feats = (0 until 8).map(i =>
+        s"round((coalesce(list_sum(list_transform(generate_series($i + 1, len(text), 8), j -> abs(ord(substr(text, j, 1)) - 128) * 256)), 0) % 1000) / 1000.0, 6) AS f$i")
+        .mkString(", ")
+      s"""SELECT doc_id,
+          CAST(len(text) AS INT) AS n_samples,
+          8000 AS sample_rate,
           $feats
           FROM $DocsPq ORDER BY doc_id"""
     },

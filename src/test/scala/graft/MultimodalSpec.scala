@@ -94,4 +94,33 @@ class MultimodalSpec extends SparkSpec {
     assert(r.forall(_.getAs[Int]("width") === 16))
     assert(r.forall(_.getAs[String]("media_type") === "image/png"))
   }
+
+  test("WAV round trip is lossless incl. negative samples; decode walks extra chunks") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val wav = Multimodal.wavEncodePcm16(samples, 8000)
+    val (rate, back) = Multimodal.wavDecodePcm16(wav)
+    assert(rate === 8000)
+    assert(back.toSeq === samples.toSeq)
+    // splice a LIST chunk between fmt and data — real-world WAVs do
+    // this, and a fixed-44-byte parser would misread the sample area
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 4, 0, 0, 0, 9, 9, 9, 9)
+    val spliced = wav.take(36) ++ extra ++ wav.drop(36)
+    val (rate2, back2) = Multimodal.wavDecodePcm16(spliced)
+    assert(rate2 === 8000)
+    assert(back2.toSeq === samples.toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.wavDecodePcm16("definitely not RIFF".getBytes)
+    }
+  }
+
+  test("q118 WAV decode pipeline: one row per doc, rate 8000, len(text) samples") {
+    val got = graft.queries.AnalyticsQueries.queries("q118_multimodal_wav")(spark, sf001)
+      .collect()
+    val docs = Q.t(spark, sf001, "documents")
+      .select(col("doc_id"), length(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.length === docs.size)
+    assert(got.forall(_.getAs[Int]("sample_rate") === 8000))
+    assert(got.forall(r => r.getAs[Int]("n_samples") === docs(r.getAs[Long]("doc_id"))))
+  }
 }
