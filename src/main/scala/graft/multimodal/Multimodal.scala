@@ -189,6 +189,44 @@ object Multimodal {
       .select(col("doc_id"), transform(col("pm"), x => x.getField("m")).as("doc_features"))
   }
 
+  /** REAL RESIZE over a REAL decoded raster: nearest-neighbor
+    * resample of the PNG-decoded grayscale image to dstW×dstH via the
+    * integer index map (srcX = x·srcW/dstW, srcY = y·srcH/dstH — floor
+    * division, the classic NN rule). Pure integer arithmetic over
+    * losslessly-decoded pixels, so the resized raster replays exactly
+    * from the source bytes — unlike [[stubResize]], this exercises a
+    * real decoder AND a real scaler. Returns (srcW, srcH, pixels
+    * row-major).
+    */
+  def resizePngNearest(payload: Array[Byte], dstW: Int, dstH: Int): (Int, Int, Array[Int]) = {
+    require(dstW > 0 && dstH > 0, s"target dims must be positive, got ${dstW}x$dstH")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val out = new Array[Int](dstW * dstH)
+    var p = 0
+    while (p < out.length) {
+      out(p) = raster.getSample((p % dstW) * w / dstW, (p / dstW) * h / dstH, 0)
+      p += 1
+    }
+    (w, h, out)
+  }
+
+  /** Batch resize with the REAL codec+scaler — map-side like every
+    * decode path here (payload bytes never shuffle; the output is a
+    * fixed dstW·dstH int array per doc regardless of input size).
+    */
+  def resizePngTable(spark: SparkSession, media: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (w, h, px) = resizePngNearest(payload, dstW, dstH)
+        (id, w, h, px)
+      }).toDF("doc_id", "src_w", "src_h", "rpix")
+  }
+
   /** REAL WAV ENCODE (RIFF/PCM16LE, mono) — the audio leg of the
     * multimodal column, via the public container format alone (a
     * 44-byte canonical RIFF header + little-endian samples; no

@@ -184,6 +184,15 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL decode + REAL nearest-neighbor resize to 8x8 over the PNG
+    // media table: every resized pixel is an exact integer function of
+    // the source text (16-wide raster, floor-division NN index map),
+    // so the whole decode→resize path hash-checks.
+    "q119_png_resize" -> ((s, dir) => {
+      val media = Multimodal.asPngMediaTable(s, t(s, dir, "documents"))
+      Multimodal.resizePngTable(s, media, 8, 8).orderBy(col("doc_id"))
+    }),
+
     // the audio leg: REAL RIFF/PCM16 WAV bytes (manual canonical
     // header, chunk-walking decode), lossless like the PNG twin, so
     // the decoded |sample| stride sums hash-check against the source
@@ -249,6 +258,20 @@ object AnalyticsQueries {
           $feats
           FROM $DocsPq ORDER BY doc_id"""
     },
+    // NN replay: src raster is 16 wide, height ceil(len/16) (min 1,
+    // zero-padded); rpix[p] = pixel(2·(p%8), ((p//8)·h)//8) where
+    // pixel(x,y) = byte at y·16+x, 0 past the text end.
+    "q119_png_resize" ->
+      s"""SELECT doc_id,
+          16 AS src_w,
+          CAST(GREATEST(1, (len(text) + 15) // 16) AS INT) AS src_h,
+          list_transform(generate_series(0, 63), p ->
+            CAST(CASE WHEN (((p // 8) * GREATEST(1, (len(text) + 15) // 16)) // 8) * 16
+                           + ((p % 8) * 16) // 8 < len(text)
+              THEN ord(substr(text, (((p // 8) * GREATEST(1, (len(text) + 15) // 16)) // 8) * 16
+                                    + ((p % 8) * 16) // 8 + 1, 1))
+              ELSE 0 END AS INT)) AS rpix
+          FROM $DocsPq ORDER BY doc_id""",
     // samples replay as (byte − 128) · 256 per text position; the
     // stride sums see |sample| = |ord − 128| · 256 — PCM is lossless
     // and the canonical header fixes n_samples = len(text), rate 8000.

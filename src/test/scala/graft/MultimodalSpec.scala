@@ -113,6 +113,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizePngNearest: identity at source dims; NN picks floor-mapped pixels") {
+    // 16x4 raster of bytes 0..63: pixel(x,y) = y*16+x
+    val bytes = Array.tabulate(64)(_.toByte)
+    val png = Multimodal.pngEncodeGray(bytes, 16)
+    val (w, h, same) = Multimodal.resizePngNearest(png, 16, 4)
+    assert((w, h) === ((16, 4)))
+    assert(same.toSeq === bytes.map(_.toInt).toSeq)
+    // downsample to 8x2: srcX = 2x, srcY = 2y
+    val (_, _, dn) = Multimodal.resizePngNearest(png, 8, 2)
+    val want = for (y <- 0 until 2; x <- 0 until 8) yield (2 * y) * 16 + 2 * x
+    assert(dn.toSeq === want)
+    // upsample to 32x4: srcX = x/2 (floor)
+    val (_, _, up) = Multimodal.resizePngNearest(png, 32, 4)
+    assert(up.take(4).toSeq === Seq(0, 0, 1, 1))
+  }
+
   test("q118 WAV decode pipeline: one row per doc, rate 8000, len(text) samples") {
     val got = graft.queries.AnalyticsQueries.queries("q118_multimodal_wav")(spark, sf001)
       .collect()
