@@ -402,4 +402,19 @@ class PlanSpec extends SparkSpec {
       graft.GraftCache.releaseAll()
     }
   }
+
+  test("q116 winner election is a hash aggregate, not a per-cluster window sort") {
+    val p = plan(q("q116_keep_best"))
+    // one max_by/min-style aggregate keyed on cluster — a Window would
+    // force a per-cluster sort that partial aggregation avoids
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+    graft.GraftCache.releaseAll()
+  }
+
+  test("q117 sketch probe broadcasts the d*w cell grid, never the key frame") {
+    val p = plan(q("q117_countmin_freq"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    graft.GraftCache.releaseAll()
+  }
 }
