@@ -88,6 +88,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedupout").select("event_id").distinct().count() === ev.count())
   }
 
+  test("streaming Count-Min sketch: running grid equals the batch grid, state bounded at d*w") {
+    // the sketch build (explode -> groupBy(r, bucket) -> count) is
+    // streaming-native: aggregation STATE is <= d*w cells no matter how
+    // long the stream runs — where an exact token->count state grows
+    // with the vocabulary. Complete mode emits the running grid.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val texts = Seq(
+      "the quick brown fox", "jumps over the lazy dog",
+      "the fox again and again", "dog dog dog quick")
+    val input = MemoryStream[EventStream.StreamDoc]
+    val toks = input.toDF()
+      .select(explode(graft.functions.TextFunctions.tokenize(col("text"))).as("token"))
+    val q = graft.operators.Sketch.countMinSketch(toks, "token", 4, 32).writeStream
+      .format("memory").queryName("cmsout")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    // two separate micro-batches — the grid must accumulate across them
+    input.addData(texts.take(2).zipWithIndex.map { case (t, i) =>
+      EventStream.StreamDoc(i.toLong, t, ts(i * 10)) }: _*)
+    q.processAllAvailable()
+    input.addData(texts.drop(2).zipWithIndex.map { case (t, i) =>
+      EventStream.StreamDoc((i + 2).toLong, t, ts((i + 2) * 10)) }: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cmsout")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.Sketch.countMinSketch(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .select(explode(graft.functions.TextFunctions.tokenize(col("text"))).as("token")),
+      "token", 4, 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    assert(streamed.size <= 4 * 32)
+  }
+
   test("streaming corpus curation gates quality and dedups by fingerprint") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
