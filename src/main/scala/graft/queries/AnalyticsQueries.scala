@@ -193,6 +193,21 @@ object AnalyticsQueries {
       Multimodal.resizePngTable(s, media, 8, 8).orderBy(col("doc_id"))
     }),
 
+    // the video leg: REAL multi-frame GIF89a (interlace disabled —
+    // palette-lossless for grayscale), text chunked into 64-byte
+    // frames, every 2nd frame RANDOM-ACCESS decoded (unsampled frames
+    // never rasterize) and reduced to stride sums — container, frame
+    // seek, and codec all hash-check against the source text.
+    "q120_multimodal_gif" -> ((s, dir) => {
+      val media = Multimodal.asGifMediaTable(s, t(s, dir, "documents"))
+      Multimodal.sampleGifFrameFeatures(s, media, stride = 2)
+        .select(Seq(col("doc_id"), col("frame_no"), col("n_frames"),
+          col("width"), col("height")) ++
+          (0 until 8).map(i =>
+            round(element_at(col("features"), i + 1).cast("double"), 6).as(s"f$i")): _*)
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
     // the audio leg: REAL RIFF/PCM16 WAV bytes (manual canonical
     // header, chunk-walking decode), lossless like the PNG twin, so
     // the decoded |sample| stride sums hash-check against the source
@@ -257,6 +272,24 @@ object AnalyticsQueries {
           CAST(GREATEST(1, (len(text) + 15) // 16) AS INT) AS height,
           $feats
           FROM $DocsPq ORDER BY doc_id"""
+    },
+    // frame f covers text positions f*64+1 .. f*64+64 (1-based;
+    // zero-padded past the end), so per-frame stride sums replay as
+    // sums over the frame-local positions ≡ i+1 (mod 8); sampled
+    // frames are the even ones, geometry fixed 16x4.
+    "q120_multimodal_gif" -> {
+      val feats = (0 until 8).map(i =>
+        s"""round((coalesce(list_sum(list_transform(generate_series($i + 1, 64, 8),
+            j -> CASE WHEN f * 64 + j <= len(text) THEN ord(substr(text, f * 64 + j, 1)) ELSE 0 END)), 0)
+            % 1000) / 1000.0, 6) AS f$i""")
+        .mkString(", ")
+      s"""WITH fr AS (SELECT doc_id, text,
+            CAST(GREATEST(1, (len(text) + 63) // 64) AS INT) AS n_frames FROM $DocsPq),
+          sampled AS (SELECT doc_id, text, n_frames, CAST(u.f AS INT) AS f
+            FROM fr, unnest(generate_series(0, n_frames - 1, 2)) AS u(f))
+          SELECT doc_id, f AS frame_no, n_frames,
+            CAST(16 AS INT) AS width, CAST(4 AS INT) AS height, $feats
+          FROM sampled ORDER BY doc_id, frame_no"""
     },
     // NN replay: src raster is 16 wide, height ceil(len/16) (min 1,
     // zero-padded); rpix[p] = pixel(2·(p%8), ((p//8)·h)//8) where

@@ -129,6 +129,33 @@ class MultimodalSpec extends SparkSpec {
     assert(up.take(4).toSeq === Seq(0, 0, 1, 1))
   }
 
+  test("GIF multi-frame round trip is lossless and frame-random-access") {
+    val f0 = Array.tabulate(64)(_.toByte)
+    val f1 = Array.tabulate(64)(i => (255 - i).toByte)
+    val f2 = Array.tabulate(64)(i => (i * 3 % 256).toByte)
+    val gif = Multimodal.gifEncodeFrames(Seq(f0, f1, f2), 16)
+    assert(new String(gif.take(6), "US-ASCII") === "GIF89a")
+    assert(Multimodal.gifFrameCount(gif) === 3)
+    // random access: decode frames 0 and 2 only, skipping 1
+    val got = Multimodal.gifDecodeFrames(gif, Seq(0, 2))
+    assert(got.map(_._1) === Seq(0, 2))
+    assert(got.forall { case (_, w, h, _) => w == 16 && h == 4 })
+    assert(got(0)._4.toSeq === f0.map(_ & 0xff).toSeq)
+    assert(got(1)._4.toSeq === f2.map(_ & 0xff).toSeq)
+  }
+
+  test("q120 GIF frame-sample: even frames only, fixed 16x4 geometry") {
+    val got = graft.queries.AnalyticsQueries.queries("q120_multimodal_gif")(spark, sf001)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Int]("frame_no") % 2 === 0))
+    assert(got.forall(r => r.getAs[Int]("width") === 16 && r.getAs[Int]("height") === 4))
+    // every doc contributes ceil(n_frames / 2) sampled rows
+    val byDoc = got.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.forall { case (_, rows) =>
+      rows.length == (rows.head.getAs[Int]("n_frames") + 1) / 2 })
+  }
+
   test("q118 WAV decode pipeline: one row per doc, rate 8000, len(text) samples") {
     val got = graft.queries.AnalyticsQueries.queries("q118_multimodal_wav")(spark, sf001)
       .collect()
