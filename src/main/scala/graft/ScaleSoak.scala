@@ -64,7 +64,8 @@ object ScaleSoak {
     "q105_ann_pq", "q106_pq_recall", "q107_ivfpq_recall", "q108_quality_classifier",
     "q109_bm25_topk", "q110_hybrid_rrf", "q111_dup_spans", "q112_substring_dedup",
     "q113_bigram_logprob", "q115_incremental_dedup", "q116_keep_best",
-    "q117_countmin_freq", "q118_multimodal_wav", "q119_png_resize")
+    "q117_countmin_freq", "q118_multimodal_wav", "q119_png_resize",
+    "q120_multimodal_gif")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

@@ -403,6 +403,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("media payload bytes never cross a shuffle in the codec queries") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (name <- Seq("q118_multimodal_wav", "q119_png_resize", "q120_multimodal_gif")) {
+      val df = SparkEntry.queries(name)(spark, sf001)
+      val exchanges = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      // decode/resize/frame-sample are map-side; any exchange (the
+      // final ORDER BY) carries only ids + fixed-width features
+      assert(exchanges.forall(!_.output.exists(_.name == "payload")),
+        name + ": " + exchanges.map(_.output.mkString(", ")).mkString("\n"))
+    }
+  }
+
   test("q116 winner election is a hash aggregate, not a per-cluster window sort") {
     val p = plan(q("q116_keep_best"))
     // one max_by/min-style aggregate keyed on cluster — a Window would
