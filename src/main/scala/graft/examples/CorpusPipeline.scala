@@ -51,4 +51,35 @@ object CorpusPipeline {
       .filter(col("label").isNull || col("label") === col("doc_id"))
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
   }
+
+  /** The keep-BEST refinement of [[clean]]: identical quality gate and
+    * exact dedup, but near-dup clusters elect their HIGHEST-QUALITY
+    * member (tie → min doc_id) instead of the min-label
+    * representative — the quality-aware selection production pipelines
+    * want when duplicates differ in cleanliness. Clusters come from
+    * EXACT connected components ([[Dedup.connectedComponents]] —
+    * bounded-hop label propagation can split a long chain across two
+    * representatives; an election needs the true cluster), the winner
+    * from [[Dedup.keepBestPerCluster]]'s single max_by aggregate, and
+    * the survivors rejoin their metadata by one doc_id equi-join.
+    */
+  def cleanKeepBest(docs: DataFrame, qualityMin: Double = 0.5,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    val aggs = TextFunctions.tokenAggregates(docs, "doc_id", "text")
+    val scored = docs.join(aggs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("text"),
+        TextFunctions.qualityFromScores(col("text")).as("quality"),
+        TextFunctions.langIdFromScores.as("lang_pred"),
+        coalesce(col("n_tok"), lit(0L)).cast("int").as("n_tokens"))
+      .filter(col("quality") >= qualityMin)
+    val exactKept = graft.GraftCache.registered(scored
+      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(min_by(struct(scored.columns.toIndexedSeq.map(col): _*), col("doc_id")).as("_r"))
+      .select(col("_r.*")))
+    val pairs = Dedup.minhashPairs(exactKept, "doc_id", "text", threshold = jaccardThreshold)
+    val winners = Dedup.keepBestPerCluster(
+      exactKept.select(col("doc_id"), col("quality")), pairs)
+    exactKept.join(winners.select(col("kept_doc").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
+  }
 }

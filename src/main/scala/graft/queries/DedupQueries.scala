@@ -274,6 +274,13 @@ object DedupQueries {
       graft.examples.CorpusPipeline.clean(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // the keep-best composition: same gate + exact dedup as q68, but
+    // clusters elect their highest-quality member via exact CC + one
+    // max_by aggregate (vs q68's min-label representative).
+    "q121_corpus_clean_best" -> ((s, dir) =>
+      graft.examples.CorpusPipeline.cleanKeepBest(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // 16-bit SimHash per document.
     "q52_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
@@ -588,7 +595,12 @@ object DedupQueries {
     * (same formulas as q61/q62) → fingerprint dedup → pair CTEs over
     * the kept set → propagation → representative filter.
     */
-  private val SqlCorpusClean: String = {
+  /** Shared front half of the corpus-clean oracles: scoring CTEs →
+    * quality gate → exact-dedup `kept` → MinHash pair CTEs over the
+    * survivors. q68 appends min-label propagation; q121 appends exact
+    * CC + quality-ranked winner election.
+    */
+  private val SqlCorpusFront: String = {
     val langs = graft.functions.TextFunctions.langMarkers
     val allMarkers = langs.flatMap(_._2).distinct.map(m => s"'$m'").mkString("(", ", ", ")")
     def markers(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("(", ", ", ")")
@@ -596,7 +608,7 @@ object DedupQueries {
       s"len(list_filter(toks, t -> t IN ${markers(ms)})) AS s_$l"
     }.mkString(", ")
     val caseArms = langs.map { case (l, _) => s"WHEN s_$l = gm AND gm > 0 THEN '$l'" }.mkString(" ")
-    s"""WITH base AS (SELECT doc_id, text, lower(text) AS lt,
+    s"""base AS (SELECT doc_id, text, lower(text) AS lt,
           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM $DocsPq),
         m AS (SELECT doc_id, text, toks,
           len(toks)::DOUBLE AS n_tok,
@@ -615,13 +627,37 @@ object DedupQueries {
           SELECT *, row_number() OVER (
             PARTITION BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
             ORDER BY doc_id) AS rn FROM qual) WHERE rn = 1),
-        ${sqlPairsCtesFor("SELECT doc_id, text FROM kept", 0.6)},
+        ${sqlPairsCtesFor("SELECT doc_id, text FROM kept", 0.6)}"""
+  }
+
+  private val SqlCorpusClean: String =
+    s"""WITH $SqlCorpusFront,
         ${sqlPropagation(3)}
         SELECT k.doc_id, k.lang_pred, k.quality, k.n_tokens FROM kept k
         LEFT JOIN l3 ON l3.doc = k.doc_id
         WHERE l3.label IS NULL OR l3.label = k.doc_id
         ORDER BY k.doc_id"""
-  }
+
+  /** q121: the keep-best tail — exact CC over the survivor pair graph
+    * (q93's recursive replay), winner per cluster by
+    * (quality DESC, doc_id ASC), singletons their own cluster.
+    */
+  private val SqlCorpusCleanBest: String =
+    s"""WITH RECURSIVE $SqlCorpusFront,
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, src AS dst FROM e
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        lab AS (SELECT src AS doc, min(dst) AS label FROM reach GROUP BY src),
+        cl AS (SELECT k.doc_id, coalesce(l.label, k.doc_id) AS cluster,
+                 k.quality, k.lang_pred, k.n_tokens
+               FROM kept k LEFT JOIN lab l ON k.doc_id = l.doc),
+        w AS (SELECT *, row_number() OVER (
+                PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM cl)
+        SELECT doc_id, lang_pred, quality, n_tokens
+        FROM w WHERE rn = 1 ORDER BY doc_id"""
 
   /** Full replay of the iters = 0 IVF path, shared by q59 (inline
     * search) and q101 (persisted-index probe — same quantizer, same
@@ -648,6 +684,7 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q68_corpus_clean" -> SqlCorpusClean,
+    "q121_corpus_clean_best" -> SqlCorpusCleanBest,
     "q54_dedup_exact" ->
       s"""SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
           min(doc_id) AS keep_id, count(*) AS n_copies

@@ -93,4 +93,20 @@ class ExamplesSpec extends SparkSpec {
     assert(p.mapKeys(_.toUpperCase).collect().sortBy(_._1) === Array(("A", 1), ("B", 2)))
     assert(p.swap.collect().sortBy(_._1) === Array((1, "a"), (2, "b")))
   }
+
+  test("cleanKeepBest keeps one doc per cluster with quality >= the min-label pick") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Q.t(spark, sf001, "documents")
+    val std = graft.examples.CorpusPipeline.clean(docs)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val best = graft.examples.CorpusPipeline.cleanKeepBest(docs)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // same number of survivors (one per cluster both ways) and the
+    // elected set's total quality can only improve on min-label picks
+    assert(best.size === std.size)
+    assert(best.values.sum >= std.values.sum - 1e-9)
+    graft.GraftCache.releaseAll()
+  }
 }
