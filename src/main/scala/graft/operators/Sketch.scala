@@ -69,4 +69,35 @@ object Sketch {
     sketches.reduce(_ unionByName _)
       .groupBy(col("r"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+
+  /** Two-pass heavy hitters ("every key with count >= threshold"):
+    * pass 1 builds the sketch; the d×w grid (<= a few KB) is collected
+    * to the driver and folded into LITERAL arrays, so pass 2's
+    * per-row estimate `min_r grid[r][h_r(key)]` is a pure codegen
+    * expression evaluated MAP-SIDE — the exact-count shuffle then
+    * carries only rows of candidate keys. CMS never undercounts, so
+    * the prefilter has NO false negatives (the result is exactly the
+    * true heavy hitters); overcounted light keys are dropped by the
+    * exact recount.
+    *
+    * This is the 100 TB shape for frequency thresholds over unbounded
+    * key spaces: the first pass shuffles <= d·w cells, and the second
+    * shuffles only the heavy candidates' rows — never the full
+    * vocabulary. Returns (key, est, cnt), est being the sketch bound
+    * (>= cnt).
+    */
+  def heavyHitters(items: DataFrame, keyCol: String, threshold: Long,
+      d: Int, w: Int): DataFrame = {
+    val cells = countMinSketch(items, keyCol, d, w).collect()
+    val grid = Array.fill(d)(new Array[Long](w))
+    cells.foreach(r => grid(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    def est(key: org.apache.spark.sql.Column) =
+      least((0 until d).map(r =>
+        element_at(typedlit(grid(r).toSeq), bucket(key, r, w).cast("int") + 1)): _*)
+    items.filter(est(col(keyCol)) >= threshold)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .select(col("key"), est(col("key")).as("est"), col("cnt"))
+  }
 }

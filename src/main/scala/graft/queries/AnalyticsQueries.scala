@@ -48,6 +48,17 @@ object AnalyticsQueries {
         .orderBy(col("token"))
     }),
 
+    // two-pass heavy hitters: sketch pass -> driver-literal grid ->
+    // MAP-SIDE estimate prefilter -> exact recount of candidates only.
+    // No false negatives (est >= exact); threshold 900 splits the
+    // corpus vocabulary ~14/31 so both branches are exercised.
+    "q122_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokenize(col("text"))).as("token"))
+      graft.operators.Sketch.heavyHitters(toks, "token", threshold = 900L, d = 4, w = 32)
+        .orderBy(col("key"))
+    }),
+
     // two-phase salted aggregation over the heavily-skewed returnflag
     // key (3 distinct values across the whole table — one reducer each
     // without salting). Result is salt-invariant for associative
@@ -228,6 +239,25 @@ object AnalyticsQueries {
     "q13_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, 1 AS within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // grid + exact counts + both thresholds replayed; est >= exact
+    // makes the est-prefilter invisible in the RESULT (exact >= 900
+    // implies est >= 900), so the oracle is the grid est attached to
+    // the true heavy hitters.
+    "q122_heavy_hitters" -> {
+      def b(key: String) = s"${DedupQueries.sqlH31(key)} % 32"
+      s"""WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+            FROM $DocsPq),
+          hr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+          cells AS (SELECT r, ${b("'cm' || CAST(r AS VARCHAR) || '_' || token")} AS bucket, count(*) AS cnt
+            FROM toks, hr GROUP BY 1, 2),
+          tc AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+          est AS (SELECT token, min(c.cnt) AS est
+            FROM (SELECT token, r, ${b("'cm' || CAST(r AS VARCHAR) || '_' || token")} AS bucket FROM tc, hr) p
+            JOIN cells c USING (r, bucket) GROUP BY token)
+          SELECT t.token AS key, e.est, t.cnt
+          FROM tc t JOIN est e USING (token)
+          WHERE t.cnt >= 900 ORDER BY key"""
+    },
     // Full integer replay of the d=4 x w=32 counter grid: same
     // row-tagged md5 h31 buckets, cell counts, and min-over-rows
     // estimate as Sketch.countMinSketch/countMinEstimate.

@@ -827,6 +827,16 @@ class OperatorsSpec extends SparkSpec {
       Sketch.countMinSketch(toks, "token", 4, 4096), toks, "token", 4, 4096)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est4k === exact)
+    // two-pass heavy hitters on crafted skew: exactly the keys with
+    // count >= T survive (no false negatives by est >= exact; false
+    // positives dropped by the exact recount), and est >= cnt
+    val skew = (Seq.fill(50)("hot1") ++ Seq.fill(40)("hot2") ++
+      (1 to 30).map(i => s"cold$i")).toDF("token")
+    val hh = Sketch.heavyHitters(skew, "token", threshold = 40L, d = 4, w = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(hh.map(_._1).toSeq === Seq("hot1", "hot2"))
+    assert(hh.map(_._3).toSeq === Seq(50L, 40L))
+    assert(hh.forall { case (_, est, cnt) => est >= cnt })
     // cell-wise merge of per-slice sketches == single-pass sketch
     val a = toks.filter(length(col("token")) <= 4)
     val b = toks.filter(length(col("token")) > 4)

@@ -415,6 +415,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q122 estimate prefilter evaluates below the count shuffle (map-side)") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q122_heavy_hitters")(spark, sf001)
+      val exchanges = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, df.queryExecution.executedPlan.toString.take(2000))
+      // the driver-literal grid lookup (element_at over the d arrays)
+      // must filter BEFORE rows reach any exchange — that is the whole
+      // point: the count shuffle carries only heavy-candidate rows
+      val mapSide = exchanges.exists(_.collect {
+        case f: FilterExec if f.condition.toString.contains("element_at") => f
+      }.nonEmpty)
+      assert(mapSide, df.queryExecution.executedPlan.toString.take(4000))
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("q116 winner election is a hash aggregate, not a per-cluster window sort") {
     val p = plan(q("q116_keep_best"))
     // one max_by/min-style aggregate keyed on cluster — a Window would
