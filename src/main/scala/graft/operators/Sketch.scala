@@ -91,9 +91,11 @@ object Sketch {
     val cells = countMinSketch(items, keyCol, d, w).collect()
     val grid = Array.fill(d)(new Array[Long](w))
     cells.foreach(r => grid(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
-    def est(key: org.apache.spark.sql.Column) =
-      least((0 until d).map(r =>
-        element_at(typedlit(grid(r).toSeq), bucket(key, r, w).cast("int") + 1)): _*)
+    def est(key: org.apache.spark.sql.Column) = {
+      val rows = (0 until d).map(r =>
+        element_at(typedlit(grid(r).toSeq), bucket(key, r, w).cast("int") + 1))
+      if (rows.size == 1) rows.head else least(rows: _*) // least() rejects a single arg
+    }
     items.filter(est(col(keyCol)) >= threshold)
       .groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("cnt"))

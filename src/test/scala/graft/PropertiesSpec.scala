@@ -129,4 +129,23 @@ class PropertiesSpec extends SparkSpec {
     val got = spark.sql("SELECT graft_mean(v) FROM _pv").collect().head.getDouble(0)
     assert(got === 3.0)
   }
+
+  test("law: heavyHitters ≡ exact threshold count for any corpus/threshold/grid") {
+    // the sketch prefilter must be RESULT-invisible: est >= exact means
+    // no true heavy hitter is dropped, and the exact recount removes
+    // every collision-inflated light key — for any key skew and any
+    // (d, w), including w small enough to force heavy collisions
+    val corpusGen = Gen.listOf(Gen.chooseNum(0, 20).map(i => s"k$i"))
+    for ((keys, i) <- samples(corpusGen, 6).zipWithIndex if keys.nonEmpty) {
+      val t = 1L + i % 4
+      val (d, w) = (1 + i % 3, Seq(4, 8, 64)(i % 3))
+      val exact = keys.groupBy(identity).collect {
+        case (k, v) if v.size >= t => k -> v.size.toLong
+      }.toMap
+      val got = graft.operators.Sketch.heavyHitters(
+        keys.toDF("k"), "k", t, d, w)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got === exact, s"threshold=$t d=$d w=$w corpus=${keys.take(20)}")
+    }
+  }
 }
