@@ -86,6 +86,20 @@ object Sketch {
     * vocabulary. Returns (key, est, cnt), est being the sketch bound
     * (>= cnt).
     */
+  /** φ-heavy hitters, the standard relative formulation: keys with
+    * count >= ceil(φ·N) for φ = phiNum/phiDen (kept rational so the
+    * threshold is INTEGER-exact and replays in SQL as
+    * `(phiNum·N + phiDen − 1) // phiDen`). A static absolute threshold
+    * stops meaning anything as the corpus grows — at the 1000× soak
+    * tier every token cleared a fixed 900 and the prefilter passed
+    * everything; φN tracks the corpus.
+    */
+  def heavyHittersFrac(items: DataFrame, keyCol: String, phiNum: Long, phiDen: Long,
+      d: Int, w: Int): DataFrame = {
+    val n = items.count()
+    heavyHitters(items, keyCol, (phiNum * n + phiDen - 1) / phiDen, d, w)
+  }
+
   def heavyHitters(items: DataFrame, keyCol: String, threshold: Long,
       d: Int, w: Int): DataFrame = {
     val cells = countMinSketch(items, keyCol, d, w).collect()

@@ -48,14 +48,16 @@ object AnalyticsQueries {
         .orderBy(col("token"))
     }),
 
-    // two-pass heavy hitters: sketch pass -> driver-literal grid ->
-    // MAP-SIDE estimate prefilter -> exact recount of candidates only.
-    // No false negatives (est >= exact); threshold 900 splits the
-    // corpus vocabulary ~14/31 so both branches are exercised.
+    // two-pass φ-heavy hitters (φ = 33/1000): sketch pass ->
+    // driver-literal grid -> MAP-SIDE estimate prefilter -> exact
+    // recount of candidates only. No false negatives (est >= exact);
+    // φN splits the gate vocabulary ~half so both branches are
+    // exercised — and unlike an absolute threshold, keeps splitting
+    // it at every soak tier.
     "q122_heavy_hitters" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(explode(graft.functions.TextFunctions.tokenize(col("text"))).as("token"))
-      graft.operators.Sketch.heavyHitters(toks, "token", threshold = 900L, d = 4, w = 32)
+      graft.operators.Sketch.heavyHittersFrac(toks, "token", 33L, 1000L, d = 4, w = 32)
         .orderBy(col("key"))
     }),
 
@@ -256,7 +258,8 @@ object AnalyticsQueries {
             JOIN cells c USING (r, bucket) GROUP BY token)
           SELECT t.token AS key, e.est, t.cnt
           FROM tc t JOIN est e USING (token)
-          WHERE t.cnt >= 900 ORDER BY key"""
+          WHERE t.cnt >= (33 * (SELECT count(*) FROM toks) + 999) // 1000
+          ORDER BY key"""
     },
     // Full integer replay of the d=4 x w=32 counter grid: same
     // row-tagged md5 h31 buckets, cell counts, and min-over-rows
