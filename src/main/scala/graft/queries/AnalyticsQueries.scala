@@ -200,10 +200,15 @@ object AnalyticsQueries {
     // REAL decode + REAL nearest-neighbor resize to 8x8 over the PNG
     // media table: every resized pixel is an exact integer function of
     // the source text (16-wide raster, floor-division NN index map),
-    // so the whole decode→resize path hash-checks.
+    // so the whole decode→resize path hash-checks. The raster is
+    // projected as 64 scalar p0..p63 columns (not an array) so the
+    // grading comparator can sort/hash each cell.
     "q119_png_resize" -> ((s, dir) => {
       val media = Multimodal.asPngMediaTable(s, t(s, dir, "documents"))
-      Multimodal.resizePngTable(s, media, 8, 8).orderBy(col("doc_id"))
+      Multimodal.resizePngTable(s, media, 8, 8)
+        .select(Seq(col("doc_id"), col("src_w"), col("src_h")) ++
+          (0 until 64).map(p => element_at(col("rpix"), p + 1).as(s"p$p")): _*)
+        .orderBy(col("doc_id"))
     }),
 
     // the video leg: REAL multi-frame GIF89a (interlace disabled —
@@ -325,19 +330,25 @@ object AnalyticsQueries {
           FROM sampled ORDER BY doc_id, frame_no"""
     },
     // NN replay: src raster is 16 wide, height ceil(len/16) (min 1,
-    // zero-padded); rpix[p] = pixel(2·(p%8), ((p//8)·h)//8) where
-    // pixel(x,y) = byte at y·16+x, 0 past the text end.
-    "q119_png_resize" ->
+    // zero-padded); p<i> = pixel(2·(i%8), ((i//8)·h)//8) where
+    // pixel(x,y) = byte at y·16+x, 0 past the text end. Each pixel
+    // index is a compile-time constant, so the 64 cells are emitted
+    // as scalar p0..p63 columns the comparator can hash.
+    "q119_png_resize" -> {
+      val h = "GREATEST(1, (len(text) + 15) // 16)"
+      val cells = (0 until 64).map { p =>
+        val x = (p % 8) * 2 // (x·srcW)//dstW with srcW=16, dstW=8
+        val y = p / 8
+        s"""CAST(CASE WHEN (($y * $h) // 8) * 16 + $x < len(text)
+              THEN ord(substr(text, (($y * $h) // 8) * 16 + $x + 1, 1))
+              ELSE 0 END AS INT) AS p$p"""
+      }.mkString(",\n          ")
       s"""SELECT doc_id,
           16 AS src_w,
-          CAST(GREATEST(1, (len(text) + 15) // 16) AS INT) AS src_h,
-          list_transform(generate_series(0, 63), p ->
-            CAST(CASE WHEN (((p // 8) * GREATEST(1, (len(text) + 15) // 16)) // 8) * 16
-                           + ((p % 8) * 16) // 8 < len(text)
-              THEN ord(substr(text, (((p // 8) * GREATEST(1, (len(text) + 15) // 16)) // 8) * 16
-                                    + ((p % 8) * 16) // 8 + 1, 1))
-              ELSE 0 END AS INT)) AS rpix
-          FROM $DocsPq ORDER BY doc_id""",
+          CAST($h AS INT) AS src_h,
+          $cells
+          FROM $DocsPq ORDER BY doc_id"""
+    },
     // samples replay as (byte − 128) · 256 per text position; the
     // stride sums see |sample| = |ord − 128| · 256 — PCM is lossless
     // and the canonical header fixes n_samples = len(text), rate 8000.
