@@ -58,17 +58,27 @@ object Q {
     if (splits < p) df.repartition(p) else df
   }
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) (pyarrow default), which
-    * Spark's parquet reader rejects. Read nanos as long (legacy conf)
-    * and truncate to microsecond timestamps — exactly what DuckDB does
-    * on read, so oracle timestamps agree. Integer `div` keeps the
-    * conversion exact (a double roundtrip would lose precision at
-    * nanosecond epoch scale ~1.7e18 > 2^53).
+  /** `events.parquet`'s `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (pyarrow default — Spark's reader
+    * rejects it unless read as long via the legacy conf), plain
+    * TIMESTAMP_NTZ (timestamp[us]), or already session-zoned TIMESTAMP.
+    * Normalize all three to microsecond TIMESTAMP (session tz is pinned
+    * UTC everywhere) so downstream window/lag/asof logic and the DuckDB
+    * oracle — which also truncates to micros — agree regardless of which
+    * generation is on disk. The nanos leg uses integer `div` so the
+    * conversion stays exact (nanos epoch ~1.7e18 > 2^53 would lose
+    * precision through a double).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TIMESTAMP_NTZ: reinterpret the wall-clock as UTC instant
+        df.withColumn("ts", to_timestamp(col("ts")))
+    }
   }
 
   /** documents/embeddings are not in the driver's registered-view list
