@@ -109,11 +109,16 @@ object Bench {
     }
     def fmt(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // Stdout variant rounds to ms: the driver's tail capture holds only
-    // the last ~4 KB of stdout, and full-precision doubles pushed the
-    // line past it three rounds running ("parsed": null).
+    // Stdout variant rounds to ms AND shortens query names to their
+    // unique qNN/qNNN prefix: the driver's tail capture holds only the
+    // LAST 2000 BYTES of stdout (measured from BENCH_r08.json), and the
+    // full-name map alone is 1.9 KB — the line could never fit, which
+    // is why "parsed" came back null four rounds running. Short keys +
+    // ms precision lands the whole line near 1.6 KB; the full-name
+    // full-precision record lives in BENCH.json (written above).
+    def short(k: String) = k.split("_")(0)
     def fmt3(xs: Seq[(String, Double)]) =
-      xs.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }.mkString("{", ",", "}")
+      xs.map { case (k, v) => "\"" + short(k) + "\":" + (math.rint(v * 1000) / 1000) }.mkString("{", ",", "}")
     val warmQs = fmt(results.map(r => r._1 -> r._3))
     val coldQs = fmt(results.map(r => r._1 -> r._2))
     val errs = results.collect { case (n, _, _, Some(e)) => "\"" + n + "\":\"" + e + "\"" }
@@ -144,6 +149,9 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     val warmTotal3 = math.rint(warmTotal * 1000) / 1000
-    println(s"""{"metric":"total","value":$warmTotal3,"unit":"sec","queries":${fmt3(results.map(r => r._1 -> r._3))},"n_errors":$nErrors,"suspect":$suspects,"drift":$drift,"sf":"$sfDir"}""")
+    val suspects3 = ok.collect { case (n, c, w, _) if w > 1.5 * c => "\"" + short(n) + "\"" }
+      .mkString("[", ",", "]")
+    val drift3 = driftNames.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$warmTotal3,"unit":"sec","queries":${fmt3(results.map(r => r._1 -> r._3))},"n_errors":$nErrors,"suspect":$suspects3,"drift":$drift3,"sf":"$sfDir"}""")
   }
 }

@@ -56,13 +56,31 @@ final case class Pipe[T](ds: Dataset[T]) {
   def sample(prob: Double, seed: Long = 42L): Pipe[T] = Pipe(ds.sample(prob, seed))
 
   /** Debug pass-through — `PMap.inspect` (`dampr/dampr.py:469-484`).
-    * With `exit=true`, mirrors the reference's abort flag: print and
-    * terminate the process (tests swap [[Pipe.exitHook]]).
+    *
+    * LAZY like the reference's (which streams records in-line as the
+    * stage runs): building the pipe triggers NO job; up to 20 rows per
+    * partition print on executor stdout when a downstream action
+    * actually runs the plan (pinned in PipeSpec). The old eager
+    * `take(20)` here ran the whole upstream pipeline at
+    * pipeline-CONSTRUCTION time — a job the user never asked for.
+    *
+    * With `exit=true`, mirrors the reference's abort flag
+    * (`dampr/dampr.py:479-482`): print a bounded sample and terminate —
+    * eager on purpose, the abort IS the requested action (tests swap
+    * [[Pipe.exitHook]]).
     */
   def inspect(prefixStr: String = "", exit: Boolean = false): Pipe[T] = {
-    ds.take(20).foreach(t => println(s"$prefixStr$t"))
-    if (exit) Pipe.exitHook(0)
-    this
+    if (exit) {
+      ds.take(20).foreach(t => println(s"$prefixStr$t"))
+      Pipe.exitHook(0)
+      this
+    } else Pipe(ds.mapPartitions { it =>
+      var n = 0
+      it.map { t =>
+        if (n < 20) { println(s"$prefixStr$t"); n += 1 }
+        t
+      }
+    }(ds.encoder))
   }
 
   // ---- grouping (reference §2.3, dampr/dampr.py:372-410) ----

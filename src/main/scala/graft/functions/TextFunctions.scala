@@ -3,6 +3,53 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+/** THE corpus tokenizer — one definition for the whole engine, in the
+  * three shapes the operators need. All three compute the same token
+  * multiset (lowercase, split on [[Tokenize.Pattern]], drop empties),
+  * so retargeting the engine at a real corpus (unicode word breaks,
+  * punctuation stripping) means editing THIS object, not ~20 call
+  * sites across dedup/curation/retrieval.
+  *
+  *  - [[Tokenize.arr]]      — array Column, for in-row shingling
+  *  - [[Tokenize.exploded]] — (id, token) rows via explode-then-filter,
+  *    the codegen-friendly corpus shape (a higher-order `filter` before
+  *    `explode` drops out of whole-stage codegen, ~5× slower)
+  *  - [[Tokenize.closure]]  — JVM-side twin for typed `mapPartitions`
+  *    kernels (FastSS, winnowing) — MUST stay value-equal to the
+  *    Column forms or closure-built signatures stop matching their
+  *    SQL-built oracles
+  *
+  * Mirrors the reference's idiom (`/root/reference/examples/wc.py:12`).
+  * DuckDB rendering: `graft.queries.Q.SqlTok`.
+  */
+object Tokenize {
+  import org.apache.spark.sql.DataFrame
+
+  /** The split pattern (Spark `split` regex / `String.split` regex —
+    * a single space, the reference's convention; testdata text is
+    * single-space separated).
+    */
+  val Pattern = " "
+
+  /** Lowercased token array, empties dropped. */
+  def arr(text: Column): Column =
+    filter(split(lower(text), Pattern), t => t =!= "")
+
+  /** (id, token) rows — explode-then-filter so tokenization stays
+    * inside whole-stage codegen. `id` may be aliased (`col(x).as("y")`).
+    */
+  def exploded(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id, explode(split(lower(text), Pattern)).as("token"))
+      .filter(col("token") =!= "")
+
+  /** Closure twin of [[arr]] for typed kernels. Locale.ROOT so JVM
+    * default-locale casing (e.g. Turkish dotless-i) can never diverge
+    * from SQL `lower`.
+    */
+  def closure(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT).split(Pattern).filter(_.nonEmpty)
+}
+
 /** Text-analysis column functions for training-data pipelines:
   * tokenization, language ID, quality scoring, fingerprinting. All are
   * pure `Column` expressions (codegen'd, no UDFs) and use only
@@ -15,8 +62,7 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Lowercased whitespace tokens, empties dropped. */
-  def tokenize(text: Column): Column =
-    filter(split(lower(text), " "), t => t =!= "")
+  def tokenize(text: Column): Column = Tokenize.arr(text)
 
   /** The 31-bit md5-derived base hash shared by every
     * hashing operator (minhash, simhash, LSH, winnowing) AND their
@@ -110,8 +156,7 @@ object TextFunctions {
     * Columns: n_tok, n_uniq, sum_tok_len, n_stop, s_<lang> per language.
     */
   def tokenAggregates(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val tok = docs.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("token"))
-      .filter(col("token") =!= "")
+    val tok = Tokenize.exploded(docs, col(idCol), col(textCol))
     val allMarkers = langMarkers.flatMap(_._2).distinct
     val rest = Seq(
       countDistinct(col("token")).as("n_uniq"),
@@ -182,7 +227,7 @@ object TextFunctions {
     val p = graft.operators.Dedup.P
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val tk = text.toLowerCase.split(" ").filter(_.nonEmpty)
+        val tk = Tokenize.closure(text)
         if (tk.length < k) Iterator.empty
         else {
           val hs = tk.sliding(k).map { s =>

@@ -37,7 +37,7 @@ object Curation {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val tk = text.toLowerCase.split(" ").filter(_.nonEmpty)
+        val tk = graft.functions.Tokenize.closure(text)
         tk.grouped(k).withFilter(_.length == k).map(c => (id, c.mkString(" ")))
       }
       .toDF("doc_id", "chunk")
@@ -166,8 +166,7 @@ object Curation {
     */
   def vocabTopK(docs: DataFrame, strataCol: String, textCol: String, k: Int): DataFrame =
     Relational.topKPerGroup(
-      docs.select(col(strataCol), explode(split(lower(col(textCol)), " ")).as("token"))
-        .filter(col("token") =!= "")
+      graft.functions.Tokenize.exploded(docs, col(strataCol), col(textCol))
         .groupBy(col(strataCol), col("token")).agg(count(lit(1)).as("n")),
       k, Seq(col(strataCol)), Seq(col("n").desc, col("token").asc))
 
@@ -380,7 +379,7 @@ object Curation {
     val fps = graft.GraftCache.registered(
       docs.select(col(srcCol), col(textCol)).as[(String, String)]
         .flatMap { case (src, text) =>
-          val tk = text.toLowerCase.split(" ").filter(_.nonEmpty)
+          val tk = graft.functions.Tokenize.closure(text)
           tk.grouped(k).withFilter(_.length == k).map(c => (src, c.mkString(" ")))
         }
         .toDF("source", "chunk")

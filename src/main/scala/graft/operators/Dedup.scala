@@ -100,7 +100,7 @@ object Dedup {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val tk = text.toLowerCase.split(" ").filter(_.nonEmpty)
+        val tk = graft.functions.Tokenize.closure(text)
         if (tk.length < 3) Iterator.empty
         else tk.sliding(3).map(s => (id, s.mkString(" ")))
       }
@@ -305,8 +305,7 @@ object Dedup {
   def ngramJaccardPairsLsh(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 8, bands: Int = 4): DataFrame =
     pairsFromHashes(
-      docs.select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), " ")).as("token"))
-        .filter(col("token") =!= "")
+      graft.functions.Tokenize.exploded(docs, col(idCol).as("doc_id"), col(textCol))
         .select(col("doc_id"), h31(col("token")).as("h")),
       k, bands, threshold)
 
@@ -336,8 +335,7 @@ object Dedup {
       sum(when(((lit(1299721L + 2L * b) * col("h") + lit(104729L * (b + 1L))) % P) % 2 === 1, 1L)
         .otherwise(-1L)).as(s"v$b")
     }
-    docs.select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), " ")).as("token"))
-      .filter(col("token") =!= "") // post-explode filter stays in codegen
+    graft.functions.Tokenize.exploded(docs, col(idCol).as("doc_id"), col(textCol))
       .select(col("doc_id"), h31(col("token")).as("h"))
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
@@ -494,7 +492,21 @@ object Dedup {
     * appear in the output (they have no near-dup edges). Output schema
     * matches [[labelPropagate]]: (doc, label).
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Per-round lineage cut, in two durability flavors. Default:
+    // eager localCheckpoint — fastest, but blocks live on executors
+    // and cannot be recomputed after executor loss once lineage is
+    // cut. With `checkpointDir` (HDFS/S3 on a real cluster): reliable
+    // `.checkpoint()` — each round's edge set persists to storage, so
+    // a 1000-executor run survives preemption mid-iteration. Same
+    // algorithm, same result (OperatorsSpec pins both modes).
+    val pin: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
     // canonical undirected edges (a < b), deduped
     val edges0 = pairs
       .select(col("doc_a").cast("long").as("x"), col("doc_b").cast("long").as("y"))
@@ -540,26 +552,24 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) "" else r.getDecimal(1).toString)
     }
 
-    // Each round is EAGERLY local-checkpointed: a star references its
-    // input twice and a round composes two stars, so without lineage
-    // truncation the logical plan quadruples per round and the
-    // analyzer/optimizer, not the data, becomes the bottleneck. The
-    // checkpoint materializes two longs per edge; on a cluster where
-    // executor loss must be survivable, use a reliable checkpoint dir
-    // (`spark.sparkContext.setCheckpointDir` + `.checkpoint()`) —
-    // recomputing a lost local block is impossible once lineage is cut.
-    var cur = edges0.localCheckpoint(true)
+    // Each round is EAGERLY checkpointed (local or reliable per `pin`
+    // above): a star references its input twice and a round composes
+    // two stars, so without lineage truncation the logical plan
+    // quadruples per round and the analyzer/optimizer, not the data,
+    // becomes the bottleneck. The checkpoint materializes two longs
+    // per edge.
+    var cur = pin(edges0)
     // Node ids are enumerated from the FIRST checkpoint, eagerly (its
     // blocks are released inside the loop, after which the cut lineage
     // cannot recompute) — deriving them from `edges0` at the end would
     // re-run the whole upstream pair pipeline a second time.
-    val nodes = cur.select(col("a").as("doc")).union(cur.select(col("b").as("doc")))
-      .distinct().localCheckpoint(true)
+    val nodes = pin(cur.select(col("a").as("doc")).union(cur.select(col("b").as("doc")))
+      .distinct())
     var sig = signature(cur)
     var rounds = 0
     var converged = sig._1 == 0L
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = pin(smallStar(largeStar(cur)))
       val nextSig = signature(next)
       // Signature match => confirm exactly. Counts are equal, so
       // next ⊆ cur implies set equality; one except().isEmpty is the

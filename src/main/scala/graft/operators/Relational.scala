@@ -58,8 +58,7 @@ object Relational {
     * after an explode keeps one shuffle on the token.
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("token"))
-      .filter(col("token") =!= "")
+    graft.functions.Tokenize.exploded(docs, col(idCol), col(textCol))
       .groupBy("token")
       .agg(sort_array(collect_set(col(idCol))).as("postings"), count(lit(1)).as("tf"))
 
@@ -96,8 +95,7 @@ object Relational {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.size <= 64, "bm25TopK: 1..64 query terms")
-    val toks = docs.select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("token"))
-      .filter(col("token") =!= "")
+    val toks = graft.functions.Tokenize.exploded(docs, col(idCol), col(textCol))
     val tfCols = terms.map(t =>
       sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf_$t"))
     val agged = graft.GraftCache.registered(

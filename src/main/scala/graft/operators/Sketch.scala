@@ -96,15 +96,31 @@ object Sketch {
     */
   def heavyHittersFrac(items: DataFrame, keyCol: String, phiNum: Long, phiDen: Long,
       d: Int, w: Int): DataFrame = {
-    val n = items.count()
-    heavyHitters(items, keyCol, (phiNum * n + phiDen - 1) / phiDen, d, w)
+    // N rides the sketch build: every item increments exactly one
+    // bucket per hash row, so each grid row sums to the corpus count —
+    // no separate items.count() pass (at 100 TB a whole extra scan).
+    // The row-sum law is pinned in OperatorsSpec.
+    val grid = collectGrid(items, keyCol, d, w)
+    val n = grid(0).sum
+    heavyHittersFromGrid(items, keyCol, grid, (phiNum * n + phiDen - 1) / phiDen, d, w)
   }
 
   def heavyHitters(items: DataFrame, keyCol: String, threshold: Long,
-      d: Int, w: Int): DataFrame = {
+      d: Int, w: Int): DataFrame =
+    heavyHittersFromGrid(items, keyCol, collectGrid(items, keyCol, d, w), threshold, d, w)
+
+  /** Build the sketch and collect the d×w grid (<= a few KB) to the
+    * driver as literal-foldable arrays.
+    */
+  private[graft] def collectGrid(items: DataFrame, keyCol: String, d: Int, w: Int): Array[Array[Long]] = {
     val cells = countMinSketch(items, keyCol, d, w).collect()
     val grid = Array.fill(d)(new Array[Long](w))
     cells.foreach(r => grid(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    grid
+  }
+
+  private def heavyHittersFromGrid(items: DataFrame, keyCol: String, grid: Array[Array[Long]],
+      threshold: Long, d: Int, w: Int): DataFrame = {
     def est(key: org.apache.spark.sql.Column) = {
       val rows = (0 until d).map(r =>
         element_at(typedlit(grid(r).toSeq), bucket(key, r, w).cast("int") + 1))

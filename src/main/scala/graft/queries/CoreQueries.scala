@@ -116,6 +116,24 @@ object CoreQueries {
       t(s, dir, "events")
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy(col("event_id"))
+    }),
+
+    // the reference's flagship entry point (examples/wc.py:11-17)
+    // driven END-TO-END through the typed Pipe surface — flatMap →
+    // foldBy (map-side-combined via reduceGroups) → sortBy — and
+    // graded against q03's oracle, proving the Dataset-combinator
+    // surface computes exactly what the SQL surface does. Closure
+    // tokenization mirrors Q.tokens: lowercase, split single spaces,
+    // drop empties.
+    "q123_pipe_wordcount" -> ((s, dir) => {
+      import s.implicits._
+      graft.Pipe.fromDataset(t(s, dir, "documents").select(col("text")).as[String])
+        .flatMap(_.toLowerCase(java.util.Locale.ROOT).split(" ").iterator.filter(_.nonEmpty))
+        .map(tok => (tok, 1L))
+        .foldBy(_._1) { case ((tok, a), (_, b)) => (tok, a + b) }
+        .map { case (tok, (_, cnt)) => (tok, cnt) }
+        .sortBy(_._1)
+        .ds.toDF("token", "cnt")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -161,5 +179,9 @@ object CoreQueries {
          FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""",
     "q12_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-         FROM events ORDER BY event_id""")
+         FROM events ORDER BY event_id""",
+    // same oracle as q03 — the Pipe surface must reproduce it exactly
+    "q123_pipe_wordcount" ->
+      s"""SELECT token, count(*) AS cnt FROM ($SqlTok) WHERE token <> ''
+          GROUP BY token ORDER BY token""")
 }

@@ -101,6 +101,15 @@ object SortSetQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // index union retrieval (dampr/utils/indexer.py:72-92): ANY-match —
+    // docs containing at least one probe token. Completes the Indexer
+    // surface's oracle coverage beside q39's intersect.
+    "q124_index_union" -> ((s, dir) => {
+      val idx = Relational.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+      Relational.indexUnion(idx, Seq("spark", "query", "join"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25-ranked retrieval over the same probe terms — the ranked
     // flavor of q38/q39 (see Relational.bm25TopK for the one-shuffle
     // fixed-width plan). Ordering is on the round-6 score with doc_id
@@ -189,6 +198,9 @@ object SortSetQueries {
           SELECT doc_id, count(*) AS n_match FROM tok
           WHERE token IN ('spark', 'query', 'join')
           GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""",
+    "q124_index_union" ->
+      s"""SELECT DISTINCT doc_id FROM ($SqlTok)
+          WHERE token IN ('spark', 'query', 'join') ORDER BY doc_id""",
     // BM25: Robertson idf with Lucene +1 smoothing, k1=1.2 b=0.75 —
     // the same arithmetic Relational.bm25TopK builds from its one
     // driver stats row; both engines order by the ROUNDED score.

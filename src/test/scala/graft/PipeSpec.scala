@@ -220,6 +220,16 @@ class PipeSpec extends SparkSpec {
     assert(ints.inspect("dbg: ").collect().sorted === (10 until 20).toArray)
   }
 
+  // dampr/dampr.py:469-484: the reference's inspect STREAMS records as
+  // the stage runs — building the pipeline must not trigger a job. An
+  // eager tap would execute the throwing map at construction; the lazy
+  // one only fails when an action actually runs the plan.
+  test("inspect is lazy: no job at construction, tap runs with the action") {
+    val poisoned = ints.map[Int](_ => throw new RuntimeException("ran eagerly"))
+    val tapped = poisoned.inspect("dbg: ") // must not throw
+    intercept[Exception](tapped.collect()) // the action does run (and hits the poison)
+  }
+
   // dampr/dampr.py:479-482 (inspect(exit=True) aborts after printing)
   test("inspect(exit=true) invokes the process-exit hook") {
     val saved = Pipe.exitHook
