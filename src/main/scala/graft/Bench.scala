@@ -86,10 +86,28 @@ object Bench {
       else "\"([^\"]+)\":([-0-9.eE]+)".r.findAllMatchIn(after(1).takeWhile(_ != '}'))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
+    // SPARK_GRAFT_CHAOS=<n>: spawn n busy-loop burner threads for the
+    // duration of the first sweep only, stopped before the drift
+    // re-measure pass. This exists solely for scripts/chaos_drift.sh,
+    // which proves end-to-end that load-inflated sweep numbers get
+    // caught by the snapshot comparison and repaired by the isolated
+    // re-measure. Unset (the driver never sets it) this is dead code.
+    val chaosN = sys.env.get("SPARK_GRAFT_CHAOS").map(_.trim.toInt).getOrElse(0)
+    @volatile var chaosOn = true
+    val burners = (0 until chaosN).map { i =>
+      val t = new Thread(() => {
+        var x = 1L
+        while (chaosOn) { x = x * 6364136223846793005L + 1442695040888963407L }
+        if (x == 42L) println("") // keep the loop's result observable
+      }, s"graft-chaos-$i")
+      t.setDaemon(true); t.start(); t
+    }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
       val (cold, warm, err) = measure(name)
       (name, cold, warm, err)
     }
+    chaosOn = false
+    burners.foreach(_.join(1000))
     // Drift pass: any query whose warm run landed >2x the committed
     // snapshot (with a 0.5s absolute floor so millisecond noise never
     // triggers) is re-measured — isolated, after a GC — and the MINIMUM

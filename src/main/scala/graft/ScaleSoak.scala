@@ -65,7 +65,8 @@ object ScaleSoak {
     "q109_bm25_topk", "q110_hybrid_rrf", "q111_dup_spans", "q112_substring_dedup",
     "q113_bigram_logprob", "q115_incremental_dedup", "q116_keep_best",
     "q117_countmin_freq", "q118_multimodal_wav", "q119_png_resize",
-    "q120_multimodal_gif", "q121_corpus_clean_best", "q122_heavy_hitters")
+    "q120_multimodal_gif", "q121_corpus_clean_best", "q122_heavy_hitters",
+    "q123_pipe_wordcount", "q124_index_union")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

@@ -89,9 +89,9 @@ object Q {
   val DocsPq = "read_parquet('/root/testdata/sf0.01/documents.parquet')"
   val EmbPq  = "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
 
-  /** Tokenization shared by every text query: lowercase, split on
-    * single spaces, drop empties. Mirrors the reference's idiom
-    * (`/root/reference/examples/wc.py:12`,
+  /** Tokenization shared by every text query — delegates to the
+    * engine-wide single definition [[graft.functions.Tokenize]]
+    * (reference idiom: `/root/reference/examples/wc.py:12`,
     * `benchmarks/tf-idf-dampr.py:12-14`).
     *
     * NOTE: use only where the ARRAY is needed downstream. For explode
@@ -99,15 +99,13 @@ object Q {
     * array expression (higher-order filter) drops out of whole-stage
     * codegen and is ~5x slower than explode-then-filter.
     */
-  def tokens(textCol: Column): Column =
-    filter(split(lower(textCol), " "), tok => tok =!= "")
+  def tokens(textCol: Column): Column = graft.functions.Tokenize.arr(textCol)
 
   /** (id, token) rows via explode-then-filter — the codegen-friendly
     * shape of [[tokens]]; identical multiset of tokens.
     */
   def explodedTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("token"))
-      .filter(col("token") =!= "")
+    graft.functions.Tokenize.exploded(df, col(idCol), col(textCol))
 
   /** DuckDB-side equivalent of [[tokens]] exploded to rows:
     * `SELECT doc_id, tok FROM docs, LATERAL unnest(...)`.
