@@ -47,6 +47,30 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("law: Tokenize closure ≡ Column array ≡ exploded rows (any text)") {
+    // The three shapes of the one tokenizer definition MUST stay
+    // value-equal (functions/TextFunctions.scala scaladoc): closure-
+    // built signatures (shingles, FastSS, winnowing) are graded against
+    // SQL-built oracles, so a divergence breaks hash parity silently.
+    // Texts mix case, repeated/leading/trailing spaces, punctuation,
+    // accented latin and CJK.
+    val word = Gen.oneOf(Gen.alphaNumStr, Gen.oneOf("Héllo", "ñu", "täst", "中文", "a.b,c!", "X", ""))
+    val textGen = Gen.listOf(Gen.oneOf(word, Gen.const(" "), Gen.const("  ")))
+      .map(_.mkString(" "))
+    for (texts <- Seq(samples(Gen.listOfN(20, textGen), 3).flatten)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val viaClosure = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> graft.functions.Tokenize.closure(t).toSeq }.toMap
+      val viaArr = df.select($"id", graft.functions.Tokenize.arr($"text").as("tk"))
+        .as[(Long, Seq[String])].collect().toMap
+      val viaExploded = graft.functions.Tokenize.exploded(df, $"id", $"text")
+        .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      assert(viaArr === viaClosure)
+      // exploded drops empty-token docs entirely (no rows) — compare non-empties
+      assert(viaExploded === viaClosure.filter(_._2.nonEmpty))
+    }
+  }
+
   test("law: minhash signatures are partitioning-invariant") {
     for (words <- samples(Gen.listOfN(6, Gen.alphaLowerStr.suchThat(_.nonEmpty)), 3)) {
       val text = (words ++ words ++ words).mkString(" ")
