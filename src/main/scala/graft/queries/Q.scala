@@ -32,7 +32,15 @@ object Q {
     // cosine) over files small enough to arrive as ONE input split —
     // widen so the map side parallelizes. At production scale the scan
     // has thousands of splits and this branch is a no-op.
-    case "documents" | "embeddings" => widen(spark, spark.read.parquet(s"$dir/$name.parquet"))
+    case "documents" => widen(spark, spark.read.parquet(s"$dir/$name.parquet"))
+    // embeddings additionally pin the vector element type: every ANN/
+    // quantization query assumes array<float>, and a regenerated
+    // testdata drop to array<double> would shift r6-rounded cosines
+    // (the round-8 events.ts lesson). Today the cast is a no-op
+    // Catalyst folds away.
+    case "embeddings" =>
+      widen(spark, spark.read.parquet(s"$dir/$name.parquet"))
+        .withColumn("embedding", col("embedding").cast("array<float>"))
     case _ => spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -371,6 +371,28 @@ class PlanSpec extends SparkSpec {
         .filter(org.apache.spark.sql.functions.col("lang") === "en").count())
   }
 
+  test("q123 typed foldBy plans partial+final aggregation (map-side combine)") {
+    // The Pipe surface's foldBy lowers to reduceGroups — the claim
+    // that this matches the reference's hand-built combiner
+    // (dampr/base.py:393-402) requires a PARTIAL aggregate below the
+    // key shuffle, so a 100 TB corpus only moves per-partition
+    // (token, count) partials, not raw tokens.
+    val p = plan(q("q123_pipe_wordcount"))
+    assert(p.contains("partial_reduceaggregator") || p.contains("partial_"), p)
+  }
+
+  test("q124 pushes the probe-token filter below the postings aggregation") {
+    // indexUnion filters the BUILT index on its grouping key; Catalyst
+    // must push that isin through the collect_set aggregation so only
+    // probe-token rows are ever aggregated — at 100 TB the difference
+    // between building 3 postings lists and building the whole index.
+    val o = q("q124_index_union").queryExecution.optimizedPlan.toString
+    val aggIdx = o.indexOf("Aggregate")
+    val filterIdx = o.indexOf("spark,query,join")
+    assert(aggIdx >= 0 && filterIdx > aggIdx,
+      s"probe filter should sit BELOW the postings aggregate in:\n$o")
+  }
+
   test("q109 bm25 ranking is TakeOrdered over one aggregation (no total sort)") {
     val p = plan(q("q109_bm25_topk"))
     assert(p.contains("TakeOrderedAndProject"), p)
