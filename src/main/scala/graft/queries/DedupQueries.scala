@@ -444,6 +444,19 @@ object DedupQueries {
       Similarity.nearDupExactBlocked(t(s, dir, "embeddings"), "label", 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // SemDeDup (Abbas et al. 2023) graded end-to-end: k-means cells
+    // over the embedding space (iters = 0 — the q59 rule, so the
+    // quantizer is oracle-replayable), exact cosine pairs WITHIN a
+    // cell only, exact connected components over the pair graph, keep
+    // the min vec_id per component plus every unpaired vector. The
+    // 100 TB shape is the point: assignment is a map-side expression
+    // against driver-held centroids (no shuffle), the quadratic step
+    // is bounded by cells (the operator's lever), and the output is
+    // the KEPT corpus — the production semantic-dedup pass.
+    "q125_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), cells = 8, iters = 0, threshold = 0.4)
+        .select(col("vec_id")).orderBy(col("vec_id"))),
+
     // brute-force exact ANN baseline: top-10 for vec 0.
     "q56_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), 0L, 10)),
@@ -897,6 +910,33 @@ object DedupQueries {
     // the persisted-index probe must reproduce the replayable inline
     // search exactly — one oracle serves both rows
     "q101_ann_ivf_indexed" -> oracleQ59,
+    // SemDeDup replay: the q59 iters=0 quantizer (same cents/assigned
+    // CTEs), q55's rounded-cosine pair rule within a cell, exact CC by
+    // recursive reachability (the q93 shape), keep = NOT (doc with a
+    // smaller-labelled component-mate).
+    "q125_semantic_dedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
+          cents AS (SELECT CAST(vec_id AS INT) AS cell, e AS c FROM e ORDER BY vec_id LIMIT 8),
+          d AS (SELECT e.vec_id, cents.cell,
+              round(list_sum(list_transform(generate_series(1, 64),
+                i -> (e.e[i] - cents.c[i]) * (e.e[i] - cents.c[i]))), 9) AS d
+            FROM e CROSS JOIN cents),
+          assigned AS (SELECT vec_id, cell FROM (
+              SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d)
+            WHERE rn = 1),
+          en AS (SELECT e.vec_id, a.cell, e.e FROM e JOIN assigned a USING (vec_id)),
+          p AS (SELECT l.vec_id AS a, r.vec_id AS b FROM en l JOIN en r
+                ON l.cell = r.cell AND l.vec_id < r.vec_id
+                WHERE round(list_cosine_similarity(l.e, r.e), 6) >= 0.4),
+          edges AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b AS src, a AS dst FROM p),
+          reach(src, dst) AS (
+            SELECT src, src AS dst FROM edges
+            UNION
+            SELECT r.src, edges.dst FROM reach r JOIN edges ON r.dst = edges.src),
+          lab AS (SELECT src AS doc, min(dst) AS label FROM reach GROUP BY src)
+          SELECT vec_id FROM e
+          WHERE vec_id NOT IN (SELECT doc FROM lab WHERE doc <> label)
+          ORDER BY vec_id""",
     // the contract row for the trained path (see the q96 query comment):
     // the oracle states the expected floor, Spark computes the actual
     // overlap of trained-IVF top-10 vs exact brute-force top-10.
