@@ -110,6 +110,27 @@ object SortSetQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // custom DSv2 SINK graded end-to-end (§2.7 write-path parity,
+    // dampr/dampr.py:610-637): doc stats go out through the two-phase
+    // commit TSV sink (staged task files, driver-side promote +
+    // _SUCCESS — see graft.sources.TsvTap) and come back through its
+    // read leg (one input split per committed part file), then
+    // aggregate. A broken escape, type codec, commit rename or stray
+    // uncommitted attempt file changes the counts and the hash.
+    "q126_sink_roundtrip" -> ((s, dir) => {
+      val stats = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_tsv_sink")
+        .toString + "/out"
+      stats.write.format("graft.sources.TsvTap").option("path", path)
+        .mode("overwrite").save()
+      s.read.format("graft.sources.TsvTap").option("path", path)
+        .option("schema", "doc_id BIGINT, lang STRING, n_chars BIGINT").load()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // BM25-ranked retrieval over the same probe terms — the ranked
     // flavor of q38/q39 (see Relational.bm25TopK for the one-shuffle
     // fixed-width plan). Ordering is on the round-6 score with doc_id
@@ -201,6 +222,11 @@ object SortSetQueries {
     "q124_index_union" ->
       s"""SELECT DISTINCT doc_id FROM ($SqlTok)
           WHERE token IN ('spark', 'query', 'join') ORDER BY doc_id""",
+    // the sink round trip must be value-preserving, so the oracle is
+    // simply the same aggregate over the source table
+    "q126_sink_roundtrip" ->
+      s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM $DocsPq GROUP BY lang ORDER BY lang""",
     // BM25: Robertson idf with Lucene +1 smoothing, k1=1.2 b=0.75 —
     // the same arithmetic Relational.bm25TopK builds from its one
     // driver stats row; both engines order by the ROUNDED score.

@@ -65,4 +65,53 @@ class SourcesSpec extends SparkSpec {
       .option("skipOnError", "false").load()
     intercept[org.apache.spark.SparkException](df.count())
   }
+
+  test("TsvTap sink round-trips hostile strings, nulls and atomic types") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsvtap").toString + "/out"
+    val rows = Seq(
+      (1L, "tab\there", Some(1.5)),
+      (2L, "line\nbreak \r and back\\slash", None),
+      (3L, "\\N literal backslash-N", Some(-0.25)),
+      (4L, null.asInstanceOf[String], Some(0.0)))
+    val df = rows.toDF("id", "s", "d")
+    df.write.format("graft.sources.TsvTap").option("path", dir)
+      .mode("append").save()
+    val back = spark.read.format("graft.sources.TsvTap").option("path", dir)
+      .option("schema", "id BIGINT, s STRING, d DOUBLE").load()
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(back.toSeq === rows)
+  }
+
+  test("TsvTap commit protocol: _SUCCESS stamped, staging swept, stray attempts never promoted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsvtap2").resolve("out")
+    // a stale staging file from a "failed attempt" of some earlier job
+    java.nio.file.Files.createDirectories(dir.resolve("_temp"))
+    java.nio.file.Files.writeString(dir.resolve("_temp").resolve("attempt-99-99.tsv"), "999\tGHOST\n")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").repartition(2)
+      .write.format("graft.sources.TsvTap").option("path", dir.toString)
+      .mode("overwrite").save()
+    assert(java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+    assert(!java.nio.file.Files.exists(dir.resolve("_temp")))
+    val back = spark.read.format("graft.sources.TsvTap").option("path", dir.toString)
+      .option("schema", "id BIGINT, s STRING").load()
+    // one input split per committed part file; the ghost row is gone
+    assert(back.rdd.getNumPartitions === 2)
+    assert(back.collect().map(_.getString(1)).sorted === Array("a", "b"))
+  }
+
+  test("TsvTap overwrite truncates prior committed output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsvtap3").toString + "/out"
+    Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("id", "s").repartition(3)
+      .write.format("graft.sources.TsvTap").option("path", dir)
+      .mode("append").save()
+    Seq((10L, "new")).toDF("id", "s").coalesce(1)
+      .write.format("graft.sources.TsvTap").option("path", dir)
+      .mode("overwrite").save()
+    val back = spark.read.format("graft.sources.TsvTap").option("path", dir)
+      .option("schema", "id BIGINT, s STRING").load().collect()
+    assert(back.map(_.getString(1)).toSeq === Seq("new"))
+  }
 }
