@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout optimization for at-rest multi-dimensional pruning —
+  * the 100 TB concern the in-session operators can't address: which
+  * FILES a later query has to open. A corpus written in arrival order
+  * has every file spanning the whole range of every column, so a scan
+  * filtered on (lang-bucket, length-bucket, quality-bucket, ...) still
+  * opens everything. Interleaving the dimensions' bits into one
+  * Z-(Morton-)value and range-partition-sorting on it clusters rows
+  * that are close in EVERY dimension into the same files, so each
+  * file's parquet min/max footer covers a narrow slice of each
+  * dimension and engine-standard stats-based skipping prunes on any of
+  * them (the technique behind Delta/Iceberg `OPTIMIZE ZORDER BY`; the
+  * reference's at-rest story stops at per-reducer chunk files,
+  * `/root/reference/dampr/dataset.py:200-260`).
+  *
+  * The z-value is pure Column arithmetic (shift/mask/add over disjoint
+  * bits), so it rides whole-stage codegen; the only movement is the
+  * one range-exchange the rewrite IS.
+  */
+object Layout {
+
+  /** Morton interleave of the low `bits` bits of two non-negative
+    * dimensions: result bit 2i is bit i of `x`, bit 2i+1 is bit i of
+    * `y`. Callers bucket/clamp each dimension into [0, 2^bits) first —
+    * higher bits are ignored by construction, and two values equal
+    * mod 2^bits would collide (destroying locality, not correctness).
+    */
+  def zorder2(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i),
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    // disjoint bits, so + is | — and stays a codegen'd add chain
+    terms.reduce(_ + _)
+  }
+
+  /** Rewrite `df` at `path` clustered by the z-curve over (`x`, `y`):
+    * compute `zval`, range-partition into `partitions` output files on
+    * it (Spark samples the distribution for balanced bounds — the same
+    * mechanism a sort uses), sort within each file, write parquet. The
+    * written files carry `zval` plus all input columns; each file's
+    * min/max footer then bounds BOTH dimensions tightly, which is what
+    * makes later scans prune on either one (LayoutSpec measures it).
+    */
+  def zorderWrite(df: DataFrame, path: String, x: Column, y: Column,
+      bits: Int, partitions: Int): Unit =
+    df.withColumn("zval", zorder2(x.cast("long"), y.cast("long"), bits))
+      .repartitionByRange(partitions, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file min/max of a column over a parquet directory — the exact
+    * statistics stats-based file skipping consults, recomputed from
+    * the rows so the spec's pruning claim is engine-independent.
+    * Returns (file, min, max) rows.
+    */
+  def fileRanges(spark: SparkSession, path: String, c: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+}

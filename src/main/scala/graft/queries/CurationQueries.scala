@@ -31,6 +31,25 @@ object CurationQueries {
         FROM (${sqlToksWith(extra)}), unnest(generate_series(1, len(tk) // $k)) AS u(i)"""
 
   val queries: Map[String, QFn] = Map(
+    // Z-order data layout graded end-to-end (Layout.zorderWrite): the
+    // corpus is rewritten at rest clustered by the Morton interleave
+    // of (clamped length, id-bucket), then read BACK from the
+    // re-clustered parquet — the write-then-read round trip grades the
+    // interleave arithmetic, the range partitioning and the rewrite
+    // itself; LayoutSpec measures the point of it (per-file min/max
+    // tightness on both dimensions → file skipping on either).
+    "q127_zorder_layout" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_zorder")
+        .toString + "/docs"
+      graft.operators.Layout.zorderWrite(
+        t(s, dir, "documents").select(col("doc_id"),
+          least(col("n_chars"), lit(1023L)).as("x"),
+          (col("doc_id") % 1024L).as("y")),
+        path, col("x"), col("y"), bits = 10, partitions = 8)
+      s.read.parquet(path).select(col("doc_id"), col("zval"))
+        .orderBy(col("doc_id"))
+    }),
+
     // chunk-level boilerplate: 16-token chunks shared by >= 2 docs.
     "q78_chunk_dedup" -> ((s, dir) =>
       Curation.chunkDupGroups(t(s, dir, "documents"), "doc_id", "text", 16)
@@ -274,6 +293,17 @@ object CurationQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // bit-for-bit replay of the Morton interleave: bit 2i of zval is
+    // bit i of x = min(n_chars, 1023), bit 2i+1 is bit i of
+    // y = doc_id % 1024 — disjoint bits, so the sum is the OR
+    "q127_zorder_layout" -> {
+      val terms = (0 until 10).flatMap(i => Seq(
+        s"((((least(n_chars, 1023) >> $i) & 1)) << ${2 * i})",
+        s"((((doc_id % 1024) >> $i) & 1)) << ${2 * i + 1}")
+        .map(t => s"($t)"))
+      s"""SELECT doc_id, CAST(${terms.mkString(" + ")} AS BIGINT) AS zval
+          FROM $DocsPq ORDER BY doc_id"""
+    },
     // contract row (see the q97 query comment): strata sizes are exact
     // integers; within_band must be 1 — a sketch regression (or an
     // accuracy misconfiguration) flips it and breaks the hash.
