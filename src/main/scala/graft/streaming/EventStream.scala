@@ -189,6 +189,30 @@ object EventStream {
       .start()
   }
 
+  /** Streaming incremental dedup: every micro-batch of documents is
+    * verdicted (`exact_dup` / `near_dup` / `kept`) against the SAME
+    * at-rest [[graft.operators.Dedup.writeDedupIndex]] summaries the
+    * batch path probes (q115). `foreachBatch` is the right harness —
+    * the verdict is per-batch joins against an index at rest, not
+    * keyed operator state, so a restarted query has NO state to
+    * rebuild and the probe cost keeps tracking the batch, never the
+    * corpus. Each micro-batch lands in its own `batch=<id>` dir with
+    * overwrite, so a retried batch replaces itself instead of
+    * duplicating (idempotent sink — the streaming half of
+    * exactly-once; pair with a checkpointLocation for the source
+    * half).
+    */
+  def incrementalDedupStream(newDocs: DataFrame, indexPath: String,
+      outPath: String, threshold: Double = 0.6)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .dedupAgainstIndex(batch, "doc_id", "text", indexPath, threshold)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+
   /** Drive a streaming query from a static parquet dir through the
     * memory sink synchronously — the local smoke path (one parquet file
     * per micro-batch via maxFilesPerTrigger).

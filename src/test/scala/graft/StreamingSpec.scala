@@ -148,6 +148,48 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === 1L).head.getAs[Double]("quality") === batchQ)
   }
 
+  test("streaming incremental dedup equals the batch probe of the same at-rest index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val corpusText = "the quick brown fox jumps over the lazy dog in the bright morning sun"
+    val corpus = Seq(
+      (1L, corpusText),
+      (2L, "an entirely different corpus document about distributed query engines"),
+      (3L, "yet another unrelated line of plain filler text for the index")).toDF("doc_id", "text")
+    graft.operators.Dedup.writeDedupIndex(corpus, "doc_id", "text", s"$base/idx")
+
+    val input = MemoryStream[EventStream.StreamDoc]
+    val q = EventStream.incrementalDedupStream(input.toDF(), s"$base/idx", s"$base/out").start()
+    // two micro-batches: an exact corpus copy + a fresh doc, then a
+    // near-dup edit of the corpus doc + another fresh doc
+    input.addData(
+      EventStream.StreamDoc(10L, corpusText, ts(10)),
+      EventStream.StreamDoc(11L, "completely novel content that matches nothing at all", ts(11)))
+    q.processAllAvailable()
+    input.addData(
+      EventStream.StreamDoc(12L, corpusText + " again tonight", ts(12)),
+      EventStream.StreamDoc(13L, "one more brand new document with its own words", ts(13)))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    val allNew = Seq(
+      (10L, corpusText, ts(10)),
+      (11L, "completely novel content that matches nothing at all", ts(11)),
+      (12L, corpusText + " again tonight", ts(12)),
+      (13L, "one more brand new document with its own words", ts(13))).toDF("doc_id", "text", "ts")
+    val batch = graft.operators.Dedup.dedupAgainstIndex(allNew, "doc_id", "text", s"$base/idx")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(streamed === batch)
+    // and the verdicts themselves are the interesting ones
+    assert(streamed(10L) === "exact_dup")
+    assert(streamed(12L) === "near_dup")
+    assert(streamed(11L) === "kept" && streamed(13L) === "kept")
+  }
+
   test("event-time timeout flushes the trailing open session") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
