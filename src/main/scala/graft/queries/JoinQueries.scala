@@ -116,6 +116,21 @@ object JoinQueries {
         .orderBy(col("s_suppkey"), col("c_custkey"))
     }),
 
+    // PURE range join (no equi-key): suppliers whose balance falls in
+    // each customer's ±50 window. Declared naively Spark must plan a
+    // BroadcastNestedLoopJoin (O(n·m) compares, one side held whole in
+    // memory); RangeJoin.pointInInterval rewrites it into a
+    // bin-bucketed EQUI join + residual filter — same rows (the oracle
+    // is the naive BETWEEN join), scalable plan (pinned in PlanSpec).
+    "q128_range_join" -> ((s, dir) => {
+      val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_acctbal"))
+      val iv = t(s, dir, "customer").select(col("c_custkey"),
+        (col("c_acctbal") - 50).as("lo"), (col("c_acctbal") + 50).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(su, "s_acctbal", iv, "lo", "hi", 100.0)
+        .select(col("s_suppkey"), col("c_custkey"))
+        .orderBy(col("s_suppkey"), col("c_custkey"))
+    }),
+
     // salted skew join: results are the PLAIN join's (the oracle is a
     // plain SQL join — salt is pure partitioning mechanics and must not
     // leak into results). q73's salted aggregation's join-shaped twin.
@@ -170,5 +185,10 @@ object JoinQueries {
       """SELECT l_orderkey, l_linenumber, o_custkey,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         ORDER BY l_orderkey, l_linenumber""")
+         ORDER BY l_orderkey, l_linenumber""",
+    // the bucketed rewrite must reproduce the naive range join exactly
+    "q128_range_join" ->
+      """SELECT s_suppkey, c_custkey FROM supplier JOIN customer
+         ON s_acctbal BETWEEN c_acctbal - 50 AND c_acctbal + 50
+         ORDER BY s_suppkey, c_custkey""")
 }

@@ -890,4 +890,44 @@ class OperatorsSpec extends SparkSpec {
       graft.GraftCache.releaseAll()
     }
   }
+
+  test("pointInInterval range join equals the naive join and plans as an equi join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 300).map(i => (i.toLong, rnd.nextDouble() * 200 - 100)).toDF("pid", "p")
+    val ivs = (0 until 120).map { i =>
+      val lo = rnd.nextDouble() * 200 - 110
+      (i.toLong, lo, lo + rnd.nextDouble() * 40)
+    }.toDF("iid", "lo", "hi")
+    val got = graft.operators.RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", 25.0)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+    val naive = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+    assert(got === naive && naive.nonEmpty)
+    // the rewrite's point: the naive plan is a nested loop, the
+    // bucketed plan is a hash/sort-merge equi join on the bin
+    val naivePlan = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .queryExecution.executedPlan.toString
+    val binnedPlan = graft.operators.RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", 25.0)
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"))
+    assert(!binnedPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("intervalOverlap emits each overlapping pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def mk(n: Int, seedShift: Int) = (0 until n).map { i =>
+      val lo = rnd.nextDouble() * 300 - 150
+      (i.toLong + seedShift, lo, lo + rnd.nextDouble() * 60)
+    }
+    val a = mk(120, 0).toDF("aid", "alo", "ahi")
+    val b = mk(90, 1000).toDF("bid", "blo", "bhi")
+    val got = graft.operators.RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", 20.0)
+      .select("aid", "bid").as[(Long, Long)].collect().sorted
+    val naive = a.join(b, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").as[(Long, Long)].collect().sorted
+    assert(got === naive && naive.nonEmpty)
+    assert(got.distinct.length === got.length)
+  }
 }
