@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders, KeyValueGroupedDataset, SparkSession}
+import org.apache.spark.sql.{Column, Dataset, Encoder, Encoders, KeyValueGroupedDataset, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.storage.StorageLevel
 
@@ -81,6 +81,23 @@ final case class Pipe[T](ds: Dataset[T]) {
         t
       }
     }(ds.encoder))
+  }
+
+  /** Zero-cost pipeline metrics via `Dataset.observe`: the named
+    * aggregates (counts, sums, null tallies …) are computed INSIDE the
+    * stage as rows stream through — no second pass, no extra job, no
+    * `.count()` re-running the upstream (the production-observability
+    * answer to sprinkling actions through a pipeline). Values land on
+    * the returned [[org.apache.spark.sql.Observation]] after the next
+    * action; metric exprs must be aggregates without distinct. The
+    * reference's nearest surface is its per-stage record logging
+    * (`dampr/dampr.py:469-484`) which costs a scan per look —
+    * `observe` rides the one scan the action already pays for.
+    */
+  def observed(name: String, metric: Column, metrics: Column*)
+      : (Pipe[T], org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    (Pipe(ds.observe(obs, metric, metrics: _*)), obs)
   }
 
   // ---- grouping (reference §2.3, dampr/dampr.py:372-410) ----

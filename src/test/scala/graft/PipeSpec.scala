@@ -240,4 +240,16 @@ class PipeSpec extends SparkSpec {
       assert(code === 0)
     } finally Pipe.exitHook = saved
   }
+
+  test("observed metrics ride the action's own scan: no extra job, mid-pipeline tallies") {
+    import org.apache.spark.sql.functions._
+    val ints = Pipe.memory(spark, 1 to 1000)
+    val (tapped, obs) = ints.filter(_ % 2 == 0)
+      .observed("evens", count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val out = tapped.map(_ * 10).ds.collect()
+    assert(out.length === 500 && out.sum === 2505000)
+    val m = obs.get
+    assert(m("n") === 500L)
+    assert(m("total") === 250500L)
+  }
 }
