@@ -66,7 +66,8 @@ object ScaleSoak {
     "q113_bigram_logprob", "q115_incremental_dedup", "q116_keep_best",
     "q117_countmin_freq", "q118_multimodal_wav", "q119_png_resize",
     "q120_multimodal_gif", "q121_corpus_clean_best", "q122_heavy_hitters",
-    "q123_pipe_wordcount", "q124_index_union")
+    "q123_pipe_wordcount", "q124_index_union", "q125_semantic_dedup",
+    "q126_sink_roundtrip", "q127_zorder_layout")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

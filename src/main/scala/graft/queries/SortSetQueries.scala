@@ -131,6 +131,27 @@ object SortSetQueries {
         .orderBy(col("lang"))
     }),
 
+    // versioned at-rest table graded end-to-end (operators/Versioned):
+    // commit a base corpus snapshot, upsert a batch that OVERLAPS it
+    // (keys 300-399 replaced, 400+ appended), read the committed
+    // latest back — plus the row count of v0 via time travel, proving
+    // the pre-upsert snapshot is still intact at rest. A broken merge,
+    // pointer swap or snapshot isolation changes rows or the v0 count.
+    "q129_versioned_upsert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_versioned")
+        .toString + "/table"
+      graft.operators.Versioned.commit(path, docs.filter(col("doc_id") < 400))
+      val updates = docs.filter(col("doc_id") >= 300)
+        .withColumn("n_chars", col("n_chars") + 1000000L)
+      graft.operators.Versioned.upsert(s, path, updates, "doc_id")
+      val v0Rows = graft.operators.Versioned.read(s, path, Some(0L)).count()
+      graft.operators.Versioned.read(s, path)
+        .withColumn("v0_rows", lit(v0Rows))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25-ranked retrieval over the same probe terms — the ranked
     // flavor of q38/q39 (see Relational.bm25TopK for the one-shuffle
     // fixed-width plan). Ordering is on the round-6 score with doc_id
@@ -227,6 +248,16 @@ object SortSetQueries {
     "q126_sink_roundtrip" ->
       s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
           FROM $DocsPq GROUP BY lang ORDER BY lang""",
+    // upsert semantics spelled in SQL: carried-over base rows (key not
+    // in the batch) + the batch; v0_rows = the base snapshot's size
+    "q129_versioned_upsert" ->
+      s"""WITH base AS (SELECT doc_id, lang, n_chars FROM $DocsPq WHERE doc_id < 400),
+          upd AS (SELECT doc_id, lang, n_chars + 1000000 AS n_chars FROM $DocsPq WHERE doc_id >= 300)
+          SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+            (SELECT count(*) FROM base) AS v0_rows
+          FROM (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+                UNION ALL SELECT * FROM upd)
+          ORDER BY doc_id""",
     // BM25: Robertson idf with Lucene +1 smoothing, k1=1.2 b=0.75 —
     // the same arithmetic Relational.bm25TopK builds from its one
     // driver stats row; both engines order by the ROUNDED score.

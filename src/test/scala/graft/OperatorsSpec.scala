@@ -914,6 +914,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!binnedPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("Versioned table: snapshot isolation, upsert merge, time travel, orphan safety, vacuum") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    val path = java.nio.file.Files.createTempDirectory("graft_vt").toString + "/t"
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    assert(Versioned.commit(path, base) === 0L)
+    // a crashed writer's orphan dir: pointer untouched, next commit skips past it
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$path/v=5"))
+    assert(Versioned.latestVersion(path) === Some(0L))
+    val up = Seq((2L, "B2"), (4L, "d")).toDF("k", "v")
+    val v = Versioned.upsert(spark, path, up, "k")
+    assert(v === 6L) // past the orphan, never write-racing it
+    val latest = Versioned.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
+    assert(latest === Array((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // time travel: v0 still the pre-upsert snapshot
+    val v0 = Versioned.read(spark, path, Some(0L)).as[(Long, String)].collect().sortBy(_._1)
+    assert(v0 === Array((1L, "a"), (2L, "b"), (3L, "c")))
+    Versioned.vacuum(path)
+    assert(Versioned.versions(path) === Seq(6L))
+    assert(Versioned.read(spark, path).count() === 4L)
+  }
+
   test("intervalOverlap emits each overlapping pair exactly once") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
