@@ -66,8 +66,12 @@ object ScaleSoak {
     "q113_bigram_logprob", "q115_incremental_dedup", "q116_keep_best",
     "q117_countmin_freq", "q118_multimodal_wav", "q119_png_resize",
     "q120_multimodal_gif", "q121_corpus_clean_best", "q122_heavy_hitters",
-    "q123_pipe_wordcount", "q124_index_union", "q125_semantic_dedup",
-    "q126_sink_roundtrip", "q127_zorder_layout")
+    // q125 (fixed-cell semantic dedup) is deliberately NOT soaked: 8
+    // global cells over a 100x corpus ≈ 15e9 within-cell candidate
+    // pairs — the measured quadratic cliff its scaladoc warns about.
+    // Its scale path q130 (auto-LSH buckets) is on the ladder instead.
+    "q123_pipe_wordcount", "q124_index_union", "q126_sink_roundtrip",
+    "q127_zorder_layout", "q129_versioned_upsert", "q130_semantic_dedup_lsh")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

@@ -379,12 +379,37 @@ object Similarity {
     * ([[nearDupExactBlocked]] enforces it on the cell column).
     */
   def semanticDedup(emb: DataFrame, cells: Int, iters: Int, threshold: Double): DataFrame = {
+    // Fixed `cells` means cell population ~ N/cells: within-cell pairs
+    // grow QUADRATICALLY as the corpus outgrows the setting (the x100
+    // soak measured 8 cells over 500k vectors ≈ 15e9 candidate pairs —
+    // the guard admits it, the arithmetic doesn't finish). Size cells
+    // with the corpus, or use [[semanticDedupLsh]], whose auto-sized
+    // buckets hold the curve with no tuning.
     val embD = graft.GraftCache.registered(
       emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
     val cents = kmeansCellsLocal(embD, cells, iters)
     val assigned = assignCells(embD, cents)
       .select(col("vec_id"), col("cell").as("label"), col("e").as("embedding"))
     val pairs = nearDupExactBlocked(assigned, "label", threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val drop = Dedup.connectedComponents(pairs)
+      .filter(col("doc") =!= col("label"))
+      .select(col("doc").as("vec_id"))
+    emb.join(drop, Seq("vec_id"), "left_anti")
+  }
+
+  /** The scale path for semantic dedup: same contract as
+    * [[semanticDedup]] (drop all but the min-id member of every
+    * cosine-threshold component; return the KEPT rows) but the
+    * candidate stage is [[nearDupByLshAuto]] — hyperplane buckets
+    * auto-sized from the corpus count, so bucket population (and with
+    * it the within-bucket quadratic step) stays bounded at ANY corpus
+    * size with no tuning. This is the variant to run at 100 TB; the
+    * k-means-cell variant exists for its oracle-replayable quantizer
+    * and for corpora where cells are sized to the data.
+    */
+  def semanticDedupLsh(emb: DataFrame, dim: Int, threshold: Double): DataFrame = {
+    val pairs = nearDupByLshAuto(emb, dim, threshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val drop = Dedup.connectedComponents(pairs)
       .filter(col("doc") =!= col("label"))

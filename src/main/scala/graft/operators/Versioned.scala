@@ -52,9 +52,11 @@ object Versioned {
     if (!Files.isDirectory(dir)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
+      val s = Files.list(dir)
+      try s.iterator().asScala
         .map(_.getFileName.toString).filter(_.startsWith("v="))
         .map(_.stripPrefix("v=").toLong).toSeq.sorted
+      finally s.close()
     }
   }
 

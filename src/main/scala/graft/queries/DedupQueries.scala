@@ -457,6 +457,15 @@ object DedupQueries {
       Similarity.semanticDedup(t(s, dir, "embeddings"), cells = 8, iters = 0, threshold = 0.4)
         .select(col("vec_id")).orderBy(col("vec_id"))),
 
+    // the SCALE-PATH semantic dedup (see q125's comment): candidates
+    // from auto-sized hyperplane LSH buckets (q99's operator — bucket
+    // population bounded at any corpus size), exact CC, keep min-id
+    // per component. Threshold 0.25 = q99's, so the pair graph is
+    // non-trivial at gate scale.
+    "q130_semantic_dedup_lsh" -> ((s, dir) =>
+      Similarity.semanticDedupLsh(t(s, dir, "embeddings"), dim = 64, threshold = 0.25)
+        .select(col("vec_id")).orderBy(col("vec_id"))),
+
     // brute-force exact ANN baseline: top-10 for vec 0.
     "q56_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), 0L, 10)),
@@ -935,6 +944,19 @@ object DedupQueries {
             SELECT r.src, edges.dst FROM reach r JOIN edges ON r.dst = edges.src),
           lab AS (SELECT src AS doc, min(dst) AS label FROM reach GROUP BY src)
           SELECT vec_id FROM e
+          WHERE vec_id NOT IN (SELECT doc FROM lab WHERE doc <> label)
+          ORDER BY vec_id""",
+    // q130: q99's auto-LSH pair replay as the candidate CTE, then the
+    // same CC + keep-min tail as q125
+    "q130_semantic_dedup_lsh" ->
+      s"""WITH RECURSIVE p AS (SELECT vec_a AS a, vec_b AS b FROM ($sqlEmbeddingLshPairsAuto)),
+          edges AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b AS src, a AS dst FROM p),
+          reach(src, dst) AS (
+            SELECT src, src AS dst FROM edges
+            UNION
+            SELECT r.src, edges.dst FROM reach r JOIN edges ON r.dst = edges.src),
+          lab AS (SELECT src AS doc, min(dst) AS label FROM reach GROUP BY src)
+          SELECT vec_id FROM $EmbPq
           WHERE vec_id NOT IN (SELECT doc FROM lab WHERE doc <> label)
           ORDER BY vec_id""",
     // the contract row for the trained path (see the q96 query comment):

@@ -125,10 +125,14 @@ object TsvTap {
 
   private[sources] def partFiles(path: Path): Seq[Path] =
     if (!Files.isDirectory(path)) Seq.empty
-    else Files.list(path).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(".tsv"))
-      .toSeq.sortBy(_.getFileName.toString)
+    else {
+      val s = Files.list(path)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".tsv"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
 }
 
 class TsvTable(path: String, schema0: StructType) extends Table
@@ -238,7 +242,9 @@ class TsvBatchWrite(path: String, schema: StructType, truncate: Boolean)
   private def sweepTemp(): Unit = {
     val temp = Paths.get(path, "_temp")
     if (Files.isDirectory(temp)) {
-      Files.list(temp).iterator().asScala.foreach(Files.deleteIfExists)
+      val s = Files.list(temp)
+      try s.iterator().asScala.foreach(Files.deleteIfExists)
+      finally s.close()
       Files.deleteIfExists(temp)
     }
   }
