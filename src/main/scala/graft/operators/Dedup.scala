@@ -566,6 +566,43 @@ object Dedup {
     val nodes = pin(cur.select(col("a").as("doc")).union(cur.select(col("b").as("doc")))
       .distinct())
     var sig = signature(cur)
+
+    // SMALL-GRAPH FAST PATH (same spirit as Catalyst's broadcast
+    // threshold): below `graft.cc.localMaxEdges` canonical edges
+    // (default 1M ≈ 16 MB of longs — the same order as a broadcast
+    // side), union-find on the driver replaces the iterative rounds —
+    // identical labels (min id per component, pinned against the
+    // distributed path in OperatorsSpec), none of the per-round
+    // shuffle/checkpoint latency that dominates when the pair graph is
+    // tiny next to the corpus that produced it. The signature() above
+    // already materialized the checkpoint and counted the edges, so
+    // the routing decision is free; at production scale the threshold
+    // simply never triggers.
+    val localMax = pairs.sparkSession.conf
+      .getOption("graft.cc.localMaxEdges").map(_.toLong).getOrElse(1000000L)
+    if (sig._1 <= localMax) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      cur.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { // union by MIN so the root IS the label
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      cur.unpersist(blocking = false)
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labels = parent.keySet.union(parent.values.toSet)
+        .map(d => (d, find(d))).toSeq.toDF("doc", "label")
+      return nodes.join(labels, Seq("doc"), "left")
+        .select(col("doc"), coalesce(col("label"), col("doc")).as("label"))
+    }
     var rounds = 0
     var converged = sig._1 == 0L
     while (!converged && rounds < maxRounds) {

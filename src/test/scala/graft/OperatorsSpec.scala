@@ -914,6 +914,21 @@ class OperatorsSpec extends SparkSpec {
     assert(!binnedPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("connectedComponents small-graph fast path equals the distributed rounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // random multigraph + a 60-hop chain (diameter stress) + self-loops
+    val edges = ((0 until 300).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)) ++
+      (500L until 560L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(edges).as[(Long, Long)].collect().sorted
+    assert(local.nonEmpty)
+    spark.conf.set("graft.cc.localMaxEdges", "0") // force the iterative path
+    try {
+      val dist = Dedup.connectedComponents(edges).as[(Long, Long)].collect().sorted
+      assert(local === dist)
+    } finally spark.conf.unset("graft.cc.localMaxEdges")
+  }
+
   test("Versioned table: snapshot isolation, upsert merge, time travel, orphan safety, vacuum") {
     import spark.implicits._
     import graft.operators.Versioned
