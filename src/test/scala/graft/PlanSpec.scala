@@ -469,4 +469,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     graft.GraftCache.releaseAll()
   }
+
+  test("zorder rewrite is ONE range exchange + in-partition sort (no global sort)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), least(col("n_chars"), lit(1023L)).as("x"),
+        (col("doc_id") % 1024L).as("y"))
+      .withColumn("zval", graft.operators.Layout.zorder2(col("x"), col("y"), 10))
+      .repartitionByRange(8, col("zval"))
+      .sortWithinPartitions(col("zval"))
+    val p = plan(df)
+    assert(p.contains("rangepartitioning"), p)
+    // exactly one exchange node: the range repartition IS the whole
+    // data movement of the rewrite (formatted mode lists each node
+    // once in the tree and once in the detail section — count the
+    // numbered detail headers)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1, p)
+    // the in-partition sort must not be planned as a global Sort
+    assert(!p.contains("Sort [zval") || p.contains("false, 0"), p)
+  }
+
+  test("q128 range join: no nested loop anywhere in the bucketed plan") {
+    val p = plan(q("q128_range_join"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
