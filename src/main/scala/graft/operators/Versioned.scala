@@ -97,6 +97,16 @@ object Versioned {
           .unionByName(updates))
     }
 
+  /** Rewrite the latest snapshot as a new version with `files` output
+    * files — the small-files compaction pass a long upsert history
+    * needs (every upsert writes a full snapshot at the then-current
+    * parallelism; at rest, scan cost tracks file count as much as
+    * bytes). Readers of older versions are unaffected; the pointer
+    * swaps only once the compacted snapshot is complete.
+    */
+  def compact(spark: SparkSession, path: String, files: Int): Long =
+    commit(path, read(spark, path).repartition(files))
+
   /** Drop every version directory except the committed latest (the
     * retention pass — run only once no reader needs time travel past
     * the horizon).

@@ -946,8 +946,15 @@ class OperatorsSpec extends SparkSpec {
     // time travel: v0 still the pre-upsert snapshot
     val v0 = Versioned.read(spark, path, Some(0L)).as[(Long, String)].collect().sortBy(_._1)
     assert(v0 === Array((1L, "a"), (2L, "b"), (3L, "c")))
+    // compaction: new version, same rows, requested file count
+    val cv = Versioned.compact(spark, path, files = 1)
+    assert(cv === 7L)
+    assert(Versioned.read(spark, path).as[(Long, String)].collect().sortBy(_._1) === latest)
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(s"$path/v=7"))
+    try assert(parts.filter(p => p.getFileName.toString.startsWith("part-")).count() === 1L)
+    finally parts.close()
     Versioned.vacuum(path)
-    assert(Versioned.versions(path) === Seq(6L))
+    assert(Versioned.versions(path) === Seq(7L))
     assert(Versioned.read(spark, path).count() === 4L)
   }
 
