@@ -143,34 +143,49 @@ class TsvTable(path: String, schema0: StructType) extends Table
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
-  // ---- read: one split per committed part file ----
+  // ---- read: one split per committed part file, with COLUMN PRUNING
+  // pushed into the parser — Catalyst hands the scan only the columns
+  // the query references (SupportsPushDownRequiredColumns), and the
+  // reader type-converts exactly those cells (the line is read either
+  // way — TSV has no columnar layout — but per-cell parse/alloc work
+  // tracks the projection, and `.explain` shows the honest ReadSchema
+  // the same way the parquet scan does; pinned in SourcesSpec) ----
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new Scan {
-      override def readSchema(): StructType = schema0
-      override def toBatch: Batch = new Batch {
-        override def planInputPartitions(): Array[InputPartition] =
-          TsvTap.partFiles(Paths.get(path))
-            .map(p => TsvFilePartition(p.toString): InputPartition).toArray
-        override def createReaderFactory(): PartitionReaderFactory = {
-          val fields = schema0.fields.map(_.dataType)
-          (partition: InputPartition) => {
-            val TsvFilePartition(file) = partition
-            new PartitionReader[InternalRow] {
-              private val lines = Files.lines(Paths.get(file), StandardCharsets.UTF_8)
-              private val it = lines.iterator()
-              override def next(): Boolean = it.hasNext
-              override def get(): InternalRow = {
-                val cells = it.next().split("\t", -1)
-                require(cells.length == fields.length,
-                  s"TsvTap row has ${cells.length} cells, schema has ${fields.length}")
-                val vals = new Array[Any](fields.length)
-                var i = 0
-                while (i < fields.length) {
-                  vals(i) = TsvTap.parseCell(cells(i), fields(i)); i += 1
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema0
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan {
+        private val req = required
+        override def readSchema(): StructType = req
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            TsvTap.partFiles(Paths.get(path))
+              .map(p => TsvFilePartition(p.toString): InputPartition).toArray
+          override def createReaderFactory(): PartitionReaderFactory = {
+            val nCells = schema0.fields.length
+            // (cell index in the file row, output type) per kept column
+            val picks = req.fields.map(f =>
+              (schema0.fieldIndex(f.name), f.dataType))
+            (partition: InputPartition) => {
+              val TsvFilePartition(file) = partition
+              new PartitionReader[InternalRow] {
+                private val lines = Files.lines(Paths.get(file), StandardCharsets.UTF_8)
+                private val it = lines.iterator()
+                override def next(): Boolean = it.hasNext
+                override def get(): InternalRow = {
+                  val cells = it.next().split("\t", -1)
+                  require(cells.length == nCells,
+                    s"TsvTap row has ${cells.length} cells, schema has $nCells")
+                  val vals = new Array[Any](picks.length)
+                  var i = 0
+                  while (i < picks.length) {
+                    vals(i) = TsvTap.parseCell(cells(picks(i)._1), picks(i)._2); i += 1
+                  }
+                  InternalRow.fromSeq(vals.toIndexedSeq)
                 }
-                InternalRow.fromSeq(vals.toIndexedSeq)
+                override def close(): Unit = lines.close()
               }
-              override def close(): Unit = lines.close()
             }
           }
         }

@@ -102,6 +102,21 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().map(_.getString(1)).sorted === Array("a", "b"))
   }
 
+  test("TsvTap pushes column pruning into the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsvtap4").toString + "/out"
+    Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("id", "s", "d")
+      .write.format("graft.sources.TsvTap").option("path", dir).mode("append").save()
+    val pruned = spark.read.format("graft.sources.TsvTap").option("path", dir)
+      .option("schema", "id BIGINT, s STRING, d DOUBLE").load()
+      .select("d")
+    // DSv2 BatchScan prints its pruned output attrs: only `d` may
+    // survive into the scan
+    val p = pruned.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("BatchScan")).getOrElse(p)
+    assert(scanLine.contains("[d#") && !scanLine.contains("id#") && !scanLine.contains("s#"), p)
+    assert(pruned.collect().map(_.getDouble(0)).sorted === Array(0.5, 1.5))
+  }
+
   test("TsvTap overwrite truncates prior committed output") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tsvtap3").toString + "/out"
     Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("id", "s").repartition(3)
