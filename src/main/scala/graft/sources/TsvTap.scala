@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.{sources => sqlsrc}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -123,6 +124,58 @@ object TsvTap {
       case other => throw new IllegalArgumentException(s"TsvTap cannot read $other")
     }
 
+  /** Best-effort evaluation of a pushed-down source filter against the
+    * RAW cells of one TSV row (before any InternalRow is built):
+    * true = keep, false = skip. Unknown filter shapes never reach here
+    * ([[TsvTable]] declines them in pushFilters). Numerics compare as
+    * doubles — the filter value's runtime type (Integer vs Long vs
+    * Double) follows the query literal, not the column.
+    */
+  private[graft] def evalFilter(f: sqlsrc.Filter, cells: Array[String],
+      schema: StructType): Boolean = {
+    def cell(name: String): Option[String] = {
+      val s = cells(schema.fieldIndex(name))
+      if (s == Null) None else Some(s)
+    }
+    def num(v: Any): Double = v match {
+      case n: Number => n.doubleValue()
+      case b: Boolean => if (b) 1d else 0d
+      case s => s.toString.toDouble
+    }
+    def cmp(name: String, v: Any)(op: Int => Boolean): Boolean = cell(name).exists { raw =>
+      v match {
+        case _: String => op(unescape(raw).compareTo(v.toString))
+        case _ => op(java.lang.Double.compare(raw.toDouble, num(v)))
+      }
+    }
+    f match {
+      case sqlsrc.EqualTo(a, v) => cmp(a, v)(_ == 0)
+      case sqlsrc.GreaterThan(a, v) => cmp(a, v)(_ > 0)
+      case sqlsrc.GreaterThanOrEqual(a, v) => cmp(a, v)(_ >= 0)
+      case sqlsrc.LessThan(a, v) => cmp(a, v)(_ < 0)
+      case sqlsrc.LessThanOrEqual(a, v) => cmp(a, v)(_ <= 0)
+      case sqlsrc.IsNotNull(a) => cell(a).isDefined
+      case sqlsrc.IsNull(a) => cell(a).isEmpty
+      case _ => true
+    }
+  }
+
+  private[graft] def supportedFilter(f: sqlsrc.Filter, schema: StructType): Boolean = {
+    def flat(name: String) = schema.fieldNames.contains(name)
+    f match {
+      case sqlsrc.EqualTo(a, _: String) => flat(a)
+      case sqlsrc.EqualTo(a, _: Number) => flat(a)
+      case sqlsrc.EqualTo(_, _) => false
+      case sqlsrc.GreaterThan(a, _: Number) => flat(a)
+      case sqlsrc.GreaterThanOrEqual(a, _: Number) => flat(a)
+      case sqlsrc.LessThan(a, _: Number) => flat(a)
+      case sqlsrc.LessThanOrEqual(a, _: Number) => flat(a)
+      case sqlsrc.IsNotNull(a) => flat(a)
+      case sqlsrc.IsNull(a) => flat(a)
+      case _ => false
+    }
+  }
+
   private[sources] def partFiles(path: Path): Seq[Path] =
     if (!Files.isDirectory(path)) Seq.empty
     else {
@@ -151,12 +204,24 @@ class TsvTable(path: String, schema0: StructType) extends Table
   // tracks the projection, and `.explain` shows the honest ReadSchema
   // the same way the parquet scan does; pinned in SourcesSpec) ----
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       private var required: StructType = schema0
+      private var accepted: Array[sqlsrc.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+      // Filters the raw-cell evaluator can run are accepted for
+      // scan-side row SKIPPING (no parse, no row alloc for misses);
+      // every filter is also returned as residual so Catalyst keeps
+      // the authoritative post-scan Filter — pushdown here is a
+      // performance contract, not a correctness dependency.
+      override def pushFilters(filters: Array[sqlsrc.Filter]): Array[sqlsrc.Filter] = {
+        accepted = filters.filter(TsvTap.supportedFilter(_, schema0))
+        filters
+      }
+      override def pushedFilters(): Array[sqlsrc.Filter] = accepted
       override def build(): Scan = new Scan {
         private val req = required
+        private val flt = accepted
         override def readSchema(): StructType = req
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
@@ -164,6 +229,8 @@ class TsvTable(path: String, schema0: StructType) extends Table
               .map(p => TsvFilePartition(p.toString): InputPartition).toArray
           override def createReaderFactory(): PartitionReaderFactory = {
             val nCells = schema0.fields.length
+            val full = schema0
+            val skips = flt
             // (cell index in the file row, output type) per kept column
             val picks = req.fields.map(f =>
               (schema0.fieldIndex(f.name), f.dataType))
@@ -172,15 +239,22 @@ class TsvTable(path: String, schema0: StructType) extends Table
               new PartitionReader[InternalRow] {
                 private val lines = Files.lines(Paths.get(file), StandardCharsets.UTF_8)
                 private val it = lines.iterator()
-                override def next(): Boolean = it.hasNext
+                private var cur: Array[String] = _
+                override def next(): Boolean = {
+                  cur = null
+                  while (cur == null && it.hasNext) {
+                    val cells = it.next().split("\t", -1)
+                    require(cells.length == nCells,
+                      s"TsvTap row has ${cells.length} cells, schema has $nCells")
+                    if (skips.forall(TsvTap.evalFilter(_, cells, full))) cur = cells
+                  }
+                  cur != null
+                }
                 override def get(): InternalRow = {
-                  val cells = it.next().split("\t", -1)
-                  require(cells.length == nCells,
-                    s"TsvTap row has ${cells.length} cells, schema has $nCells")
                   val vals = new Array[Any](picks.length)
                   var i = 0
                   while (i < picks.length) {
-                    vals(i) = TsvTap.parseCell(cells(picks(i)._1), picks(i)._2); i += 1
+                    vals(i) = TsvTap.parseCell(cur(picks(i)._1), picks(i)._2); i += 1
                   }
                   InternalRow.fromSeq(vals.toIndexedSeq)
                 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.Relational
+import graft.sources.TsvTap
 
 /** Custom-source and sink specs (SURVEY §2.1 `read_input` custom taps,
   * §2.7 tsv/json sinks, §2.9 index retrieval).
@@ -115,6 +116,33 @@ class SourcesSpec extends SparkSpec {
     val scanLine = p.linesIterator.find(_.contains("BatchScan")).getOrElse(p)
     assert(scanLine.contains("[d#") && !scanLine.contains("id#") && !scanLine.contains("s#"), p)
     assert(pruned.collect().map(_.getDouble(0)).sorted === Array(0.5, 1.5))
+  }
+
+  test("TsvTap pushes filters into the scan and keeps residual semantics exact") {
+    import org.apache.spark.sql.{sources => sqlsrc}
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL("id BIGINT, s STRING, d DOUBLE")
+    // raw-cell evaluator unit laws (null cell = \N)
+    def cells(id: String, s: String, d: String) = Array(id, s, d)
+    assert(TsvTap.evalFilter(sqlsrc.GreaterThan("id", 1L), cells("2", "x", "0.5"), schema))
+    assert(!TsvTap.evalFilter(sqlsrc.GreaterThan("id", 2), cells("2", "x", "0.5"), schema))
+    assert(TsvTap.evalFilter(sqlsrc.EqualTo("s", "tab\there"), cells("1", "tab\\there", "0"), schema))
+    assert(!TsvTap.evalFilter(sqlsrc.IsNotNull("s"), cells("1", "\\N", "0"), schema))
+    assert(TsvTap.evalFilter(sqlsrc.IsNull("s"), cells("1", "\\N", "0"), schema))
+    // comparisons against null cells are false (SQL three-valued logic
+    // collapses to "don't emit" at the scan)
+    assert(!TsvTap.evalFilter(sqlsrc.GreaterThan("d", 0), cells("1", "x", "\\N"), schema))
+
+    // end to end: filtered read returns exactly the SQL-semantics rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsvtap5").toString + "/out"
+    Seq((1L, "a", 0.5), (2L, "b", 1.5), (3L, null.asInstanceOf[String], 2.5))
+      .toDF("id", "s", "d")
+      .write.format("graft.sources.TsvTap").option("path", dir).mode("append").save()
+    val got = spark.read.format("graft.sources.TsvTap").option("path", dir)
+      .option("schema", "id BIGINT, s STRING, d DOUBLE").load()
+      .filter(col("d") > 0.5 && col("s").isNotNull)
+      .select("id").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(2L))
   }
 
   test("TsvTap overwrite truncates prior committed output") {
