@@ -63,7 +63,7 @@ class TsvTap extends TableProvider {
 }
 
 object TsvTap {
-  private[sources] def escape(s: String): String = {
+  private[graft] def escape(s: String): String = {
     val b = new StringBuilder(s.length + 8)
     s.foreach {
       case '\\' => b.append("\\\\")
@@ -75,7 +75,7 @@ object TsvTap {
     b.toString
   }
 
-  private[sources] def unescape(s: String): String = {
+  private[graft] def unescape(s: String): String = {
     val b = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

@@ -127,7 +127,11 @@ class PropertiesSpec extends SparkSpec {
     val edgeGen: Gen[List[(Long, Long)]] =
       Gen.listOf(Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
         .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
-    for (edges <- samples(edgeGen, 5) if edges.nonEmpty) {
+    // force the DISTRIBUTED alternating-star path — the default would
+    // route these tiny graphs to the driver fast path, which IS
+    // union-find and would make the law compare it to itself
+    spark.conf.set("graft.cc.localMaxEdges", "0")
+    try for (edges <- samples(edgeGen, 5) if edges.nonEmpty) {
       val pairs = edges.toDF("doc_a", "doc_b")
       val got = Dedup.connectedComponents(pairs).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -143,7 +147,29 @@ class PropertiesSpec extends SparkSpec {
       val want = nodes.map(n => n -> minOfRoot(find(n))).toMap
       assert(got === want, s"edges=$edges")
       graft.GraftCache.releaseAll()
+    } finally spark.conf.unset("graft.cc.localMaxEdges")
+  }
+
+  test("law: TsvTap escape/unescape round-trips any string") {
+    val sGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('\t', '\n', '\r', '\\', ' ', 'N'))).map(_.mkString)
+    import graft.sources.TsvTap
+    for (s <- samples(sGen, 30)) {
+      assert(TsvTap.unescape(TsvTap.escape(s)) === s)
+      // escaped cells can never smuggle a field or row separator
+      assert(!TsvTap.escape(s).contains('\t') && !TsvTap.escape(s).contains('\n'))
     }
+  }
+
+  test("law: zorder2 is a bijection on the bits-bounded grid") {
+    import org.apache.spark.sql.functions._
+    val bits = 5
+    val grid = (0L until (1L << bits)).flatMap(x => (0L until (1L << bits)).map(y => (x, y)))
+    val zs = grid.toDF("x", "y")
+      .select(graft.operators.Layout.zorder2(col("x"), col("y"), bits).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.distinct.length === grid.length)        // injective
+    assert(zs.min === 0L && zs.max === (1L << (2 * bits)) - 1) // onto the 2^(2b) range
   }
 
   test("MeanAggregator registers as a SQL UDAF (udaf() path)") {
