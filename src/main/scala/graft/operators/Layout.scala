@@ -39,6 +39,20 @@ object Layout {
     terms.reduce(_ + _)
   }
 
+  /** k-dimensional Morton interleave: bit j of dimension i lands at
+    * position j*k + i (so [[zorder2]] is `zorderN(Seq(x, y), bits)`).
+    * k*bits must fit a signed long. Same contract: callers bucket each
+    * dimension into [0, 2^bits) first.
+    */
+  def zorderN(dims: Seq[Column], bits: Int): Column = {
+    val k = dims.length
+    require(k >= 1, "zorderN needs at least one dimension")
+    require(bits >= 1 && k * bits <= 62, s"k*bits must be in [1,62], got ${k * bits}")
+    val terms = for (j <- 0 until bits; i <- 0 until k)
+      yield shiftleft(shiftright(dims(i), j).bitwiseAND(lit(1L)), j * k + i)
+    terms.reduce(_ + _)
+  }
+
   /** Rewrite `df` at `path` clustered by the z-curve over (`x`, `y`):
     * compute `zval`, range-partition into `partitions` output files on
     * it (Spark samples the distribution for balanced bounds — the same

@@ -23,6 +23,21 @@ class LayoutSpec extends SparkSpec {
     assert(z === ref(3L, 3L, 2))
   }
 
+  test("zorderN generalizes zorder2 and stays injective at 3 dims") {
+    val rows = (0L until 400L).map(i => (i % 19, i % 23, i % 29))
+    val df = rows.toDF("x", "y", "w")
+    // 2-dim agreement with the specialized form
+    val both = df.select(
+      Layout.zorder2(col("x"), col("y"), 8).as("z2"),
+      Layout.zorderN(Seq(col("x"), col("y")), 8).as("zn")).collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // 3-dim injectivity on distinct triples
+    val zs = df.distinct()
+      .select(Layout.zorderN(Seq(col("x"), col("y"), col("w")), 5).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.distinct.length === rows.distinct.length)
+  }
+
   test("zorder layout bounds BOTH dimensions per file; a single-dim sort bounds only its own") {
     // 4096 rows on a full 64x64 grid of (x, y) — the worst case for
     // any single-column sort: the other dimension is uniform everywhere
