@@ -244,6 +244,72 @@ object Curation {
     * one map-side-combined count aggregate, then global top-k via
     * TakeOrderedAndProject — pair-vocabulary-sized, never collected.
     */
+  /** Iterative BPE merge TRAINING (Sennrich et al. 2016) — the loop
+    * [[bpePairCounts]] is one step of, run the way production BPE
+    * trainers run it: the corpus is scanned ONCE into a word-frequency
+    * table (top `topV` words, freq-desc/word-asc tie-break), words are
+    * symbolized to spaced characters, and every merge step then works
+    * on that vocabulary-sized table — count adjacent symbol pairs
+    * weighted by word frequency, pick the max (count desc, pair asc),
+    * splice it, repeat. Per step: one vocabulary-sized aggregate + a
+    * 1-row driver collect — corpus size never re-enters after the
+    * first pass, which is why a 100 TB corpus trains as fast as its
+    * vocabulary is big.
+    *
+    * The splice is ` x y ` → ` xy ` string replace applied
+    * [[BpeSplicePasses]] times: a single pass misses every OTHER
+    * occurrence of an overlapping chain (` a b a b ` shares the middle
+    * space between matches), while iterating to the fixpoint lands on
+    * exactly the greedy leftmost non-overlapping merge BPE defines —
+    * e.g. pair (a,a) on ` a a a ` gives ` aa a `, never ` a aa `. Six
+    * passes cover chains to 2^6 pairs (far past any word here); the
+    * oracle nests the same six replaces, so the engines agree pass by
+    * pass.
+    *
+    * Returns (step, pair, n): the learned merge table in order.
+    */
+  /** Splice passes per BPE merge step — see [[bpeTrain]]. */
+  val BpeSplicePasses = 6
+
+  def bpeTrain(docs: DataFrame, textCol: String, topV: Int, steps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    var words = graft.functions.Tokenize.exploded(docs, lit(1).as("one"), col(textCol))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(topV)
+      .select(col("token").as("word"), col("freq"))
+      .withColumn("sym", array_join(chars, " "))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var s = 0
+    while (s < steps) {
+      s += 1
+      val a = split(col("sym"), " ")
+      val pairsOf = when(size(a) >= 2,
+          transform(sequence(lit(0), size(a) - 2),
+            i => concat(element_at(a, i + 1), lit(" "), element_at(a, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val best = words.select(col("freq"), explode(pairsOf).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1).collect()
+      if (best.isEmpty) s = steps // vocabulary fully merged — stop
+      else {
+        val (bp, bn) = (best.head.getString(0), best.head.getLong(1))
+        merges += ((merges.length + 1, bp, bn))
+        val prev = words
+        val spliced = (0 until BpeSplicePasses).foldLeft(
+            concat(lit(" "), col("sym"), lit(" ")))((c, _) =>
+          replace(c, lit(s" $bp "), lit(s" ${bp.replace(" ", "")} ")))
+        words = words.withColumn("sym", trim(spliced)).localCheckpoint(true)
+        prev.unpersist(blocking = false)
+      }
+    }
+    words.unpersist(blocking = false)
+    merges.toSeq.toDF("step", "pair", "n")
+  }
+
   def bpePairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -50,6 +50,17 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // iterative BPE merge training (Curation.bpeTrain): 3 merges
+    // learned over the top-100 word-frequency table — the corpus is
+    // scanned ONCE; every step after that is vocabulary-sized. The
+    // oracle unrolls all 3 steps (pair count → max with tie-break →
+    // leftmost-non-overlapping splice) in SQL, so a divergence in any
+    // step's ordering, weighting or replace semantics breaks the hash.
+    "q131_bpe_train" -> ((s, dir) =>
+      graft.operators.Curation.bpeTrain(t(s, dir, "documents"), "text",
+          topV = 100, steps = 3)
+        .orderBy(col("step"))),
+
     // chunk-level boilerplate: 16-token chunks shared by >= 2 docs.
     "q78_chunk_dedup" -> ((s, dir) =>
       Curation.chunkDupGroups(t(s, dir, "documents"), "doc_id", "text", 16)
@@ -292,7 +303,43 @@ object CurationQueries {
         FROM f, w$ClfIters w ORDER BY f.doc_id"""
   }
 
+  /** Full unrolled replay of [[graft.operators.Curation.bpeTrain]]:
+    * w0 = spaced characters of the top-`topV` words; each step s
+    * counts adjacent symbol pairs weighted by word freq, b_s is the
+    * (n DESC, pair ASC) max, w_s splices it with the same leftmost
+    * non-overlapping `replace` the engine uses.
+    */
+  private def sqlBpeTrain(topV: Int, steps: Int): String = {
+    def step(s: Int) = {
+      // the engine's fixpoint splice: BpeSplicePasses nested replaces
+      // (one pass misses every other occurrence of an overlapping
+      // chain — see Curation.bpeTrain)
+      val spliced = (0 until graft.operators.Curation.BpeSplicePasses)
+        .foldLeft("' ' || sym || ' '")((c, _) =>
+          s"""replace($c, ' ' || (SELECT pair FROM b$s) || ' ',
+              ' ' || replace((SELECT pair FROM b$s), ' ', '') || ' ')""")
+      s"""p$s AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
+            SELECT cnt, unnest(list_transform(generate_series(1, len(a) - 1),
+              i -> a[i] || ' ' || a[i+1])) AS pair
+            FROM (SELECT cnt, string_split(sym, ' ') AS a FROM w${s - 1}))
+          GROUP BY pair),
+          b$s AS (SELECT pair, n FROM p$s ORDER BY n DESC, pair LIMIT 1),
+          w$s AS (SELECT word, cnt, trim($spliced) AS sym FROM w${s - 1})"""
+    }
+    s"""WITH toks AS (SELECT unnest(tk) AS token FROM (${sqlToksWith("")})),
+        vocab AS (SELECT token AS word, count(*) AS cnt FROM toks
+          GROUP BY token ORDER BY cnt DESC, word LIMIT $topV),
+        w0 AS (SELECT word, cnt, array_to_string(list_transform(
+            generate_series(1, len(word)), i -> word[i]), ' ') AS sym FROM vocab),
+        ${(1 to steps).map(step).mkString(",\n")}
+        ${(1 to steps).map(s =>
+          s"SELECT $s AS step, (SELECT pair FROM b$s) AS pair, (SELECT n FROM b$s) AS n")
+          .mkString(" UNION ALL ")}
+        ORDER BY step"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q131_bpe_train" -> sqlBpeTrain(100, 3),
     // bit-for-bit replay of the Morton interleave: bit 2i of zval is
     // bit i of x = min(n_chars, 1023), bit 2i+1 is bit i of
     // y = doc_id % 1024 — disjoint bits, so the sum is the OR

@@ -197,4 +197,19 @@ class CurationSpec extends SparkSpec {
     assert(out(1L) === ((4, 0.75, 0.5)))
     assert(out(2L) === ((4, 0.25, 1.0)))
   }
+
+  test("bpeTrain learns hand-checkable merges in frequency order") {
+    // vocab: "abab" x3, "ab" x2, "cd" x1
+    // step 1: pairs weighted by word freq — (a,b): 2*3 + 1*2 = 8 wins
+    // step 2: after splice, "ab ab" yields (ab,ab): 3; (c,d): 1 → ab ab
+    // step 3: only (c,d): 1 remains
+    val d = Seq((1L, "abab abab abab ab ab cd")).toDF("doc_id", "text")
+    val m = Curation.bpeTrain(d, "text", topV = 10, steps = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(m.toSeq === Seq((1, "a b", 8L), (2, "ab ab", 3L), (3, "c d", 1L)))
+    // overlap semantics: "aaa" merges leftmost-non-overlapping
+    val o = Curation.bpeTrain(Seq((1L, "aaa")).toDF("doc_id", "text"), "text", 10, 1)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(o.toSeq === Seq(("a a", 2L)))
+  }
 }
