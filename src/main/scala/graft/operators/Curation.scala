@@ -272,6 +272,17 @@ object Curation {
   val BpeSplicePasses = 6
 
   def bpeTrain(docs: DataFrame, textCol: String, topV: Int, steps: Int): DataFrame = {
+    val (m, vocab) = bpeTrainFull(docs, textCol, topV, steps)
+    vocab.unpersist(blocking = false)
+    m
+  }
+
+  /** [[bpeTrain]] plus the trained vocabulary: (merge table,
+    * (word, freq, sym) with `sym` the word's final space-separated
+    * segmentation). The vocabulary is what [[bpeSegment]] applies.
+    */
+  def bpeTrainFull(docs: DataFrame, textCol: String, topV: Int, steps: Int)
+      : (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val chars = transform(sequence(lit(1), length(col("word"))),
@@ -306,9 +317,28 @@ object Curation {
         prev.unpersist(blocking = false)
       }
     }
-    words.unpersist(blocking = false)
-    merges.toSeq.toDF("step", "pair", "n")
+    // `words` stays checkpointed: it IS the trained vocabulary
+    (merges.toSeq.toDF("step", "pair", "n"), words)
   }
+
+  /** Apply a trained vocabulary to the corpus: per document, token
+    * count and BPE piece count (in-vocabulary words take their trained
+    * segmentation, out-of-vocabulary words fall back to characters —
+    * the standard apply-time rule for a merge-trained tokenizer). The
+    * vocabulary is broadcast (topV rows), so application is a pure
+    * map-side pass over the exploded tokens + one per-doc aggregate —
+    * the corpus-sized half stays one scan.
+    */
+  def bpeSegment(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    graft.functions.Tokenize.exploded(docs, col(idCol), col(textCol))
+      .join(broadcast(vocab.select(col("word"), col("sym"))),
+        col("token") === col("word"), "left")
+      .select(col(idCol),
+        when(col("sym").isNotNull, size(split(col("sym"), " ")))
+          .otherwise(length(col("token"))).cast("long").as("pieces"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("pieces")).as("n_pieces"))
 
   def bpePairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession

@@ -61,6 +61,18 @@ object CurationQueries {
           topV = 100, steps = 3)
         .orderBy(col("step"))),
 
+    // the APPLY half of BPE: segment the corpus with the q131-trained
+    // vocabulary (broadcast lookup, character fallback off-vocab) —
+    // per-doc token/piece counts, the number a packing/budgeting
+    // pipeline actually consumes.
+    "q132_bpe_segment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, vocab) = graft.operators.Curation.bpeTrainFull(docs, "text",
+        topV = 100, steps = 3)
+      graft.operators.Curation.bpeSegment(docs, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+    }),
+
     // chunk-level boilerplate: 16-token chunks shared by >= 2 docs.
     "q78_chunk_dedup" -> ((s, dir) =>
       Curation.chunkDupGroups(t(s, dir, "documents"), "doc_id", "text", 16)
@@ -326,20 +338,35 @@ object CurationQueries {
           b$s AS (SELECT pair, n FROM p$s ORDER BY n DESC, pair LIMIT 1),
           w$s AS (SELECT word, cnt, trim($spliced) AS sym FROM w${s - 1})"""
     }
-    s"""WITH toks AS (SELECT unnest(tk) AS token FROM (${sqlToksWith("")})),
+    s"""toks AS (SELECT unnest(tk) AS token FROM (${sqlToksWith("")})),
         vocab AS (SELECT token AS word, count(*) AS cnt FROM toks
           GROUP BY token ORDER BY cnt DESC, word LIMIT $topV),
         w0 AS (SELECT word, cnt, array_to_string(list_transform(
             generate_series(1, len(word)), i -> word[i]), ' ') AS sym FROM vocab),
-        ${(1 to steps).map(step).mkString(",\n")}
+        ${(1 to steps).map(step).mkString(",\n")}"""
+  }
+
+  private def sqlBpeMerges(topV: Int, steps: Int): String =
+    s"""WITH ${sqlBpeTrain(topV, steps)}
         ${(1 to steps).map(s =>
           s"SELECT $s AS step, (SELECT pair FROM b$s) AS pair, (SELECT n FROM b$s) AS n")
           .mkString(" UNION ALL ")}
         ORDER BY step"""
-  }
+
+  /** q132: the trained w{steps} vocabulary applied to the corpus —
+    * per-doc token and piece counts, character fallback off-vocab.
+    */
+  private def sqlBpeSegment(topV: Int, steps: Int): String =
+    s"""WITH ${sqlBpeTrain(topV, steps)},
+        dtok AS (SELECT doc_id, unnest(tk) AS token FROM (${sqlToksWith("")}))
+        SELECT doc_id, count(*) AS n_tokens,
+          CAST(sum(coalesce(len(string_split(w.sym, ' ')), len(token))) AS BIGINT) AS n_pieces
+        FROM dtok LEFT JOIN w$steps w ON w.word = dtok.token
+        GROUP BY doc_id ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
-    "q131_bpe_train" -> sqlBpeTrain(100, 3),
+    "q131_bpe_train" -> sqlBpeMerges(100, 3),
+    "q132_bpe_segment" -> sqlBpeSegment(100, 3),
     // bit-for-bit replay of the Morton interleave: bit 2i of zval is
     // bit i of x = min(n_chars, 1023), bit 2i+1 is bit i of
     // y = doc_id % 1024 — disjoint bits, so the sum is the OR
