@@ -142,10 +142,16 @@ object TsvTap {
       case b: Boolean => if (b) 1d else 0d
       case s => s.toString.toDouble
     }
+    // the skip is ADVISORY (Catalyst re-applies every filter after the
+    // scan), so an unparsable comparison keeps the row rather than
+    // failing the task — e.g. a numeric literal pushed against a
+    // string column
     def cmp(name: String, v: Any)(op: Int => Boolean): Boolean = cell(name).exists { raw =>
       v match {
         case _: String => op(unescape(raw).compareTo(v.toString))
-        case _ => op(java.lang.Double.compare(raw.toDouble, num(v)))
+        case _ =>
+          try op(java.lang.Double.compare(raw.toDouble, num(v)))
+          catch { case _: NumberFormatException => true }
       }
     }
     f match {
