@@ -73,6 +73,18 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the k-dimensional interleave graded at k = 3 (length bucket,
+    // id bucket, lang initial): Layout.zorderN is what a real corpus
+    // layout clusters on — (lang, length, quality) — and the oracle
+    // replays all 24 bit positions.
+    "q133_zorder3" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.operators.Layout.zorderN(Seq(
+            least(col("n_chars"), lit(255L)),
+            col("doc_id") % 256L,
+            ascii(substring(col("lang"), 1, 1)) % 256), bits = 8).as("zval"))
+        .orderBy(col("doc_id"))),
+
     // chunk-level boilerplate: 16-token chunks shared by >= 2 docs.
     "q78_chunk_dedup" -> ((s, dir) =>
       Curation.chunkDupGroups(t(s, dir, "documents"), "doc_id", "text", 16)
@@ -367,6 +379,14 @@ object CurationQueries {
   val oracleSql: Map[String, String] = Map(
     "q131_bpe_train" -> sqlBpeMerges(100, 3),
     "q132_bpe_segment" -> sqlBpeSegment(100, 3),
+    // bit j of dim i lands at position j*3 + i (zorderN layout)
+    "q133_zorder3" -> {
+      val dims = Seq("least(n_chars, 255)", "(doc_id % 256)", "(ascii(lang[1]) % 256)")
+      val terms = for (j <- 0 until 8; i <- dims.indices)
+        yield s"((((${dims(i)} >> $j) & 1)) << ${j * 3 + i})"
+      s"""SELECT doc_id, CAST(${terms.map(t => s"($t)").mkString(" + ")} AS BIGINT) AS zval
+          FROM $DocsPq ORDER BY doc_id"""
+    },
     // bit-for-bit replay of the Morton interleave: bit 2i of zval is
     // bit i of x = min(n_chars, 1023), bit 2i+1 is bit i of
     // y = doc_id % 1024 — disjoint bits, so the sum is the OR
