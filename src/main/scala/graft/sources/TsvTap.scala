@@ -210,7 +210,8 @@ class TsvTable(path: String, schema0: StructType) extends Table
   // tracks the projection, and `.explain` shows the honest ReadSchema
   // the same way the parquet scan does; pinned in SourcesSpec) ----
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+        with SupportsPushDownAggregates {
       private var required: StructType = schema0
       private var accepted: Array[sqlsrc.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
@@ -225,7 +226,45 @@ class TsvTable(path: String, schema0: StructType) extends Table
         filters
       }
       override def pushedFilters(): Array[sqlsrc.Filter] = accepted
-      override def build(): Scan = new Scan {
+      // Bare COUNT(*) is answered from line counts — one long per
+      // part file, zero cells parsed (partial pushdown: Spark sums
+      // the per-partition counts). Catalyst only offers aggregate
+      // pushdown when every filter was FULLY pushed; ours are
+      // residual by design, so a filtered count never reaches this
+      // path and the advisory-skip semantics stay safe.
+      private var countStar = false
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        val ok = agg.groupByExpressions.isEmpty &&
+          agg.aggregateExpressions.length == 1 &&
+          agg.aggregateExpressions.head
+            .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+        if (ok) countStar = true
+        ok
+      }
+      override def build(): Scan = if (countStar) new Scan {
+        override def readSchema(): StructType =
+          StructType(Seq(StructField("count", LongType, nullable = false)))
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            TsvTap.partFiles(Paths.get(path))
+              .map(p => TsvFilePartition(p.toString): InputPartition).toArray
+          override def createReaderFactory(): PartitionReaderFactory =
+            (partition: InputPartition) => {
+              val TsvFilePartition(file) = partition
+              new PartitionReader[InternalRow] {
+                private var emitted = false
+                override def next(): Boolean = !emitted
+                override def get(): InternalRow = {
+                  emitted = true
+                  val lines = Files.lines(Paths.get(file), StandardCharsets.UTF_8)
+                  try InternalRow(lines.count()) finally lines.close()
+                }
+                override def close(): Unit = ()
+              }
+            }
+        }
+      } else new Scan {
         private val req = required
         private val flt = accepted
         override def readSchema(): StructType = req

@@ -145,6 +145,23 @@ class SourcesSpec extends SparkSpec {
     assert(got.toSeq === Seq(2L))
   }
 
+  test("TsvTap answers bare COUNT(*) from line counts (aggregate pushdown)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsvtap6").toString + "/out"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s").repartition(2)
+      .write.format("graft.sources.TsvTap").option("path", dir).mode("append").save()
+    val df = spark.read.format("graft.sources.TsvTap").option("path", dir)
+      .option("schema", "id BIGINT, s STRING").load()
+    val counted = df.groupBy().count()
+    // the scan emits pre-counted longs, not rows
+    val scanLine = counted.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.toLowerCase.contains("count"), scanLine)
+    assert(counted.head.getLong(0) === 3L)
+    // a filtered count must NOT take the pushed path (filters here are
+    // advisory residuals) — and must still be exact
+    assert(df.filter(col("id") > 1L).count() === 2L)
+  }
+
   test("TsvTap overwrite truncates prior committed output") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tsvtap3").toString + "/out"
     Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("id", "s").repartition(3)
