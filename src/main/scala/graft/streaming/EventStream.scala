@@ -213,6 +213,24 @@ object EventStream {
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
 
+  /** Streaming CDC into a [[graft.operators.Versioned]] table: each
+    * micro-batch upserts by `key` as one new committed snapshot, so a
+    * reader at any moment sees some complete prefix of the batch
+    * sequence — never a partially-applied batch (the pointer swap is
+    * the visibility boundary). Replaying a batch re-merges the same
+    * rows: the table CONTENT is idempotent under retries (a duplicate
+    * version is written, not duplicate rows), and old versions remain
+    * readable for time travel across the stream's history.
+    */
+  def versionedUpsertStream(updates: DataFrame, tablePath: String, key: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Versioned.upsert(batch.sparkSession, tablePath, batch, key)
+        ()
+      }
+
   /** Drive a streaming query from a static parquet dir through the
     * memory sink synchronously — the local smoke path (one parquet file
     * per micro-batch via maxFilesPerTrigger).

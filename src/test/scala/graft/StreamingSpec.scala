@@ -190,6 +190,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(11L) === "kept" && streamed(13L) === "kept")
   }
 
+  test("streaming CDC upserts into a Versioned table equal the sequential batch upserts") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val table = java.nio.file.Files.createTempDirectory("graft_scdc").toString + "/t"
+    val input = MemoryStream[EventStream.StreamDoc]
+    val q = EventStream.versionedUpsertStream(input.toDF(), table, "doc_id").start()
+    input.addData(EventStream.StreamDoc(1L, "one", ts(1)), EventStream.StreamDoc(2L, "two", ts(2)))
+    q.processAllAvailable()
+    val midVersion = graft.operators.Versioned.latestVersion(table).get
+    input.addData(EventStream.StreamDoc(2L, "two-revised", ts(3)), EventStream.StreamDoc(3L, "three", ts(4)))
+    q.processAllAvailable(); q.stop()
+    val latest = graft.operators.Versioned.read(spark, table)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(latest === Array((1L, "one"), (2L, "two-revised"), (3L, "three")))
+    // time travel: the first batch's snapshot is intact mid-history
+    val mid = graft.operators.Versioned.read(spark, table, Some(midVersion))
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(mid === Array((1L, "one"), (2L, "two")))
+  }
+
   test("event-time timeout flushes the trailing open session") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
