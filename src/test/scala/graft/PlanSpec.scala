@@ -493,4 +493,11 @@ class PlanSpec extends SparkSpec {
     val p = plan(q("q128_range_join"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q132 BPE application broadcasts the vocabulary — corpus tokens never shuffle to join") {
+    val p = plan(q("q132_bpe_segment"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    graft.GraftCache.releaseAll()
+  }
 }
