@@ -408,6 +408,28 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // THE round-9 at-rest pieces composed as the production corpus
+    // refresh loop: the corpus lives in a Versioned table + a
+    // writeDedupIndex at rest; a new batch is verdicted against the
+    // index alone (probe cost tracks the batch), survivors upsert as
+    // ONE new committed snapshot (readers never see a half-applied
+    // refresh). Graded on the final committed corpus.
+    "q134_corpus_refresh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("graft_refresh").toString
+      val corpus = docs.filter(col("doc_id") < 400)
+      graft.operators.Versioned.commit(s"$base/table", corpus)
+      Dedup.writeDedupIndex(corpus, "doc_id", "text", s"$base/idx")
+      val batch = docs.filter(col("doc_id") >= 400)
+      val keptIds = Dedup.dedupAgainstIndex(batch, "doc_id", "text", s"$base/idx")
+        .filter(col("verdict") === "kept").select(col("doc_id"))
+      graft.operators.Versioned.upsert(s, s"$base/table",
+        batch.join(keptIds, Seq("doc_id")), "doc_id")
+      graft.operators.Versioned.read(s, s"$base/table")
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // duplicated-substring spans (token-level Lee et al. 2022): maximal
     // per-doc spans of 5-grams occurring >= 2 times corpus-wide.
     "q111_dup_spans" -> ((s, dir) =>
@@ -817,6 +839,42 @@ object DedupQueries {
                  WHEN nfp.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
                  ELSE 'kept' END AS verdict
           FROM nfp ORDER BY nfp.doc_id"""
+    },
+    // q115's verdict replay (no synthetic re-ingest row) + the merge:
+    // final corpus = base ∪ kept batch rows
+    "q134_corpus_refresh" -> {
+      val bandCond = (0 until 2).map(b => bandEq("", b, 4)).mkString(" OR ")
+      s"""WITH corpus AS (SELECT doc_id, text FROM $DocsPq WHERE doc_id < 400),
+          nw AS (SELECT doc_id, text FROM $DocsPq WHERE doc_id >= 400),
+          cfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+                  FROM corpus),
+          nfp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+                  FROM nw),
+          csh AS (SELECT doc_id, ${sqlH31("shingle")} AS h
+                  FROM (${sqlShingles("SELECT doc_id, text FROM corpus")})),
+          nsh AS (SELECT doc_id, ${sqlH31("shingle")} AS h
+                  FROM (${sqlShingles("SELECT doc_id, text FROM nw")})),
+          csig AS (SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")} FROM csh GROUP BY doc_id),
+          nsig AS (SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")} FROM nsh GROUP BY doc_id),
+          cand AS (SELECT l.doc_id AS new_id, r.doc_id AS corpus_id
+                   FROM nsig l JOIN csig r ON ($bandCond)),
+          csets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM csh GROUP BY doc_id),
+          nsets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM nsh GROUP BY doc_id),
+          near AS (SELECT DISTINCT new_id AS doc_id FROM cand
+                   JOIN nsets a ON a.doc_id = cand.new_id
+                   JOIN csets b ON b.doc_id = cand.corpus_id
+                   WHERE round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+                     (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6) >= 0.6),
+          verdicts AS (SELECT nfp.doc_id,
+              CASE WHEN nfp.fp IN (SELECT fp FROM cfp) THEN 'exact_dup'
+                   WHEN nfp.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+                   ELSE 'kept' END AS verdict FROM nfp)
+          SELECT doc_id, CAST(len(text) AS BIGINT) AS text_len FROM (
+            SELECT doc_id, text FROM corpus
+            UNION ALL
+            SELECT nw.doc_id, nw.text FROM nw JOIN verdicts USING (doc_id)
+            WHERE verdict = 'kept')
+          ORDER BY doc_id"""
     },
     "q111_dup_spans" ->
       s"""WITH $SqlDupSpanCtes
