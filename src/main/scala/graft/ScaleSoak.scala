@@ -72,7 +72,7 @@ object ScaleSoak {
     // Its scale path q130 (auto-LSH buckets) is on the ladder instead.
     "q123_pipe_wordcount", "q124_index_union", "q126_sink_roundtrip",
     "q127_zorder_layout", "q129_versioned_upsert", "q130_semantic_dedup_lsh",
-    "q131_bpe_train", "q132_bpe_segment", "q133_zorder3")
+    "q131_bpe_train", "q132_bpe_segment", "q133_zorder3", "q134_corpus_refresh")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the
