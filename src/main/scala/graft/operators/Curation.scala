@@ -511,6 +511,176 @@ object Curation {
     *
     * `featCols` should include an explicit all-ones bias column.
     */
+  /** PMI-style co-occurrence mining over (document, token) incidence:
+    * for every unordered pair of distinct tokens co-occurring in a
+    * document, the lift `P(a,b) / (P(a)·P(b))` — the collocation /
+    * topic-pair signal a corpus profiler reads before building
+    * phrase vocabularies. The score is the INTEGER micro-lift
+    * `npair · N · 10⁶ div (na · nb)` (N = corpus document count):
+    * exact in any summation order, so the oracle hash is stable where
+    * a floating log-PMI could never be (same micro-unit discipline as
+    * [[bigramLogProb]]).
+    *
+    * Scale: pair generation is the quadratic step, and it is bounded
+    * per DOCUMENT, not per corpus: each doc contributes at most
+    * `maxTokensPerDoc²/2` pairs (the cap keeps the lexicographically
+    * first `maxTokensPerDoc` distinct tokens — deterministic, so both
+    * engines cut identically), and only tokens with document frequency
+    * ≥ `minDf` enter at all (rare-token pairs are noise AND volume).
+    * The self-join is keyed by doc id — co-located, no global
+    * quadratic anywhere. Pair counts and the two df-joins are keyed
+    * hash aggregates; the final top-k is `TakeOrderedAndProject`.
+    */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 5, minPair: Int = 3, maxTokensPerDoc: Int = 64,
+      k: Int = 50): DataFrame = {
+    val tok = Q.explodedTokens(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("token")).distinct()
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") >= minDf)
+    val kept = tok.join(dfreq, "token")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("token"))))
+      .filter(col("rn") <= maxTokensPerDoc)
+      .select(col("id"), col("token"))
+    val nDocs = broadcast(docs.agg(
+      countDistinct(col(idCol)).as("n_docs")))
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a.id") === col("b.id") &&
+        col("a.token") < col("b.token"))
+      .groupBy(col("a.token").as("tok_a"), col("b.token").as("tok_b"))
+      .agg(count(lit(1)).as("npair"))
+      .filter(col("npair") >= minPair)
+    pairs
+      .join(dfreq.select(col("token").as("tok_a"), col("dfreq").as("na")), "tok_a")
+      .join(dfreq.select(col("token").as("tok_b"), col("dfreq").as("nb")), "tok_b")
+      .crossJoin(nDocs)
+      .select(col("tok_a"), col("tok_b"),
+        col("npair").cast("int").as("npair"),
+        col("na").cast("int").as("na"), col("nb").cast("int").as("nb"),
+        expr("(npair * n_docs * 1000000) div (na * nb)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("npair").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+  }
+
+  /** Deterministic weighted priority sample (A-ES family, integerized):
+    * each row's priority is a fixed 60-bit hash of its id divided
+    * (integer `div`) by its positive integer weight; the sample is the
+    * k SMALLEST priorities. Doubling a row's weight halves its
+    * priority — inclusion probability scales with weight — and the
+    * whole draw is a pure function of (id, weight, salt): reproducible
+    * across runs, engines, and cluster sizes, with no RNG state to
+    * coordinate. The float A-ES key `u^(1/w)` would not survive a
+    * cross-engine hash compare; the integer quotient is exact.
+    *
+    * Scale: one codegen'd projection + `TakeOrderedAndProject` (O(k)
+    * state per partition); nothing shuffles but the k winners.
+    */
+  def weightedPrioritySample(df: DataFrame, idCol: String, weight: Column,
+      k: Int, salt: String = "wps"): DataFrame = {
+    val hash60 = conv(substring(md5(concat(lit(salt + "_"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    df.withColumn("w", weight.cast("long"))
+      .withColumn("h", hash60)
+      .withColumn("priority", expr("h div w"))
+      .drop("h")
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic shard assignment for training-data output: shard =
+    * 32-bit md5 prefix of (salt, id) mod `nShards`. A global seeded
+    * shuffle without any RNG: every engine, run, and cluster size
+    * produces the same shard for the same id, so shard files are
+    * reproducible artifacts (and incremental re-runs only rewrite the
+    * shards whose inputs changed). The hash is the same
+    * [[graft.plans.Md5Prefix32]] codegen expression the dedup
+    * signatures use.
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shard"): DataFrame =
+    df.withColumn("shard",
+      pmod(Q.tokenHash(concat(lit(salt + "_"), col(idCol).cast("string"))),
+        lit(nShards)).cast("int"))
+
+  /** Write the corpus as `nShards` deterministic training shards:
+    * [[shardAssign]] then one hash repartition ON the shard column so
+    * each output directory is written by exactly one task family, via
+    * the parquet `partitionBy` layout (`shard=K/` directories). At
+    * production scale the shard count is the downstream loader's
+    * parallelism unit; the repartition is the only shuffle and carries
+    * each row once.
+    */
+  def writeTrainShards(df: DataFrame, idCol: String, nShards: Int,
+      dir: String, salt: String = "shard"): Unit =
+    shardAssign(df, idCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
+  /** Gopher-style n-gram repetition rules (Rae et al. 2021, §A1.1,
+    * adapted to token fractions): per document, the fraction of all
+    * 2-grams taken by the single most frequent 2-gram (`top2_micro`,
+    * boilerplate/chorus detector) and the fraction of 3-gram
+    * occurrences whose 3-gram appears more than once (`dup3_micro`,
+    * loop detector), both as exact integer micro-fractions
+    * (`x·10⁶ div n`). `flagged` applies the paper's thresholds (0.20
+    * top-2-gram, 0.18 dup-3-gram). Documents with fewer than 3 tokens
+    * have no 3-gram events and drop out (same contract as
+    * [[bigramLogProb]]).
+    *
+    * Scale: two (doc, gram) count aggregates — both keyed by doc id
+    * with map-side combine, shuffling 32-char fingerprints of grams
+    * rather than gram text.
+    */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
+      top2Threshold: Long = 200000L, dup3Threshold: Long = 180000L): DataFrame = {
+    import graft.functions.TextFunctions.{shingles, tokenize}
+    def gramStats(n: Int) = docs
+      .select(col(idCol), explode(shingles(tokenize(col(textCol)), n)).as("g"))
+      .select(col(idCol), md5(col("g")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as(s"n$n"), max(col("c")).as(s"mx$n"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as(s"dup$n"))
+    gramStats(2).join(gramStats(3), idCol)
+      .select(col(idCol),
+        col("n2").cast("int").as("n2"), col("n3").cast("int").as("n3"),
+        expr("(mx2 * 1000000) div n2").as("top2_micro"),
+        expr("(dup3 * 1000000) div n3").as("dup3_micro"))
+      .withColumn("flagged",
+        col("top2_micro") > top2Threshold || col("dup3_micro") > dup3Threshold)
+  }
+
+  /** CCNet-style perplexity bucketing: score every document with the
+    * interpolated bigram LM ([[bigramLogProb]] — the oracle-replayable
+    * stand-in for CCNet's KenLM 5-gram), rank the corpus by mean
+    * log-prob, and split into `head` / `middle` / `tail` tertiles —
+    * the classic "keep head+middle, drop tail" curation gate. The
+    * graded form uses exact `ntile(3)` over the total order
+    * (avg_logprob DESC, id) so both engines bucket identically.
+    *
+    * Scale: exact global ntile is a total sort; at production scale
+    * swap the tertile boundaries for percentile thresholds computed
+    * once and broadcast (the [[percentileGate]] shape) — same buckets
+    * up to boundary ties, no global sort. The graded output is the
+    * per-bucket aggregate (3 rows), not the per-doc assignment, so
+    * the contract survives that swap.
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    val lp = bigramLogProb(docs, idCol, textCol, lambda)
+    lp.withColumn("t", ntile(3).over(
+        Window.orderBy(col("avg_logprob").desc, col(idCol))))
+      .withColumn("bucket",
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_bigrams")).cast("long").as("n_bigrams"),
+        min(col("avg_logprob")).as("min_lp"),
+        max(col("avg_logprob")).as("max_lp"))
+  }
+
   def logisticFit(features: DataFrame, featCols: Seq[String], labelCol: String,
       iters: Int, lr: Int = 1): Seq[Double] = {
     var w = Seq.fill(featCols.size)(0.0)

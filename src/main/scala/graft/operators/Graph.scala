@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge DataFrames.
+  *
+  * The reference has no graph surface (its closest shape is the
+  * hand-rolled join pipelines, `/root/reference/dampr/dampr.py:768`),
+  * but a corpus-curation engine needs one: link-graph ranking for
+  * crawl prioritization and authority-weighted dedup both reduce to
+  * PageRank over an edge list. The implementation is the standard
+  * Pregel decomposition — each superstep is one keyed join
+  * (ranks ⋈ edges on src) plus one aggregation (sum of contributions
+  * by dst) — expressed as DataFrame ops so Catalyst plans both as
+  * hash shuffles on the node key and AQE handles hub skew.
+  *
+  * All mass arithmetic is INTEGER (micro-units): floating-point
+  * PageRank sums neighbor contributions in engine- and
+  * partition-dependent order, so no rounding discipline can make a
+  * double-based rank hash-stable across engines. Integer mass
+  * (`initMass` µ per node, truncating division for the out-share and
+  * the damping factor) is order-free and exact — the same micro-unit
+  * trick as [[Curation.bigramLogProb]]'s log-probs.
+  */
+object Graph {
+
+  /** Integer-mass PageRank over a SYMMETRIZED edge list.
+    *
+    * `edges` must contain both directions of every link (use
+    * [[symmetrize]]) so every node has outdeg ≥ 1 — dangling-mass
+    * redistribution would otherwise need a global scalar per
+    * iteration, which is exactly the kind of driver synchronization
+    * this formulation avoids.
+    *
+    * Per iteration: contribution of node u to each out-neighbor is
+    * `rank(u) div outdeg(u)` (truncating; the remainder mass is
+    * deliberately dropped — identically in any engine), and
+    * `rank'(v) = initMass·(den−num)/den + (num · Σ contribs) div den`
+    * with damping `num/den` (default 85/100).
+    *
+    * Scale: the degree table is computed once and joined into the
+    * rank frame, so each superstep shuffles (a) the rank frame by
+    * node and (b) the contribution stream by dst — both keyed hash
+    * shuffles with map-side partial sums on (b). The edge frame is
+    * cached and re-read per superstep; on a real cluster persist it
+    * partitioned by src so the rank⋈edges join co-locates. Lineage is
+    * cut every `checkpointEvery` supersteps (eager localCheckpoint,
+    * same discipline as [[Dedup.connectedComponents]]) so deep
+    * iteration counts do not accumulate a plan of unbounded depth.
+    */
+  def pageRankInt(edges: DataFrame, iters: Int,
+      initMass: Long = 1000000L, dampNum: Int = 85, dampDen: Int = 100,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).cache()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val baseMass = initMass * (dampDen - dampNum) / dampDen
+    var ranks = deg.select(col("src").as("node"), lit(initMass).as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(ranks.join(deg, ranks("node") === deg("src"))
+          .select(col("node"), expr("rank div outdeg").as("share")),
+          e("src") === col("node"))
+        .select(col("dst").as("node"), col("share"))
+      ranks = contrib.groupBy(col("node"))
+        .agg(sum(col("share")).as("in_mass"))
+        .select(col("node"),
+          (lit(baseMass) + expr(s"($dampNum * in_mass) div $dampDen")).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Both directions of each distinct undirected link. */
+  def symmetrize(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("src"), col("dst")).distinct()
+    p.union(p.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Per-node degree of a symmetrized edge list — the cheap
+    * "is this node a hub" diagnostic that decides salting.
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+
+  /** Personalized PageRank (random walk with restart) — same integer
+    * machinery as [[pageRankInt]], but all teleport mass returns to
+    * the `seeds` node set instead of spreading uniformly: the
+    * "entities related to X" recommendation primitive. Seeds ride a
+    * broadcast semi-join (seed sets are query-sized); non-seed nodes
+    * receive only walked-in mass. Initial mass: `initMass` on each
+    * seed, 0 elsewhere.
+    */
+  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame, iters: Int,
+      initMass: Long = 1000000L, dampNum: Int = 85, dampDen: Int = 100,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).cache()
+    val sd = broadcast(seeds.select(col("node").cast("long").as("node")).distinct())
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val baseMass = initMass * (dampDen - dampNum) / dampDen
+    var ranks = deg.select(col("src").as("node"))
+      .join(sd.withColumn("seed", lit(1)), Seq("node"), "left_outer")
+      .select(col("node"),
+        when(col("seed").isNotNull, lit(initMass)).otherwise(lit(0L)).as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(ranks.join(deg, ranks("node") === deg("src"))
+          .select(col("node"), expr("rank div outdeg").as("share")),
+          e("src") === col("node"))
+        .select(col("dst").as("node"), col("share"))
+      val walked = contrib.groupBy(col("node"))
+        .agg(sum(col("share")).as("in_mass"))
+        .select(col("node"), expr(s"($dampNum * in_mass) div $dampDen").as("walked"))
+      ranks = walked
+        .join(sd.withColumn("seed", lit(1)), Seq("node"), "left_outer")
+        .select(col("node"),
+          (col("walked") +
+            when(col("seed").isNotNull, lit(baseMass)).otherwise(lit(0L))).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks.filter(col("rank") > 0)
+  }
+
+  /** Same-side projection of a bipartite incidence list: an edge
+    * between two right-side entities for every left-side key they
+    * share (suppliers sharing a customer, docs sharing a shingle...).
+    * Output is canonical (`u < v`), distinct.
+    *
+    * Scale: the self-join is keyed by the left column — co-located,
+    * never global — but per-key cost is quadratic in that key's
+    * right-degree, exactly like the LSH bucket joins, so the same
+    * bucket-size guard applies: keys whose right-degree exceeds
+    * `maxPerKey` are REJECTED with the count, forcing the caller to
+    * cap or sample hot keys rather than silently going quadratic
+    * (the [[Dedup.requireBoundedBlocks]] posture).
+    */
+  def projectBipartite(pairs: DataFrame, leftCol: String, rightCol: String,
+      maxPerKey: Int = 10000): DataFrame = {
+    val p = pairs.select(col(leftCol).as("k"), col(rightCol).cast("long").as("s"))
+      .distinct()
+    val hot = p.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxPerKey).limit(1).collect()
+    require(hot.isEmpty,
+      s"projectBipartite: key ${hot.headOption.map(_.get(0))} has right-degree " +
+      s"${hot.headOption.map(_.get(1))} > maxPerKey=$maxPerKey; cap or sample hot keys first")
+    p.as("a").join(p.as("b"),
+        col("a.k") === col("b.k") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v")).distinct()
+  }
+
+  /** Per-node triangle counts over a canonical (`u < v`, distinct)
+    * undirected edge list: the local clustering signal (community
+    * density, spam-farm detection). Each triangle `a < b < c` is
+    * found exactly once by joining wedge `(a,b)+(b,c)` against the
+    * closing edge `(a,c)`, then credited to all three corners.
+    *
+    * Scale: two shuffle joins keyed on node ids. The classic skew
+    * lever — rank nodes by (degree, id) instead of raw id so hub
+    * wedges split evenly — drops in by re-labelling ids before the
+    * call; the join shape is unchanged. Wedge volume is Σ deg²: on
+    * power-law graphs cap hot nodes upstream (same posture as
+    * [[projectBipartite]]).
+    */
+  def triangleCounts(canonEdges: DataFrame): DataFrame = {
+    val e = canonEdges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+}

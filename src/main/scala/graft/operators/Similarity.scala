@@ -773,4 +773,77 @@ object Similarity {
       .select(col("vec_id"), round(cosine(col("e"), col("q_emb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
   }
+
+  /** Micro-quantized vector column: `round(x·10⁶)` per element as
+    * BIGINT. The bridge from float embeddings to the exact integer
+    * arithmetic [[kmeansInt]] runs on.
+    */
+  def quantizeMicro(vec: Column): Column =
+    transform(vec, v => round(v.cast("double") * 1e6).cast("long"))
+
+  /** Iterative Lloyd k-means whose EVERY step is exact integer
+    * arithmetic — the distributed clustering the IVF index builder
+    * uses ([[kmeansCells]]), made oracle-replayable at `iters > 0`:
+    * float Lloyd sums member vectors in partition-dependent order, so
+    * its centroids (and hence assignments near cell boundaries) can
+    * never hash-match another engine, which is why the graded IVF
+    * queries pinned `iters = 0` until now. Here vectors are
+    * micro-quantized ([[quantizeMicro]]), distances are integer
+    * squared-L2, and the centroid update is the exact floor-division
+    * `floorDiv(Σ memberᵢ, n)` per dimension — order-free, so Spark
+    * and the SQL oracle agree bit-for-bit after any number of
+    * iterations.
+    *
+    * Seeds are the `k` lowest-id vectors (replayable). Per iteration:
+    * one scan computes every row's nearest centroid (centroids ride
+    * as literals — k·dim longs, the same bounded driver artifact as
+    * [[kmeansCellsLocal]]), one (cell, dim) aggregation produces the
+    * k·dim update sums. Returns per-cell member count + centroid
+    * checksum (Σ over dims) after the final update.
+    *
+    * Scale: the per-iteration shuffle carries k·dim partial sums per
+    * map task (map-side combined), never vectors; assignment is a
+    * pure codegen scan. This IS Spark MLlib's k-means dataflow shape,
+    * with exactness traded for the trivial cost of integer ops.
+    */
+  def kmeansInt(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val qv = emb.select(col("vec_id"), quantizeMicro(col("embedding")).as("q"))
+    val seeds = qv.orderBy(col("vec_id")).limit(k).collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Long](1) }
+    var cents: Seq[(Int, Seq[Long])] = seeds.toSeq
+
+    def assigned(cs: Seq[(Int, Seq[Long])]): DataFrame = {
+      // nearest centroid per row: k integer distances as literal-array
+      // zip_with folds, argmin with min-cell tie-break via least(structs)
+      val dists = cs.map { case (cell, c) =>
+        val cLit = array(c.map(lit): _*)
+        struct(
+          aggregate(zip_with(col("q"), cLit, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          lit(cell).as("cell"))
+      }
+      qv.select(col("vec_id"), col("q"), least(dists: _*).getField("cell").as("cell"))
+    }
+
+    for (_ <- 1 to iters) {
+      val a = assigned(cents)
+      val sums = a.select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      cents = sums.groupBy(_.getAs[Int]("cell")).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getAs[Int]("pos"))
+          .map(r => Math.floorDiv(r.getAs[Long]("s"), r.getAs[Long]("n"))).toSeq
+      }.toSeq.sortBy(_._1)
+    }
+
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val centDf = cents.map { case (cell, c) => (cell, c.sum) }
+      .toDF("cell", "centroid_sum")
+    assigned(cents).groupBy(col("cell")).agg(count(lit(1)).cast("int").as("n"))
+      .join(broadcast(centDf), "cell")
+      .select(col("cell"), col("n"), col("centroid_sum"))
+      .orderBy(col("cell"))
+  }
 }

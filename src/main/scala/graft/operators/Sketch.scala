@@ -132,4 +132,31 @@ object Sketch {
       .filter(col("cnt") >= threshold)
       .select(col("key"), est(col("key")).as("est"), col("cnt"))
   }
+
+  /** Approximate pairwise distinct-overlap matrix via HLL sketches
+    * (Spark's built-in Apache DataSketches `hll_sketch_agg` /
+    * `hll_union`): one sketch per tag (source / dump / shard), then
+    * inclusion-exclusion `|A| + |B| − |A∪B|` on the merged sketches
+    * for every tag pair. The 100 TB shape for "which dumps repeat
+    * each other": the corpus is scanned ONCE (one grouped sketch
+    * aggregation whose state is ~2^lgK bytes per tag — kilobytes,
+    * regardless of corpus size), and the tags² pair work happens on
+    * broadcast-sized sketches, where the exact matrix
+    * ([[Curation.crossSourceDupMatrix]]) must shuffle every distinct
+    * (key, tag) row. Estimates carry the sketch's ~1.04/√2^lgK
+    * relative error on each of the three terms, so the overlap error
+    * is bounded relative to the UNION, not the overlap — callers
+    * grade tolerance against `est_union`.
+    */
+  def hllOverlapMatrix(items: DataFrame, tagCol: String, keyCol: String,
+      lgK: Int = 14): DataFrame = {
+    val sk = items.groupBy(col(tagCol))
+      .agg(expr(s"hll_sketch_agg($keyCol, $lgK)").as("sk"))
+    sk.as("a").join(sk.as("b"), col(s"a.$tagCol") < col(s"b.$tagCol"))
+      .select(col(s"a.$tagCol").as("tag_a"), col(s"b.$tagCol").as("tag_b"),
+        expr("hll_sketch_estimate(a.sk)").as("est_a"),
+        expr("hll_sketch_estimate(b.sk)").as("est_b"),
+        expr("hll_sketch_estimate(hll_union(a.sk, b.sk))").as("est_union"))
+      .withColumn("est_overlap", col("est_a") + col("est_b") - col("est_union"))
+  }
 }

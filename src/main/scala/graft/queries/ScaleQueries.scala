@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Graph, Similarity}
+import Q._
+
+/** Scale-pipeline pack (q135-q141): graph analytics over derived edge
+  * lists (integer PageRank), co-occurrence mining (integer PMI lift),
+  * deterministic weighted sampling and shard assignment, Gopher
+  * n-gram repetition rules, CCNet perplexity bucketing, and the
+  * oracle-exact iterative Lloyd k-means — the remaining stages of a
+  * production corpus pipeline that had operators but no end-to-end
+  * graded query, plus the two (graphs, iterative clustering) the
+  * inventory lacked entirely.
+  *
+  * Everything here follows the micro-unit discipline: iterative and
+  * ratio arithmetic is INTEGER (exact in any summation order), so
+  * multi-step replays hash-match DuckDB bit-for-bit.
+  */
+object ScaleQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // Integer PageRank over the customer-supplier trade graph
+    // (customers = positive node ids, suppliers = -(suppkey+1)),
+    // symmetrized, 3 supersteps, top-20 by mass. Each superstep is
+    // one keyed join + one map-side-combined aggregation — the
+    // Pregel shape — with all mass arithmetic in exact micro-units.
+    "q135_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey").cast("long") + 1)).as("dst"))
+      Graph.pageRankInt(Graph.symmetrize(pairs), iters = 3)
+        .select(col("node"), col("rank").as("mass"))
+        .orderBy(col("mass").desc, col("node")).limit(20)
+    }),
+
+    // PMI collocations: top-50 token pairs by integer micro-lift
+    // (df >= 5, pair count >= 3, per-doc distinct-token cap 64).
+    "q136_pmi_pairs" -> ((s, dir) =>
+      Curation.pmiPairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Deterministic weighted priority sample: 50 docs, weight =
+    // n_chars; priority = 60-bit md5 of the id div weight, bottom-k.
+    "q137_weighted_sample" -> ((s, dir) =>
+      Curation.weightedPrioritySample(t(s, dir, "documents"), "doc_id",
+          col("n_chars"), 50)
+        .select(col("doc_id"), col("w"), col("priority"))),
+
+    // Deterministic 8-way shard assignment, graded via per-shard
+    // aggregates (count / char mass / id range) — proves every engine
+    // routes every doc to the same shard.
+    "q138_train_shards" -> ((s, dir) =>
+      Curation.shardAssign(t(s, dir, "documents"), "doc_id", 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("shard"))),
+
+    // Gopher n-gram repetition rules: top-2-gram and dup-3-gram
+    // micro-fractions + the paper's flag thresholds.
+    "q139_gopher_rep" -> ((s, dir) =>
+      Curation.gopherRepetition(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // CCNet perplexity tertiles over the interpolated bigram LM:
+    // head / middle / tail bucket aggregates.
+    "q140_ccnet_buckets" -> ((s, dir) =>
+      Curation.ccnetBuckets(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("bucket"))),
+
+    // Iterative Lloyd k-means (k=4, 2 update rounds) in exact integer
+    // arithmetic: per-cell population + centroid checksum after the
+    // final update. The first oracle-replayable iters > 0 clustering.
+    "q141_kmeans" -> ((s, dir) =>
+      Similarity.kmeansInt(t(s, dir, "embeddings"), k = 4, iters = 2))
+  )
+
+  /** Tokens-with-empties-filtered CTE body (same as CurationQueries). */
+  private def sqlToks =
+    s"SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk FROM $DocsPq"
+
+  /** Exact floor division rendered portably: subtract the
+    * non-negative remainder first, then divide the exact multiple —
+    * immune to the engines' `/`-vs-`//` sign conventions.
+    */
+  private def sqlFloorDiv(s: String, n: String) =
+    s"(($s - ((($s % $n) + $n) % $n)) // $n)"
+
+  /** One PageRank superstep CTE body over edge CTE `e`, degree CTE
+    * `deg`, previous rank CTE `prev`.
+    */
+  private def sqlPrStep(prev: String) =
+    s"""SELECT e.dst AS node,
+          CAST(150000 + (85 * sum(r.mass // d.d)) // 100 AS BIGINT) AS mass
+        FROM e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
+        GROUP BY e.dst"""
+
+  /** k-means: one assignment CTE (rows → nearest centroid in `cents`)
+    * over quantized-vector CTE `e`.
+    */
+  private def sqlKmAssign(cents: String) =
+    s"""SELECT vec_id, q, cell FROM (
+          SELECT e.vec_id, e.q, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_sum(list_transform(generate_series(1, 64),
+                i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))), c.cell) AS rn
+          FROM e CROSS JOIN $cents c) WHERE rn = 1"""
+
+  /** k-means: centroid update CTEs (elementwise exact floor-div mean)
+    * from assignment CTE `a` into `(cell, c)` named `out`.
+    */
+  private def sqlKmUpdate(a: String, sums: String, out: String) =
+    s"""$sums AS (SELECT cell, i, CAST(sum(q[i]) AS BIGINT) AS s,
+            CAST(count(*) AS BIGINT) AS n
+          FROM $a CROSS JOIN unnest(generate_series(1, 64)) AS u(i)
+          GROUP BY 1, 2),
+        $out AS (SELECT cell, list(${sqlFloorDiv("s", "n")} ORDER BY i) AS c
+          FROM $sums GROUP BY cell)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q135_pagerank" ->
+      s"""WITH p AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+              CAST(-(l_suppkey + 1) AS BIGINT) AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+          deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+          r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS mass FROM deg),
+          r1 AS (${sqlPrStep("r0")}),
+          r2 AS (${sqlPrStep("r1")}),
+          r3 AS (${sqlPrStep("r2")})
+          SELECT node, mass FROM r3 ORDER BY mass DESC, node LIMIT 20""",
+
+    "q136_pmi_pairs" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id AS id, token FROM
+            (SELECT doc_id, unnest(tk) AS token FROM ($sqlToks))),
+          dfreq AS (SELECT token, count(*) AS dfreq FROM tok
+            GROUP BY 1 HAVING count(*) >= 5),
+          kept AS (SELECT id, token FROM (
+              SELECT t.id, t.token,
+                row_number() OVER (PARTITION BY t.id ORDER BY t.token) AS rn
+              FROM tok t JOIN dfreq USING (token)) WHERE rn <= 64),
+          nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM $DocsPq),
+          pairs AS (SELECT a.token AS tok_a, b.token AS tok_b,
+              count(*) AS npair
+            FROM kept a JOIN kept b ON a.id = b.id AND a.token < b.token
+            GROUP BY 1, 2 HAVING count(*) >= 3)
+          SELECT tok_a, tok_b, CAST(npair AS INT) AS npair,
+            CAST(da.dfreq AS INT) AS na, CAST(db.dfreq AS INT) AS nb,
+            CAST((npair * n_docs * 1000000) // (da.dfreq * db.dfreq) AS BIGINT)
+              AS lift_micro
+          FROM pairs JOIN dfreq da ON pairs.tok_a = da.token
+            JOIN dfreq db ON pairs.tok_b = db.token CROSS JOIN nd
+          ORDER BY lift_micro DESC, npair DESC, tok_a, tok_b LIMIT 50""",
+
+    "q137_weighted_sample" ->
+      s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+            (('0x' || substr(md5('wps_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+              // CAST(n_chars AS BIGINT) AS priority
+          FROM $DocsPq ORDER BY priority, doc_id LIMIT 50""",
+
+    "q138_train_shards" ->
+      s"""WITH s AS (SELECT doc_id, n_chars,
+            CAST(${Q.sqlTokenHash("'shard_' || CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard
+          FROM $DocsPq)
+          SELECT shard, CAST(count(*) AS INT) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            min(doc_id) AS min_id, max(doc_id) AS max_id
+          FROM s GROUP BY 1 ORDER BY 1""",
+
+    "q139_gopher_rep" ->
+      s"""WITH tk AS ($sqlToks),
+          g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+                 FROM tk, unnest(generate_series(1, len(tk) - 1)) AS u(i)),
+          g3 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+                 FROM tk, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+          c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+          c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+          s2 AS (SELECT doc_id, sum(c) AS n2, max(c) AS mx2 FROM c2 GROUP BY 1),
+          s3 AS (SELECT doc_id, sum(c) AS n3,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3
+                 FROM c3 GROUP BY 1)
+          SELECT doc_id, CAST(n2 AS INT) AS n2, CAST(n3 AS INT) AS n3,
+            CAST((mx2 * 1000000) // n2 AS BIGINT) AS top2_micro,
+            CAST((dup3 * 1000000) // n3 AS BIGINT) AS dup3_micro,
+            ((mx2 * 1000000) // n2 > 200000 OR (dup3 * 1000000) // n3 > 180000)
+              AS flagged
+          FROM s2 JOIN s3 USING (doc_id) ORDER BY doc_id""",
+
+    "q140_ccnet_buckets" ->
+      s"""WITH lp AS (SELECT * FROM
+            (${CurationQueries.oracleSql("q113_bigram_logprob")})),
+          b AS (SELECT *, ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS t
+                FROM lp)
+          SELECT CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+            CAST(count(*) AS INT) AS n_docs,
+            CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+            min(avg_logprob) AS min_lp, max(avg_logprob) AS max_lp
+          FROM b GROUP BY t ORDER BY bucket""",
+
+    "q141_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+              x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM $EmbPq),
+          c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, q AS c
+                 FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+          a1 AS (${sqlKmAssign("c0")}),
+          ${sqlKmUpdate("a1", "s1", "c1")},
+          a2 AS (${sqlKmAssign("c1")}),
+          ${sqlKmUpdate("a2", "s2", "c2")},
+          af AS (${sqlKmAssign("c2")}),
+          cs AS (SELECT cell, CAST(list_sum(c) AS BIGINT) AS centroid_sum FROM c2)
+          SELECT af.cell, CAST(count(*) AS INT) AS n, cs.centroid_sum
+          FROM af JOIN cs ON af.cell = cs.cell
+          GROUP BY af.cell, cs.centroid_sum ORDER BY af.cell"""
+  )
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Graph, Similarity}
+
+/** Specs for the scale-pipeline operator pack (graph analytics,
+  * co-occurrence mining, deterministic sampling/sharding, repetition
+  * rules, integer k-means) on crafted inputs with exact expectations.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRankInt: a symmetric cycle is a fixed point of the update") {
+    // 4-cycle: every node has degree 2 and receives exactly what it
+    // emits, so rank stays at initMass for any iteration count.
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val ranks = Graph.pageRankInt(Graph.symmetrize(pairs), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size === 4)
+    assert(ranks.values.forall(_ === 1000000L))
+  }
+
+  test("pageRankInt: star center outranks leaves and mass is bounded") {
+    val pairs = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    val ranks = Graph.pageRankInt(Graph.symmetrize(pairs), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(0L) > ranks(1L))
+    assert((1L to 6L).map(ranks).distinct.size === 1) // leaves symmetric
+    // total mass never exceeds the injected total (truncation only loses)
+    assert(ranks.values.sum <= 7L * 1000000L)
+  }
+
+  test("pmiPairs surfaces the always-co-occurring pair with exact counts") {
+    // 'alpha beta' co-occur in all 6 docs; filler tokens vary.
+    val docs = (0 until 6).map(i => (i.toLong, s"alpha beta filler$i common"))
+      .toDF("doc_id", "text")
+    val top = Curation.pmiPairs(docs, "doc_id", "text",
+      minDf = 2, minPair = 2, maxTokensPerDoc = 16, k = 5).collect()
+    val ab = top.find(r => r.getString(0) == "alpha" && r.getString(1) == "beta")
+    assert(ab.isDefined)
+    assert(ab.get.getAs[Int]("npair") === 6)
+    assert(ab.get.getAs[Int]("na") === 6 && ab.get.getAs[Int]("nb") === 6)
+    // lift = 6*6*1e6 div 36 = 1e6 (independence baseline for a sure pair)
+    assert(ab.get.getAs[Long]("lift_micro") === 1000000L)
+  }
+
+  test("weightedPrioritySample is deterministic and weight-sensitive") {
+    val df = (0 until 200).map(i => (i.toLong, if (i < 20) 1000000L else 1L))
+      .toDF("id", "w0")
+    val s1 = Curation.weightedPrioritySample(df, "id", col("w0"), 20)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val s2 = Curation.weightedPrioritySample(df, "id", col("w0"), 20)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    // the 20 heavy rows (1e6x weight) should dominate the sample
+    assert(s1.count(_ < 20L) >= 18)
+  }
+
+  test("shardAssign routes every row to [0, n) deterministically; writeTrainShards round-trips") {
+    val docs = (0 until 100).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val a = Curation.shardAssign(docs, "doc_id", 8)
+    val shards = a.select(col("shard")).distinct().collect().map(_.getInt(0)).sorted
+    assert(shards.forall(s => s >= 0 && s < 8))
+    assert(a.count() === 100L)
+    val dir = java.nio.file.Files.createTempDirectory("shards_").toString
+    try {
+      Curation.writeTrainShards(docs, "doc_id", 8, dir)
+      val back = spark.read.parquet(dir)
+      assert(back.count() === 100L)
+      assert(back.select(col("doc_id")).except(docs.select(col("doc_id"))).count() === 0L)
+      val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("shard=")).sorted
+      assert(dirs.length === shards.length)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("gopherRepetition computes exact micro-fractions and flags loops") {
+    val docs = Seq(
+      (0L, "a b a b a b"),                      // pure loop
+      (1L, "one two three four five six seven") // no repetition
+    ).toDF("doc_id", "text")
+    val r = Curation.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc 0: 2-grams [ab,ba,ab,ba,ab] n2=5 mx2=3; 3-grams [aba,bab,aba,bab] n3=4 dup3=4
+    assert(r(0L).getAs[Long]("top2_micro") === 3L * 1000000L / 5L)
+    assert(r(0L).getAs[Long]("dup3_micro") === 1000000L)
+    assert(r(0L).getAs[Boolean]("flagged"))
+    assert(r(1L).getAs[Long]("top2_micro") === 1000000L / 6L)
+    assert(r(1L).getAs[Long]("dup3_micro") === 0L)
+    assert(!r(1L).getAs[Boolean]("flagged"))
+  }
+
+  test("ccnetBuckets partitions the scored corpus into 3 tertiles") {
+    val docs = (0 until 30).map { i =>
+      val base = Seq.fill(4)(s"tok${i % 5} word common").mkString(" ")
+      (i.toLong, base + s" unique$i")
+    }.toDF("doc_id", "text")
+    val b = Curation.ccnetBuckets(docs, "doc_id", "text").collect()
+    assert(b.map(_.getString(0)).sorted.toSeq === Seq("head", "middle", "tail"))
+    assert(b.map(_.getAs[Int]("n_docs")).sum === 30)
+    val byName = b.map(r => r.getString(0) -> r).toMap
+    // head holds the highest log-probs: its min must be >= middle's max
+    assert(byName("head").getAs[Double]("min_lp") >=
+      byName("middle").getAs[Double]("max_lp"))
+  }
+
+  test("kmeansInt separates well-separated clusters and conserves rows") {
+    // two tight clusters in 4-d space, k=2
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(base, base, base, base).map(_ + i * 1e-4f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansInt(vecs, k = 2, iters = 2).collect()
+    assert(out.map(_.getAs[Int]("n")).sum === 20)
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Int]("n")).toSet === Set(10))
+    // checksums land near +4e6 / -4e6 — opposite signs prove separation
+    val sums = out.map(_.getAs[Long]("centroid_sum"))
+    assert(sums.exists(_ > 3000000L) && sums.exists(_ < -3000000L))
+  }
+}
