@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Graph, Similarity}
+import graft.operators.{Curation, Dedup, Graph, Similarity, Sketch}
+import graft.functions.TextFunctions
 import Q._
 
 /** Scale-pipeline pack (q135-q141): graph analytics over derived edge
@@ -75,7 +76,62 @@ object ScaleQueries {
     // arithmetic: per-cell population + centroid checksum after the
     // final update. The first oracle-replayable iters > 0 clustering.
     "q141_kmeans" -> ((s, dir) =>
-      Similarity.kmeansInt(t(s, dir, "embeddings"), k = 4, iters = 2))
+      Similarity.kmeansInt(t(s, dir, "embeddings"), k = 4, iters = 2)),
+
+    // Triangle counts over the simhash near-dup pair graph (q100's
+    // candidates): local clustering density of the duplicate graph —
+    // high-triangle nodes sit in verbatim-boilerplate families, not
+    // chance collisions. Top-20 nodes by triangle participation.
+    "q142_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(
+          Dedup.simhashPairsAuto(t(s, dir, "documents"), "doc_id", "text")
+            .select(col("doc_a").as("u"), col("doc_b").as("v")))
+        .orderBy(col("n_tri").desc, col("node")).limit(20)),
+
+    // Personalized PageRank (random walk with restart) from customers
+    // 0-9 over the trade graph: the "suppliers related to these
+    // customers" recommendation primitive, same integer mass
+    // machinery as q135 with teleport pinned to the seed set.
+    "q143_ppr" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey").cast("long") + 1)).as("dst"))
+      val seeds = s.range(10).select(col("id").as("node"))
+      Graph.personalizedPageRankInt(Graph.symmetrize(pairs), seeds, iters = 3)
+        .select(col("node"), col("rank").as("mass"))
+        .orderBy(col("mass").desc, col("node")).limit(20)
+    }),
+
+    // HLL sketch overlap matrix over per-source 3-shingle sets: the
+    // one-scan, kilobytes-per-source approximation of q95's exact
+    // cross-source dup matrix, graded on its inclusion-exclusion
+    // contract (estimate within 2% of the exact union + 5).
+    "q144_hll_overlap" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFunctions.shingles(
+            TextFunctions.tokenize(col("text")), 3)).as("shingle"))
+        .distinct()
+      val per = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val exact = sh.as("a")
+        .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+          col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("tag_a"), col("b.source").as("tag_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      Sketch.hllOverlapMatrix(sh, "source", "shingle", lgK = 16)
+        .join(exact, Seq("tag_a", "tag_b"), "left_outer")
+        .na.fill(0L, Seq("exact_overlap"))
+        .join(per.select(col("source").as("tag_a"), col("n").as("na_ex")), "tag_a")
+        .join(per.select(col("source").as("tag_b"), col("n").as("nb_ex")), "tag_b")
+        .select(col("tag_a"), col("tag_b"),
+          col("exact_overlap").cast("long").as("exact_overlap"),
+          (abs(col("est_overlap") - col("exact_overlap")) <=
+            lit(0.02) * (col("na_ex") + col("nb_ex") - col("exact_overlap")) + lit(5))
+            .cast("int").as("within_tol"))
+        .orderBy(col("tag_a"), col("tag_b"))
+    })
   )
 
   /** Tokens-with-empties-filtered CTE body (same as CurationQueries). */
@@ -95,6 +151,23 @@ object ScaleQueries {
   private def sqlPrStep(prev: String) =
     s"""SELECT e.dst AS node,
           CAST(150000 + (85 * sum(r.mass // d.d)) // 100 AS BIGINT) AS mass
+        FROM e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
+        GROUP BY e.dst"""
+
+  /** The trade-graph edge/degree CTE prefix shared by q135 and q143. */
+  private val sqlTradeGraph =
+    s"""p AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+            CAST(-(l_suppkey + 1) AS BIGINT) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1)"""
+
+  /** One PERSONALIZED superstep: teleport mass lands only on seeds. */
+  private def sqlPprStep(prev: String) =
+    s"""SELECT e.dst AS node,
+          CAST((85 * sum(r.mass // d.d)) // 100 +
+            (CASE WHEN e.dst IN (SELECT sd.s FROM sd) THEN 150000 ELSE 0 END)
+            AS BIGINT) AS mass
         FROM e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
         GROUP BY e.dst"""
 
@@ -122,11 +195,7 @@ object ScaleQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q135_pagerank" ->
-      s"""WITH p AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
-              CAST(-(l_suppkey + 1) AS BIGINT) AS dst
-            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-          e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
-          deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+      s"""WITH $sqlTradeGraph,
           r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS mass FROM deg),
           r1 AS (${sqlPrStep("r0")}),
           r2 AS (${sqlPrStep("r1")}),
@@ -214,6 +283,45 @@ object ScaleQueries {
           cs AS (SELECT cell, CAST(list_sum(c) AS BIGINT) AS centroid_sum FROM c2)
           SELECT af.cell, CAST(count(*) AS INT) AS n, cs.centroid_sum
           FROM af JOIN cs ON af.cell = cs.cell
-          GROUP BY af.cell, cs.centroid_sum ORDER BY af.cell"""
+          GROUP BY af.cell, cs.centroid_sum ORDER BY af.cell""",
+
+    "q142_triangles" ->
+      s"""WITH pr AS (SELECT doc_a AS u, doc_b AS v
+            FROM (${DedupQueries.sqlSimhashPairsAuto})),
+          tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM pr e1 JOIN pr e2 ON e1.v = e2.u
+            JOIN pr e3 ON e3.u = e1.u AND e3.v = e2.v),
+          n AS (SELECT unnest([a, b, c]) AS node FROM tri)
+          SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM n
+          GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 20""",
+
+    "q143_ppr" ->
+      s"""WITH $sqlTradeGraph,
+          sd AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS s),
+          r0 AS (SELECT src AS node,
+              CAST(CASE WHEN src IN (SELECT sd.s FROM sd) THEN 1000000 ELSE 0 END
+                AS BIGINT) AS mass FROM deg),
+          r1 AS (${sqlPprStep("r0")}),
+          r2 AS (${sqlPprStep("r1")}),
+          r3 AS (${sqlPprStep("r2")})
+          SELECT node, mass FROM r3 WHERE mass > 0
+          ORDER BY mass DESC, node LIMIT 20""",
+
+    // approx leg replayed as contract only (sketch internals are
+    // library state); exact overlap + per-pair tolerance bit = 1.
+    "q144_hll_overlap" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id AS source, shingle
+            FROM (${DedupQueries.sqlShingles(s"SELECT source AS doc_id, text FROM $DocsPq")})),
+          srcs AS (SELECT DISTINCT source FROM sh),
+          allp AS (SELECT a.source AS tag_a, b.source AS tag_b
+            FROM srcs a JOIN srcs b ON a.source < b.source),
+          ov AS (SELECT a.source AS tag_a, b.source AS tag_b,
+              count(*) AS o
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+            GROUP BY 1, 2)
+          SELECT tag_a, tag_b, CAST(COALESCE(o, 0) AS BIGINT) AS exact_overlap,
+            1 AS within_tol
+          FROM allp LEFT JOIN ov USING (tag_a, tag_b)
+          ORDER BY tag_a, tag_b"""
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Graph, Similarity}
+import graft.operators.{Curation, Graph, Similarity, Sketch}
 
 /** Specs for the scale-pipeline operator pack (graph analytics,
   * co-occurrence mining, deterministic sampling/sharding, repetition
@@ -28,6 +28,52 @@ class ScaleOpsSpec extends SparkSpec {
     assert((1L to 6L).map(ranks).distinct.size === 1) // leaves symmetric
     // total mass never exceeds the injected total (truncation only loses)
     assert(ranks.values.sum <= 7L * 1000000L)
+  }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per corner") {
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("u", "v")
+    val t = Graph.triangleCounts(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("projectBipartite projects shared-key pairs and rejects hot keys") {
+    val pairs = Seq(("k1", 1L), ("k1", 2L), ("k1", 3L), ("k2", 2L), ("k2", 3L))
+      .toDF("k", "s")
+    val e = Graph.projectBipartite(pairs, "k", "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.projectBipartite(pairs, "k", "s", maxPerKey = 2)
+    }
+    assert(ex.getMessage.contains("maxPerKey"))
+  }
+
+  test("personalizedPageRankInt: mass radiates from the seed and decays") {
+    // path 0-1-2-3-4-5, seed {0}, 2 supersteps: only nodes within
+    // distance 2 hold walked-in mass (plus the seed's teleport).
+    val pairs = (0L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(0L)).toDF("node")
+    val r = Graph.personalizedPageRankInt(Graph.symmetrize(pairs), seeds, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet === Set(0L, 1L, 2L)) // distance <= iters only
+    // the seed holds the maximum (walked-in + exclusive teleport);
+    // per-step mass is NOT monotone in distance (path parity ping-pong)
+    assert(r(0L) === r.values.max)
+    assert(r.values.sum <= 1000000L + 2 * 150000L) // walked + 2 teleports
+  }
+
+  test("hllOverlapMatrix estimates overlap within the sketch error bound") {
+    // tags A/B: 20k keys each, 10k shared
+    val rows = ((0 until 20000).map(i => ("A", s"key$i")) ++
+      (10000 until 30000).map(i => ("B", s"key$i"))).toDF("tag", "k")
+    val m = Sketch.hllOverlapMatrix(rows, "tag", "k", lgK = 14).collect()
+    assert(m.length === 1)
+    val est = m.head.getAs[Long]("est_overlap")
+    // union = 30k; lgK=14 → rsd 0.8%; 3-term inclusion-exclusion stays
+    // well inside 2% of the union
+    assert(math.abs(est - 10000L) <= 600L, s"est_overlap=$est")
   }
 
   test("pmiPairs surfaces the always-co-occurring pair with exact counts") {
