@@ -15,6 +15,28 @@ object Bench {
     // Warm the JVM (codegen, shuffle, parquet reader paths).
     spark.read.parquet(s"$sfDir/region.parquet").repartition(4).groupBy("r_name").count().count()
     SparkEntry.entry(spark).count()
+    // Host-speed calibration: a FIXED amount of integer work, single
+    // thread and all-cores, timed in ms. Query seconds are only
+    // comparable across rounds when divided by host speed — round 9
+    // measured the identical tree uniformly 1.43x slower than the
+    // round-8 snapshot on a freshly provisioned container (two runs,
+    // zero internal drift), which without this number is
+    // indistinguishable from a real regression.
+    def burn(iters: Long): Long = {
+      var x = 88172645463325252L; var i = 0L
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    def ms(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; math.rint((System.nanoTime() - t0) / 1e3) / 1e3
+    }
+    val sink = new java.util.concurrent.atomic.AtomicLong // observable: JIT can't elide
+    val calib1t = ms(sink.addAndGet(burn(200000000L)))
+    val nCores = Runtime.getRuntime.availableProcessors()
+    val calibNt = ms {
+      val ts = (0 until nCores).map(_ => new Thread(() => { sink.addAndGet(burn(200000000L)); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
     // Per query: first (cold) run pays whole-stage-codegen compilation
     // of that plan (~1-3s each, measured; data compute at sf0.1 is a
     // fraction of it); second run is steady-state. Report warm as the
@@ -155,7 +177,7 @@ object Bench {
     val suspects = ok.collect { case (n, c, w, _) if w > 1.5 * c => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val drift = driftNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val tail = s""""cold_total":$coldTotal,"errors":$errs,"n_errors":$nErrors,"suspect":$suspects,"drift":$drift,"isolate":$isolate,"mode":"warm=min(steady-state runs; re-measured after GC on warm>cold inversion; re-measured isolated on >2x snapshot drift) over non-errored queries; cold=first-run incl. codegen compile","sf":"$sfDir""""
+    val tail = s""""cold_total":$coldTotal,"errors":$errs,"n_errors":$nErrors,"suspect":$suspects,"drift":$drift,"isolate":$isolate,"calib_1t_ms":$calib1t,"calib_nt_ms":$calibNt,"calib_cores":$nCores,"mode":"warm=min(steady-state runs; re-measured after GC on warm>cold inversion; re-measured isolated on >2x snapshot drift) over non-errored queries; cold=first-run incl. codegen compile; calib=fixed 200M-iter xorshift per thread, 1 thread vs all cores — divide query secs by calib ratio before cross-round compares","sf":"$sfDir""""
     val json = s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$warmQs,"queries_cold":$coldQs,$tail}"""
     // Full JSON goes to a file (stdout alone is fragile under sbt's log
     // interleaving — the driver's tail capture truncated it mid-line two

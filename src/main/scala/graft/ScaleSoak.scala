@@ -72,7 +72,11 @@ object ScaleSoak {
     // Its scale path q130 (auto-LSH buckets) is on the ladder instead.
     "q123_pipe_wordcount", "q124_index_union", "q126_sink_roundtrip",
     "q127_zorder_layout", "q129_versioned_upsert", "q130_semantic_dedup_lsh",
-    "q131_bpe_train", "q132_bpe_segment", "q133_zorder3", "q134_corpus_refresh")
+    "q131_bpe_train", "q132_bpe_segment", "q133_zorder3", "q134_corpus_refresh",
+    // round-9 additions (q135/q143 are star-schema → bench ladder)
+    "q136_pmi_pairs", "q137_weighted_sample", "q138_train_shards",
+    "q139_gopher_rep", "q140_ccnet_buckets", "q141_kmeans",
+    "q142_triangles", "q144_hll_overlap")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

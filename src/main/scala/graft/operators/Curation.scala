@@ -534,15 +534,19 @@ object Curation {
   def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
       minDf: Int = 5, minPair: Int = 3, maxTokensPerDoc: Int = 64,
       k: Int = 50): DataFrame = {
-    val tok = Q.explodedTokens(docs, idCol, textCol)
-      .select(col(idCol).as("id"), col("token")).distinct()
+    val tok = graft.GraftCache.registered(
+      Q.explodedTokens(docs, idCol, textCol)
+        .select(col(idCol).as("id"), col("token")).distinct())
     val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") >= minDf)
-    val kept = tok.join(dfreq, "token")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("token"))))
-      .filter(col("rn") <= maxTokensPerDoc)
-      .select(col("id"), col("token"))
+    // kept feeds BOTH legs of the pair self-join — persist or the
+    // token scan + df join run twice
+    val kept = graft.GraftCache.registered(
+      tok.join(dfreq, "token")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("token"))))
+        .filter(col("rn") <= maxTokensPerDoc)
+        .select(col("id"), col("token")))
     val nDocs = broadcast(docs.agg(
       countDistinct(col(idCol)).as("n_docs")))
     val pairs = kept.as("a")

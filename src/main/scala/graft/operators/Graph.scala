@@ -53,8 +53,9 @@ object Graph {
       initMass: Long = 1000000L, dampNum: Int = 85, dampDen: Int = 100,
       checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).cache()
+    val e = graft.GraftCache.registered(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val baseMass = initMass * (dampDen - dampNum) / dampDen
     var ranks = deg.select(col("src").as("node"), lit(initMass).as("rank"))
@@ -74,9 +75,13 @@ object Graph {
     ranks
   }
 
-  /** Both directions of each distinct undirected link. */
+  /** Both directions of each distinct undirected link. The canonical
+    * frame feeds both union legs, so it persists through the call
+    * (released with [[graft.GraftCache.releaseAll]]).
+    */
   def symmetrize(pairs: DataFrame): DataFrame = {
-    val p = pairs.select(col("src"), col("dst")).distinct()
+    val p = graft.GraftCache.registered(
+      pairs.select(col("src"), col("dst")).distinct())
     p.union(p.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
@@ -98,8 +103,9 @@ object Graph {
       initMass: Long = 1000000L, dampNum: Int = 85, dampDen: Int = 100,
       checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).cache()
+    val e = graft.GraftCache.registered(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
     val sd = broadcast(seeds.select(col("node").cast("long").as("node")).distinct())
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val baseMass = initMass * (dampDen - dampNum) / dampDen
@@ -168,8 +174,12 @@ object Graph {
     * [[projectBipartite]]).
     */
   def triangleCounts(canonEdges: DataFrame): DataFrame = {
-    val e = canonEdges.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v"))
+    // the edge frame feeds THREE join legs — without a persist the
+    // upstream pipeline (often an LSH candidate generator) would
+    // execute once per leg (measured: q142 8.6s → 2.9s at sf0.1)
+    val e = graft.GraftCache.registered(
+      canonEdges.select(col("u").cast("long").as("u"),
+        col("v").cast("long").as("v")))
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.v") === col("e2.u"))
       .join(e.as("e3"),

@@ -109,11 +109,14 @@ object ScaleQueries {
     // cross-source dup matrix, graded on its inclusion-exclusion
     // contract (estimate within 2% of the exact union + 5).
     "q144_hll_overlap" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
-        .select(col("source"),
-          explode(TextFunctions.shingles(
-            TextFunctions.tokenize(col("text")), 3)).as("shingle"))
-        .distinct()
+      // feeds the sketch build + both exact-join legs + per-source
+      // totals — persist once
+      val sh = graft.GraftCache.registered(
+        t(s, dir, "documents")
+          .select(col("source"),
+            explode(TextFunctions.shingles(
+              TextFunctions.tokenize(col("text")), 3)).as("shingle"))
+          .distinct())
       val per = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val exact = sh.as("a")
         .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
