@@ -76,7 +76,7 @@ object ScaleSoak {
     // round-9 additions (q135/q143 are star-schema → bench ladder)
     "q136_pmi_pairs", "q137_weighted_sample", "q138_train_shards",
     "q139_gopher_rep", "q140_ccnet_buckets", "q141_kmeans",
-    "q142_triangles", "q144_hll_overlap")
+    "q142_triangles", "q144_hll_overlap", "q145_containment")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

@@ -638,10 +638,28 @@ object Curation {
     */
   def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
       top2Threshold: Long = 200000L, dup3Threshold: Long = 180000L): DataFrame = {
-    import graft.functions.TextFunctions.{shingles, tokenize}
+    val sp = docs.sparkSession
+    import sp.implicits._
+    // Gram occurrences as (doc, 64-bit FNV-1a of the gram) from a
+    // typed flatMap: the explode-over-computed-array form dropped out
+    // of whole-stage codegen AND keyed two corpus-sized aggregates on
+    // 32-char md5 strings — measured 105 s at the 100x soak tier where
+    // this shape runs in seconds. Counting is injective-enough under a
+    // 64-bit hash (collisions only matter WITHIN one document's ~10²
+    // grams); the oracle counts raw gram strings — identical counts.
+    def fnv64(s: String): Long = {
+      var h = 0xcbf29ce484222325L; var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h
+    }
     def gramStats(n: Int) = docs
-      .select(col(idCol), explode(shingles(tokenize(col(textCol)), n)).as("g"))
-      .select(col(idCol), md5(col("g")).as("g"))
+      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val tk = graft.functions.Tokenize.closure(text)
+        if (tk.length < n) Iterator.empty
+        else tk.sliding(n).map(g => (id, fnv64(g.mkString(" "))))
+      }
+      .toDF(idCol, "g")
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as(s"n$n"), max(col("c")).as(s"mx$n"),

@@ -1046,4 +1046,56 @@ object Dedup {
         max(col("quality")).as("kept_quality"),
         count(lit(1)).as("n_docs"))
   }
+
+  /** CONTAINMENT near-dup pairs via rare-shingle blocking: detects a
+    * document substantially contained in another (quotes, excerpts,
+    * page-of-a-chapter) — the asymmetric case Jaccard-based MinHash
+    * structurally under-weights (a 50-shingle doc inside a
+    * 5000-shingle doc has Jaccard ≈ 0.01 but containment 1.0).
+    *
+    * Candidates: entity-resolution-style rare-feature blocking — two
+    * docs are compared iff they share a shingle whose document
+    * frequency is in [2, maxDf]. Every containing pair with at least
+    * one rare shingle in the contained doc is found; pairs sharing
+    * only ubiquitous boilerplate are (deliberately) not candidates —
+    * that regime belongs to [[chunkFingerprints]]. Per-shingle
+    * candidate fan-out is ≤ maxDf², and the block join is guarded by
+    * [[requireBoundedBlocks]] like every other blocked self-join.
+    *
+    * Verification is exact: `|A∩B| · 10⁶ div min(|A|,|B|)` over the
+    * distinct shingle-hash sets (integer micro-containment — the
+    * oracle replays it bit-for-bit via the shared h31 hash). The
+    * intersection join carries candidate pairs × the smaller doc's
+    * shingles, never the corpus cross product.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Int = 5, thresholdMicro: Long = 500000L): DataFrame = {
+    val sh = graft.GraftCache.registered(
+      shingleHashes(docs, idCol, textCol).distinct())
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select(col("h"))
+    val blocked = sh.join(rare, "h")
+    requireBoundedBlocks(blocked, Seq(col("h")),
+      s"a smaller maxDf (currently $maxDf: rare-shingle blocking saturates when maxDf admits boilerplate shingles)")
+    val cand = blocked.as("l").join(blocked.as("r"),
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("containment_micro",
+        expr("(n_inter * 1000000) div least(na, nb)"))
+      .filter(col("containment_micro") >= thresholdMicro)
+      .select(col("doc_a"), col("doc_b"),
+        col("n_inter").cast("int").as("n_inter"),
+        col("na").cast("int").as("na"), col("nb").cast("int").as("nb"),
+        col("containment_micro"))
+  }
 }

@@ -134,7 +134,15 @@ object ScaleQueries {
             lit(0.02) * (col("na_ex") + col("nb_ex") - col("exact_overlap")) + lit(5))
             .cast("int").as("within_tol"))
         .orderBy(col("tag_a"), col("tag_b"))
-    })
+    }),
+
+    // Containment near-dup pairs (quote/excerpt detection): the
+    // asymmetric case Jaccard under-weights, candidates via
+    // entity-resolution rare-shingle blocking, exact integer
+    // micro-containment verify.
+    "q145_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b")))
   )
 
   /** Tokens-with-empties-filtered CTE body (same as CurationQueries). */
@@ -325,6 +333,28 @@ object ScaleQueries {
           SELECT tag_a, tag_b, CAST(COALESCE(o, 0) AS BIGINT) AS exact_overlap,
             1 AS within_tol
           FROM allp LEFT JOIN ov USING (tag_a, tag_b)
-          ORDER BY tag_a, tag_b"""
+          ORDER BY tag_a, tag_b""",
+
+    "q145_containment" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, ${DedupQueries.sqlH31("shingle")} AS h
+            FROM (${DedupQueries.sqlShingles(s"SELECT doc_id, text FROM $DocsPq")})),
+          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM sh GROUP BY 1)
+            WHERE df BETWEEN 2 AND 5),
+          bl AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bl l JOIN bl r ON l.h = r.h AND l.doc_id < r.doc_id),
+          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, CAST(n_inter AS INT) AS n_inter,
+            CAST(sa.n AS INT) AS na, CAST(sb.n AS INT) AS nb,
+            CAST((n_inter * 1000000) // least(sa.n, sb.n) AS BIGINT)
+              AS containment_micro
+          FROM inter JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+          WHERE (n_inter * 1000000) // least(sa.n, sb.n) >= 500000
+          ORDER BY doc_a, doc_b"""
   )
 }

@@ -76,6 +76,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(est - 10000L) <= 600L, s"est_overlap=$est")
   }
 
+  test("containmentPairs finds the contained excerpt Jaccard would miss") {
+    // doc 1 is a verbatim excerpt of doc 0 (first 6 of 14 tokens):
+    // containment = 1.0 while Jaccard ~ 4/12
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally unrelated words over here now with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val p = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text").collect()
+    assert(p.length === 1)
+    val r = p.head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 1L)
+    assert(r.getAs[Int]("n_inter") === 4 && r.getAs[Int]("nb") === 4)
+    assert(r.getAs[Long]("containment_micro") === 1000000L)
+  }
+
   test("pmiPairs surfaces the always-co-occurring pair with exact counts") {
     // 'alpha beta' co-occur in all 6 docs; filler tokens vary.
     val docs = (0 until 6).map(i => (i.toLong, s"alpha beta filler$i common"))
