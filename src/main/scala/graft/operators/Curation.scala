@@ -640,35 +640,60 @@ object Curation {
       top2Threshold: Long = 200000L, dup3Threshold: Long = 180000L): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
-    // Gram occurrences as (doc, 64-bit FNV-1a of the gram) from a
-    // typed flatMap: the explode-over-computed-array form dropped out
-    // of whole-stage codegen AND keyed two corpus-sized aggregates on
-    // 32-char md5 strings — measured 105 s at the 100x soak tier where
-    // this shape runs in seconds. Counting is injective-enough under a
-    // 64-bit hash (collisions only matter WITHIN one document's ~10²
-    // grams); the oracle counts raw gram strings — identical counts.
-    def fnv64(s: String): Long = {
-      var h = 0xcbf29ce484222325L; var i = 0
-      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
-      h
-    }
-    def gramStats(n: Int) = docs
-      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // Gram statistics are DOCUMENT-LOCAL — every count, max, and
+    // dup-sum is computable from one document's ~10² grams alone — so
+    // the right kernel is a single typed map with a per-doc hash map:
+    // one corpus pass, ZERO shuffles, embarrassingly parallel. The
+    // first cut keyed two corpus-sized (doc, gram) aggregates instead
+    // (the "SQL reflex" shape): 105 s at the 100x soak tier and
+    // superlinear (exp 1.32) into the 1000x tier as the 500M-row
+    // shuffles started spilling, where this kernel is the scan floor.
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
         val tk = graft.functions.Tokenize.closure(text)
-        if (tk.length < n) Iterator.empty
-        else tk.sliding(n).map(g => (id, fnv64(g.mkString(" "))))
+        if (tk.length < 3) Iterator.empty
+        else {
+          // allocation-free inner loop: hash each token once (FNV-1a),
+          // gram hash = FNV chain over token hashes, then sort + count
+          // runs — a per-gram string build (sliding().mkString) was
+          // itself 2x the whole pass. 64-bit collisions only matter
+          // WITHIN one doc's ~10² grams: vanishing, and the oracle's
+          // raw-string counts agree or the gate catches it.
+          val th = new Array[Long](tk.length)
+          var i = 0
+          while (i < tk.length) {
+            val s = tk(i); var h = 0xcbf29ce484222325L; var c = 0
+            while (c < s.length) { h ^= s.charAt(c); h *= 0x100000001b3L; c += 1 }
+            th(i) = h; i += 1
+          }
+          def stats(n: Int): (Long, Long, Long) = {
+            val m = tk.length - n + 1
+            val gh = new Array[Long](m)
+            var j = 0
+            while (j < m) {
+              var h = 0xcbf29ce484222325L; var k = 0
+              while (k < n) { h = (h ^ th(j + k)) * 0x100000001b3L; k += 1 }
+              gh(j) = h; j += 1
+            }
+            java.util.Arrays.sort(gh)
+            var mx = 0L; var dup = 0L; var run = 1L; var idx = 1
+            while (idx <= m) {
+              if (idx < m && gh(idx) == gh(idx - 1)) run += 1
+              else { if (run > mx) mx = run; if (run > 1) dup += run; run = 1 }
+              idx += 1
+            }
+            (m.toLong, mx, dup)
+          }
+          val (n2, mx2, _) = stats(2)
+          val (n3, _, dup3) = stats(3)
+          // Long '/' truncates toward zero == `div` on the positives here
+          Iterator((id, n2, n3, mx2 * 1000000L / n2, dup3 * 1000000L / n3))
+        }
       }
-      .toDF(idCol, "g")
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(sum(col("c")).as(s"n$n"), max(col("c")).as(s"mx$n"),
-        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as(s"dup$n"))
-    gramStats(2).join(gramStats(3), idCol)
+      .toDF(idCol, "n2l", "n3l", "top2_micro", "dup3_micro")
       .select(col(idCol),
-        col("n2").cast("int").as("n2"), col("n3").cast("int").as("n3"),
-        expr("(mx2 * 1000000) div n2").as("top2_micro"),
-        expr("(dup3 * 1000000) div n3").as("dup3_micro"))
+        col("n2l").cast("int").as("n2"), col("n3l").cast("int").as("n3"),
+        col("top2_micro"), col("dup3_micro"))
       .withColumn("flagged",
         col("top2_micro") > top2Threshold || col("dup3_micro") > dup3Threshold)
   }

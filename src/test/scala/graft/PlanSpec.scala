@@ -500,4 +500,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     graft.GraftCache.releaseAll()
   }
+
+  test("q135/q143 PageRank supersteps never plan a nested loop or cartesian") {
+    for (name <- Seq("q135_pagerank", "q143_ppr")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+    graft.GraftCache.releaseAll()
+  }
+
+  test("q137 weighted sample plans as TakeOrderedAndProject — only k winners move") {
+    val p = plan(q("q137_weighted_sample"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q136 PMI attaches the corpus count by broadcast, never a shuffle") {
+    val p = plan(q("q136_pmi_pairs"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row n_docs frame rides a broadcast nested loop (1 row) or
+    // broadcast exchange — either way no shuffle exchange for it
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    graft.GraftCache.releaseAll()
+  }
+
+  test("q141 kmeans assignment is a pure scan — centroids ride as literals") {
+    val p = plan(q("q141_kmeans"))
+    // no join anywhere on the assignment path except the final tiny
+    // broadcast of per-cell checksums
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
