@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-event analytics over an event stream (user journeys): the
+  * sequential-funnel and cohort-retention primitives every
+  * product/ops pipeline runs next to its windowed aggregates
+  * (SURVEY.md §2.5's window family is per-event; these are
+  * per-SEQUENCE). The reference has no event surface at all; these
+  * compose Spark's keyed aggregates so each stage is one
+  * map-side-combined shuffle on the user key.
+  */
+object Sequence {
+
+  /** Strict sequential funnel: per user, stage `i+1` counts only if an
+    * event of its type occurs STRICTLY AFTER the user's earliest
+    * completion of stage `i` (the classic ordered-funnel semantics —
+    * a purchase before the first view does not convert). Returns one
+    * row per stage: `(stage_idx, stage, n_users)`.
+    *
+    * Shape: one filtered min-aggregate per stage, each joined to the
+    * previous stage's per-user frontier — `stages.length` keyed
+    * shuffles on the user key, each carrying one row per surviving
+    * user (monotonically shrinking). No windows, no per-user event
+    * sorting: the frontier join prunes before any ordering work.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val byUser = Seq(col(userCol))
+    var frontier = events.filter(col(typeCol) === stages.head)
+      .groupBy(byUser: _*).agg(min(col(tsCol)).as("t"))
+    var out = frontier.agg(count(lit(1)).cast("int").as("n_users"))
+      .select(lit(0).as("stage_idx"), lit(stages.head).as("stage"), col("n_users"))
+    for ((s, i) <- stages.tail.zipWithIndex) {
+      frontier = events.filter(col(typeCol) === s)
+        .join(frontier.select(col(userCol), col("t").as("prev_t")), userCol)
+        .filter(col(tsCol) > col("prev_t"))
+        .groupBy(byUser: _*).agg(min(col(tsCol)).as("t"))
+      out = out.union(
+        frontier.agg(count(lit(1)).cast("int").as("n_users"))
+          .select(lit(i + 1).as("stage_idx"), lit(s).as("stage"), col("n_users")))
+    }
+    out
+  }
+
+  /** Weekly cohort retention: users are cohorted by the week of their
+    * first event (weeks = 7-day buckets from the corpus's global
+    * earliest event — data-derived, no calendar config), and each
+    * (cohort week, weeks-since-cohort offset) cell counts the
+    * cohort's users active in that week. The global anchor rides a
+    * broadcast 1-row aggregate; everything else is two keyed
+    * aggregates (per-user first event, distinct user-weeks) and one
+    * count — all map-side combined, nothing corpus-quadratic.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val anchor = broadcast(events.agg(min(to_date(col(tsCol))).as("t0")))
+    val weeks = events.crossJoin(anchor)
+      .select(col(userCol),
+        expr(s"datediff(to_date($tsCol), t0) div 7").as("week"))
+    val firstWeek = weeks.groupBy(col(userCol)).agg(min(col("week")).as("cohort_week"))
+    weeks.distinct()
+      .join(firstWeek, userCol)
+      .select(col(userCol), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).cast("int").as("n_users"))
+  }
+
+  /** `rounds` iterations of k-core peeling over a SYMMETRIZED edge
+    * list: drop nodes with degree < k, drop edges touching them,
+    * repeat — after enough rounds the fixpoint is the k-core
+    * (community kernel / spam-farm detector). Returns per-round
+    * `(round, n_nodes, n_edges)` — n_edges counts directed arcs.
+    * Each round is one degree aggregate + two semi-joins, all keyed
+    * on node ids; lineage is cut per round ([[Dedup.connectedComponents]]
+    * discipline) so deep peels don't accrete plan depth.
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val sp = edges.sparkSession
+    import sp.implicits._
+    var e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val stats = (1 to rounds).map { r =>
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+      e = e.join(keep.withColumnRenamed("node", "src"), "src")
+        .join(keep.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val nNodes = e.select(col("src")).distinct().count()
+      val nEdges = e.count()
+      (r, nNodes, nEdges)
+    }
+    stats.toDF("round", "n_nodes", "n_edges")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Graph, Similarity, Sketch}
+import graft.operators.{Curation, Dedup, Graph, Sequence, Similarity, Sketch}
 import graft.functions.TextFunctions
 import Q._
 
@@ -142,7 +142,32 @@ object ScaleQueries {
     // micro-containment verify.
     "q145_containment" -> ((s, dir) =>
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Strict sequential funnel over the event stream: users whose
+    // first view precedes a later click precedes a later purchase.
+    "q146_funnel" -> ((s, dir) =>
+      Sequence.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))),
+
+    // Weekly cohort retention matrix (anchor = corpus's earliest
+    // event date — data-derived, replayable).
+    "q147_cohorts" -> ((s, dir) =>
+      Sequence.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
+    // 3 rounds of k-core peeling (k=30) on the trade graph: the
+    // cascade of node/edge survival per round.
+    "q148_kcore" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey").cast("long") + 1)).as("dst"))
+      Sequence.kcorePeel(Graph.symmetrize(pairs), k = 30, rounds = 3)
+        .orderBy(col("round"))
+    })
   )
 
   /** Tokens-with-empties-filtered CTE body (same as CurationQueries). */
@@ -355,6 +380,53 @@ object ScaleQueries {
           FROM inter JOIN sz sa ON sa.doc_id = doc_a
             JOIN sz sb ON sb.doc_id = doc_b
           WHERE (n_inter * 1000000) // least(sa.n, sb.n) >= 500000
-          ORDER BY doc_a, doc_b"""
+          ORDER BY doc_a, doc_b""",
+
+    "q146_funnel" ->
+      s"""WITH v AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+            JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+          p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+            JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1)
+          SELECT 0 AS stage_idx, 'view' AS stage,
+            (SELECT CAST(count(*) AS INT) FROM v) AS n_users
+          UNION ALL SELECT 1, 'click', (SELECT CAST(count(*) AS INT) FROM c)
+          UNION ALL SELECT 2, 'purchase', (SELECT CAST(count(*) AS INT) FROM p)
+          ORDER BY stage_idx""",
+
+    "q147_cohorts" ->
+      s"""WITH t0 AS (SELECT min(CAST(ts AS DATE)) AS t0 FROM events),
+          w AS (SELECT user_id,
+              CAST(datediff('day', t0, CAST(ts AS DATE)) AS BIGINT) // 7 AS week
+            FROM events CROSS JOIN t0),
+          f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+          d AS (SELECT DISTINCT user_id, week FROM w)
+          SELECT cohort_week, (week - cohort_week) AS week_offset,
+            CAST(count(*) AS INT) AS n_users
+          FROM d JOIN f USING (user_id)
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q148_kcore" -> {
+      def peel(prev: String, keep: String, out: String) =
+        s"""$keep AS (SELECT src AS node FROM
+              (SELECT src, count(*) AS d FROM $prev GROUP BY 1) WHERE d >= 30),
+            $out AS (SELECT $prev.src, $prev.dst FROM $prev
+              JOIN $keep ka ON $prev.src = ka.node
+              JOIN $keep kb ON $prev.dst = kb.node)"""
+      s"""WITH $sqlTradeGraph,
+          ${peel("e", "k1", "e1")},
+          ${peel("e1", "k2", "e2")},
+          ${peel("e2", "k3", "e3")}
+          SELECT 1 AS round, (SELECT count(DISTINCT src) FROM e1) AS n_nodes,
+            (SELECT count(*) FROM e1) AS n_edges
+          UNION ALL SELECT 2, (SELECT count(DISTINCT src) FROM e2),
+            (SELECT count(*) FROM e2)
+          UNION ALL SELECT 3, (SELECT count(DISTINCT src) FROM e3),
+            (SELECT count(*) FROM e3)
+          ORDER BY round"""
+    }
   )
 }

@@ -76,6 +76,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(est - 10000L) <= 600L, s"est_overlap=$est")
   }
 
+  test("funnel enforces strict event order per user") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"), // completes
+      (2L, ts(1), "purchase"), (2L, ts(2), "view"),  // purchase BEFORE view: stops at view
+      (3L, ts(1), "view"), (3L, ts(2), "purchase")   // skips click: stops at view
+    ).toDF("user_id", "ts", "event_type")
+    val f = graft.operators.Sequence.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getAs[Int]("n_users")).toMap
+    assert(f === Map("view" -> 3, "click" -> 1, "purchase" -> 1))
+  }
+
+  test("cohortRetention buckets users by first-seen week") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(8)),  // cohort week 0, active weeks 0 and 1
+      (2L, ts(8))                // cohort week 1, active week 1
+    ).toDF("user_id", "ts")
+    val m = graft.operators.Sequence.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("n_users")).toMap
+    assert(m === Map((0L, 0L) -> 1, (0L, 1L) -> 1, (1L, 0L) -> 1))
+  }
+
+  test("kcorePeel strips the pendant and keeps the clique") {
+    // K4 (0-3) plus pendant node 4 hanging off 0; k=3 removes only 4
+    val pairs = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (0L, 4L))).toDF("src", "dst")
+    val r = graft.operators.Sequence.kcorePeel(Graph.symmetrize(pairs), k = 3, rounds = 2)
+      .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1) === (4L, 12L)) // clique survives: 4 nodes, 12 arcs
+    assert(r(2) === (4L, 12L)) // fixpoint
+  }
+
   test("containmentPairs finds the contained excerpt Jaccard would miss") {
     // doc 1 is a verbatim excerpt of doc 0 (first 6 of 14 tokens):
     // containment = 1.0 while Jaccard ~ 4/12
