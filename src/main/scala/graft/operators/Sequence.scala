@@ -77,6 +77,25 @@ object Sequence {
     * on node ids; lineage is cut per round ([[Dedup.connectedComponents]]
     * discipline) so deep peels don't accrete plan depth.
     */
+  /** First-order transition matrix over each user's event sequence:
+    * counts of (previous type → type) adjacencies, ordered by
+    * `(ts, tieCol)` — the tie column makes same-timestamp ordering
+    * deterministic, so the matrix is engine-exact. One window pass
+    * partitioned by user (per-user sequences sort locally inside
+    * their hash partition — no global sort) + one counting aggregate.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("prev", lag(col(typeCol), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col(typeCol).as("cur"))
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val sp = edges.sparkSession
     import sp.implicits._

@@ -118,4 +118,31 @@ object Versioned {
         Paths.get(path, s"v=$v").toFile)
     }
   }
+
+  /** Change-data feed between two committed snapshots: one row per
+    * changed key with `op` ∈ insert / update / delete — what a
+    * downstream incremental consumer (index refresh, replication)
+    * reads instead of re-scanning the table. Keyed full-outer join of
+    * the two snapshot scans; non-key columns compare as a struct with
+    * null-safe equality. At rest both sides are complete snapshots,
+    * so the diff costs one co-partitioned join of the two versions —
+    * there is no manifest metadata to shortcut it, which is the
+    * simplicity/readback trade this format makes (vs. manifest
+    * formats whose diff is file-level).
+    */
+  def diff(spark: SparkSession, path: String, vFrom: Long, vTo: Long,
+      key: String): DataFrame = {
+    val a = read(spark, path, Some(vFrom))
+    val b = read(spark, path, Some(vTo))
+    val cols = b.columns.filterNot(_ == key)
+    val av = a.select(col(key), struct(cols.map(col): _*).as("va"))
+    val bv = b.select(col(key), struct(cols.map(col): _*).as("vb"))
+    av.join(bv, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("va").isNull, "insert")
+          .when(col("vb").isNull, "delete")
+          .when(!(col("va") <=> col("vb")), "update"))
+      .filter(col("op").isNotNull)
+      .select(col("op"), col(key))
+  }
 }

@@ -167,7 +167,30 @@ object ScaleQueries {
           (-(col("l_suppkey").cast("long") + 1)).as("dst"))
       Sequence.kcorePeel(Graph.symmetrize(pairs), k = 30, rounds = 3)
         .orderBy(col("round"))
-    })
+    }),
+
+    // Change-data feed between two versioned snapshots: commit v0,
+    // upsert a batch (100 modified + 100 new keys), read the diff —
+    // the incremental-consumer contract graded at rest.
+    "q149_version_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vdiff")
+        .toString + "/table"
+      graft.operators.Versioned.commit(path, docs.filter(col("doc_id") < 400))
+      val updates = docs.filter(col("doc_id") >= 300)
+        .withColumn("n_chars", col("n_chars") + 1000000L)
+      graft.operators.Versioned.upsert(s, path, updates, "doc_id")
+      graft.operators.Versioned.diff(s, path, 0L, 1L, "doc_id")
+        .orderBy(col("op"), col("doc_id"))
+    }),
+
+    // First-order event-type transition matrix per user journey
+    // (deterministic same-ts tie-break on event_id).
+    "q150_transitions" -> ((s, dir) =>
+      Sequence.transitionMatrix(t(s, dir, "events"), "user_id", "ts",
+          "event_type", "event_id")
+        .orderBy(col("prev"), col("cur")))
   )
 
   /** Tokens-with-empties-filtered CTE body (same as CurationQueries). */
@@ -427,6 +450,24 @@ object ScaleQueries {
           UNION ALL SELECT 3, (SELECT count(DISTINCT src) FROM e3),
             (SELECT count(*) FROM e3)
           ORDER BY round"""
-    }
+    },
+
+    // replay: v0 = docs<400, v1 = v0 upserted with (>=300 modified,
+    // >=400 inserted); deletes are impossible under upsert. n_chars
+    // +1e6 guarantees every overlapped key differs.
+    "q149_version_diff" ->
+      s"""WITH ins AS (SELECT 'insert' AS op, doc_id FROM $DocsPq WHERE doc_id >= 400),
+          upd AS (SELECT 'update' AS op, doc_id FROM $DocsPq
+            WHERE doc_id >= 300 AND doc_id < 400)
+          SELECT op, doc_id FROM ins UNION ALL SELECT op, doc_id FROM upd
+          ORDER BY op, doc_id""",
+
+    "q150_transitions" ->
+      s"""WITH o AS (SELECT user_id, event_type,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events)
+          SELECT prev, event_type AS cur, CAST(count(*) AS BIGINT) AS n
+          FROM o WHERE prev IS NOT NULL
+          GROUP BY 1, 2 ORDER BY prev, cur"""
   )
 }

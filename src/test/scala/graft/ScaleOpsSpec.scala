@@ -110,6 +110,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r(2) === (4L, 12L)) // fixpoint
   }
 
+  test("Versioned.diff classifies inserts, updates, and deletes") {
+    val dir = java.nio.file.Files.createTempDirectory("vdiff_").toString + "/t"
+    try {
+      graft.operators.Versioned.commit(dir,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+      graft.operators.Versioned.commit(dir,
+        Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")) // 3 gone, 2 changed, 4 new
+      val d = graft.operators.Versioned.diff(spark, dir, 0L, 1L, "k")
+        .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+      assert(d === Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
+  test("transitionMatrix counts adjacencies with deterministic tie-break") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 10L, "a"), (1L, ts(2), 11L, "b"), (1L, ts(2), 12L, "c"), // b,c tie on ts
+      (2L, ts(1), 20L, "a"), (2L, ts(2), 21L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val m = graft.operators.Sequence.transitionMatrix(ev, "user_id", "ts",
+        "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m === Map(("a", "b") -> 2L, ("b", "c") -> 1L))
+  }
+
   test("containmentPairs finds the contained excerpt Jaccard would miss") {
     // doc 1 is a verbatim excerpt of doc 0 (first 6 of 14 tokens):
     // containment = 1.0 while Jaccard ~ 4/12
