@@ -115,6 +115,40 @@ object EventStream {
 
   case class SessionOut(user_id: Long, n_events: Long, start_ts: Long, end_ts: Long)
 
+  case class UserStage(user_id: Long, stage_reached: Int)
+
+  /** Streaming strict sequential funnel — the incremental face of
+    * [[graft.operators.Sequence.funnel]]: per-user keyed state holds
+    * (stages completed, frontier event-time in micros); each batch's
+    * events are replayed in event-time order against the greedy
+    * frontier, which computes exactly the batch funnel's nested
+    * earliest-completion times (greedy-earliest ≡ nested min under
+    * the strict-after rule). State is two numbers per user — bounded
+    * by the user population, not the event history. Correct under
+    * in-order-per-user delivery across batches (the monotone-log
+    * streaming contract; a late event older than the frontier cannot
+    * rewind a completed stage).
+    */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+      stages: Seq[String]): DataFrame = {
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    events.select(col("user_id"), col("ts"), col("event_type")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[UserEvent], state: GroupState[(Int, Long)]) =>
+          var (s, frontier) = state.getOption.getOrElse((0, Long.MinValue))
+          val sorted = evs.toArray.sortBy(e => (micros(e.ts), e.event_type))
+          for (e <- sorted if s < stages.length)
+            if (e.event_type == stages(s) && (s == 0 || micros(e.ts) > frontier)) {
+              frontier = micros(e.ts); s += 1
+            }
+          state.update((s, frontier))
+          UserStage(uid, s)
+      }.toDF()
+  }
+
   /** Custom gap-based sessionizer via `flatMapGroupsWithState` — the
     * fully-custom stateful operator path (SURVEY §7.3's "genuinely
     * stateful-hard item"): per-user state holds the open session;

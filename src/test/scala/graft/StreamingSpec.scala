@@ -43,6 +43,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_events") > 0))
   }
 
+  test("streaming funnel state equals the batch funnel") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_streamf").toString
+    Q.events(spark, sf001).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val stages = Seq("view", "click", "purchase")
+    val q = EventStream.runToMemory(spark, tmp, "funnelout",
+      df => EventStream.funnelStream(spark, df, stages), OutputMode.Update())
+    q.processAllAvailable(); q.stop()
+    // latest state per user from the update stream
+    val streamed = spark.table("funnelout")
+      .groupBy(col("user_id")).agg(max(col("stage_reached")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.operators.Sequence.funnel(
+        Q.events(spark, sf001), "user_id", "ts", "event_type", stages)
+      .collect().map(r => r.getAs[Int]("stage_idx") -> r.getAs[Int]("n_users")).toMap
+    // batch stage i counts users whose streamed state passed stage i
+    for (i <- stages.indices)
+      assert(streamed.values.count(_ > i) === batch(i),
+        s"stage $i: stream=${streamed.values.count(_ > i)} batch=${batch(i)}")
+  }
+
+  test("streaming funnel carries frontier state across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val input = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.funnelStream(spark, input.toDF(), Seq("view", "click"))
+      .writeStream.format("memory").queryName("funnel2")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(EventStream.UserEvent(7L, ts(10), "view"))
+    q.processAllAvailable()
+    // click arrives in a LATER batch, after the stored frontier
+    input.addData(EventStream.UserEvent(7L, ts(20), "click"))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("funnel2")
+      .groupBy(col("user_id")).agg(max(col("stage_reached")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(last === Map(7L -> 2))
+  }
+
   test("mapGroupsWithState accumulates running per-user counts") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream3").toString
     Q.events(spark, sf001).write.mode("overwrite").parquet(s"$tmp/events.parquet")
