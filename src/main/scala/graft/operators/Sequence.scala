@@ -68,6 +68,39 @@ object Sequence {
       .agg(count(lit(1)).cast("int").as("n_users"))
   }
 
+  /** Last-touch attribution: for every conversion event, the latest
+    * touch event by the same user inside the lookback window
+    * (`touch_ts ∈ (conv_ts − windowSec, conv_ts]`), ties broken on
+    * the tie column — deterministic, so the attribution table is
+    * engine-exact. The batch face of
+    * [[graft.streaming.EventStream.purchaseAttribution]].
+    *
+    * Shape: user-keyed equi join with the window as a residual
+    * predicate (co-partitioned by user — never a time-only range
+    * join), then one ranking window per conversion. Join fan-out is
+    * bounded by touches-per-user-per-window, the analytics-native
+    * bound.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, convType: String, touchType: String,
+      windowSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol), col(tsCol).as("conv_ts"), col(tieCol).as("conv_id"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(userCol), col(tsCol).as("touch_ts"), col(tieCol).as("touch_id"))
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_ts").desc, col("touch_id").desc)
+    conv.join(touch, userCol)
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") > col("conv_ts") - expr(s"INTERVAL $windowSec SECONDS"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(userCol), col("conv_id"), col("touch_id"),
+        (unix_micros(col("conv_ts")) - unix_micros(col("touch_ts")))
+          .as("gap_micros"))
+  }
+
   /** `rounds` iterations of k-core peeling over a SYMMETRIZED edge
     * list: drop nodes with degree < k, drop edges touching them,
     * repeat — after enough rounds the fixpoint is the k-core

@@ -190,7 +190,15 @@ object ScaleQueries {
     "q150_transitions" -> ((s, dir) =>
       Sequence.transitionMatrix(t(s, dir, "events"), "user_id", "ts",
           "event_type", "event_id")
-        .orderBy(col("prev"), col("cur")))
+        .orderBy(col("prev"), col("cur"))),
+
+    // Last-touch attribution: latest click within the hour before
+    // each purchase, deterministic tie-break, exact micro gaps.
+    "q151_attribution" -> ((s, dir) =>
+      Sequence.lastTouchAttribution(t(s, dir, "events"), "user_id", "ts",
+          "event_type", "event_id", convType = "purchase",
+          touchType = "click", windowSec = 3600)
+        .orderBy(col("conv_id")))
   )
 
   /** Tokens-with-empties-filtered CTE body (same as CurationQueries). */
@@ -468,6 +476,21 @@ object ScaleQueries {
           FROM events)
           SELECT prev, event_type AS cur, CAST(count(*) AS BIGINT) AS n
           FROM o WHERE prev IS NOT NULL
-          GROUP BY 1, 2 ORDER BY prev, cur"""
+          GROUP BY 1, 2 ORDER BY prev, cur""",
+
+    "q151_attribution" ->
+      s"""WITH conv AS (SELECT user_id, ts AS conv_ts, event_id AS conv_id
+            FROM events WHERE event_type = 'purchase'),
+          touch AS (SELECT user_id, ts AS touch_ts, event_id AS touch_id
+            FROM events WHERE event_type = 'click'),
+          j AS (SELECT conv.user_id, conv_id, touch_id, conv_ts, touch_ts,
+              row_number() OVER (PARTITION BY conv_id
+                ORDER BY touch_ts DESC, touch_id DESC) AS rn
+            FROM conv JOIN touch ON conv.user_id = touch.user_id
+            WHERE touch_ts <= conv_ts
+              AND touch_ts > conv_ts - INTERVAL 3600 SECONDS)
+          SELECT user_id, conv_id, touch_id,
+            CAST(datediff('microseconds', touch_ts, conv_ts) AS BIGINT) AS gap_micros
+          FROM j WHERE rn = 1 ORDER BY conv_id"""
   )
 }

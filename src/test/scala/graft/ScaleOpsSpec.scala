@@ -138,6 +138,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(m === Map(("a", "b") -> 2L, ("b", "c") -> 1L))
   }
 
+  test("lastTouchAttribution picks the latest in-window touch with tie-break") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(10), 100L, "click"), (1L, ts(20), 101L, "click"),
+      (1L, ts(20), 102L, "click"),               // tie with 101 — higher id wins
+      (1L, ts(30), 103L, "purchase"),            // attributed to 102
+      (2L, ts(1), 200L, "click"), (2L, ts(55), 201L, "purchase"), // 54 min gap: in 1h window
+      (3L, ts(30), 300L, "purchase")             // no click: unattributed
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val a = graft.operators.Sequence.lastTouchAttribution(ev, "user_id", "ts",
+        "event_type", "event_id", "purchase", "click", 3600)
+      .collect().map(r => r.getAs[Long]("conv_id") ->
+        (r.getAs[Long]("touch_id"), r.getAs[Long]("gap_micros"))).toMap
+    assert(a === Map(103L -> (102L, 600000000L), 201L -> (200L, 3240000000L)))
+  }
+
   test("containmentPairs finds the contained excerpt Jaccard would miss") {
     // doc 1 is a verbatim excerpt of doc 0 (first 6 of 14 tokens):
     // containment = 1.0 while Jaccard ~ 4/12
