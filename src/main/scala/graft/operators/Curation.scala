@@ -728,6 +728,36 @@ object Curation {
         max(col("avg_logprob")).as("max_lp"))
   }
 
+  /** The PRODUCTION shape of [[ccnetBuckets]]: tertile THRESHOLDS
+    * from one exact-percentile aggregate (broadcast back — no global
+    * sort, no single-partition window), then a value comparison per
+    * doc. VALUE semantics, not rank semantics: with distinct scores
+    * the two forms agree up to at most one doc per boundary
+    * (interpolated-threshold placement — pinned in ScaleOpsSpec);
+    * TIED scores all land in one bucket here where ntile splits them
+    * by rank. That divergence under ties is why the GATE grades the
+    * ntile form: exact rank semantics replay in SQL, interpolated
+    * thresholds compared in doubles do not. At corpus scale swap
+    * `percentile` for `percentile_approx` and the whole pass is two
+    * scans and kilobytes of state.
+    */
+  def ccnetBucketsByThreshold(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    val lp = bigramLogProb(docs, idCol, textCol, lambda)
+    val th = broadcast(lp.agg(
+      expr("percentile(avg_logprob, array(CAST(2.0/3.0 AS DOUBLE), CAST(1.0/3.0 AS DOUBLE)))").as("t")))
+    lp.crossJoin(th)
+      .withColumn("bucket",
+        when(col("avg_logprob") >= element_at(col("t"), 1), "head")
+          .when(col("avg_logprob") >= element_at(col("t"), 2), "middle")
+          .otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_bigrams")).cast("long").as("n_bigrams"),
+        min(col("avg_logprob")).as("min_lp"),
+        max(col("avg_logprob")).as("max_lp"))
+  }
+
   def logisticFit(features: DataFrame, featCols: Seq[String], labelCol: String,
       iters: Int, lr: Int = 1): Seq[Double] = {
     var w = Seq.fill(featCols.size)(0.0)

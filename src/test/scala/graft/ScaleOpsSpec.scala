@@ -246,6 +246,26 @@ class ScaleOpsSpec extends SparkSpec {
       byName("middle").getAs[Double]("max_lp"))
   }
 
+  test("ccnetBucketsByThreshold matches the ntile form up to boundary placement") {
+    // distinct per-doc score profiles (varying repetition mix) — the
+    // value-vs-rank divergence under TIES is documented, not pinned
+    val docs = (0 until 30).map { i =>
+      val rep = Seq.fill(i % 7 + 1)(s"tok${i % 5} word").mkString(" ")
+      (i.toLong, rep + (0 to i % 11).map(j => s" u${i}_$j").mkString)
+    }.toDF("doc_id", "text")
+    val lp = Curation.bigramLogProb(docs, "doc_id", "text")
+    val nScores = lp.select(col("avg_logprob")).distinct().count()
+    assert(nScores >= 25, s"test corpus must have distinct scores, got $nScores")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getAs[Int]("n_docs")).toMap
+    val exact = counts(Curation.ccnetBuckets(docs, "doc_id", "text"))
+    val thresh = counts(Curation.ccnetBucketsByThreshold(docs, "doc_id", "text"))
+    assert(thresh.values.sum === exact.values.sum)
+    for (b <- Seq("head", "middle", "tail"))
+      assert(math.abs(thresh.getOrElse(b, 0) - exact.getOrElse(b, 0)) <= 1,
+        s"$b: thresh=${thresh.get(b)} ntile=${exact.get(b)}")
+  }
+
   test("kmeansInt separates well-separated clusters and conserves rows") {
     // two tight clusters in 4-d space, k=2
     val vecs = (0 until 20).map { i =>
