@@ -76,7 +76,10 @@ object ScaleSoak {
     // round-9 additions (q135/q143 are star-schema → bench ladder)
     "q136_pmi_pairs", "q137_weighted_sample", "q138_train_shards",
     "q139_gopher_rep", "q140_ccnet_buckets", "q141_kmeans",
-    "q142_triangles", "q144_hll_overlap", "q145_containment")
+    "q142_triangles", "q144_hll_overlap", "q145_containment",
+    // event-sequence family (events replicated as disjoint user
+    // populations on the same calendar)
+    "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the
@@ -133,6 +136,23 @@ object ScaleSoak {
           (col("label") + col("rep") * 1000).as("label"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+
+    if (missing("events")) {
+      // Replica = a disjoint user population living through the SAME
+      // calendar (user/event ids offset, timestamps untouched): funnel
+      // stage counts, cohort cells and transition counts all scale
+      // exactly linearly in the factor, and the per-user sequence
+      // structure inside each replica is byte-identical to the source.
+      val ev = graft.queries.Q.events(spark, srcDir)
+      ev.crossJoin(reps)
+        .select(
+          (col("event_id") + col("rep").cast("long") * IdOff).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("rep").cast("long") * IdOff).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
 
     if (missing("supplier")) {
