@@ -160,6 +160,45 @@ object Graph {
       .select(col("a.s").as("u"), col("b.s").as("v")).distinct()
   }
 
+  /** BFS hop levels from a seed set over a symmetrized edge list:
+    * `(node, dist)` for every node within `maxHops`, dist = length of
+    * the shortest path to any seed. Each round expands the frontier
+    * through one keyed join and subtracts already-visited nodes with
+    * a left-anti join — the textbook iterative-frontier shape whose
+    * per-round cost tracks the FRONTIER, not the graph. Lineage is
+    * cut per round (visited feeds every later round).
+    */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = graft.GraftCache.registered(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
+    var visited = seeds.select(col("node").cast("long").as("node"),
+      lit(0).as("dist")).distinct().localCheckpoint(true)
+    var frontier = visited.select(col("node"))
+    for (h <- 1 to maxHops) {
+      frontier = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.union(frontier.select(col("node"), lit(h).as("dist")))
+        .localCheckpoint(true)
+    }
+    visited
+  }
+
+  /** Log2-bucketed degree histogram of a symmetrized edge list — the
+    * one-aggregate skew diagnostic read before choosing salting /
+    * hub-capping parameters.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    degrees(edges)
+      // floor(log2) via binary-digit count: Spark's LOG2 lowers to
+      // log(x)/log(2), whose double quotient can sit a ulp either
+      // side of an integer at exact powers of two — the bin() length
+      // is integer-exact in every engine
+      .select((length(bin(col("degree"))) - 1).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).cast("long").as("n_nodes"))
+
   /** Per-node triangle counts over a canonical (`u < v`, distinct)
     * undirected edge list: the local clustering signal (community
     * density, spam-farm detection). Each triangle `a < b < c` is

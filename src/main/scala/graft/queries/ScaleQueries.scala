@@ -198,7 +198,32 @@ object ScaleQueries {
       Sequence.lastTouchAttribution(t(s, dir, "events"), "user_id", "ts",
           "event_type", "event_id", convType = "purchase",
           touchType = "click", windowSec = 3600)
-        .orderBy(col("conv_id")))
+        .orderBy(col("conv_id"))),
+
+    // BFS hop levels from customers 0-9 over the trade graph: how
+    // many counterparties sit at each shortest-path distance.
+    "q152_bfs" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey").cast("long") + 1)).as("dst"))
+      Graph.bfsLevels(Graph.symmetrize(pairs),
+          s.range(10).select(col("id").as("node")), maxHops = 3)
+        .groupBy(col("dist")).agg(count(lit(1)).cast("long").as("n_nodes"))
+        .orderBy(col("dist"))
+    }),
+
+    // Log2 degree histogram of the trade graph — the skew diagnostic.
+    "q153_degree_hist" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey").cast("long") + 1)).as("dst"))
+      Graph.degreeHistogram(Graph.symmetrize(pairs))
+        .orderBy(col("bucket"))
+    })
   )
 
   /** Tokens-with-empties-filtered CTE body (same as CurationQueries). */
@@ -491,6 +516,28 @@ object ScaleQueries {
               AND touch_ts > conv_ts - INTERVAL 3600 SECONDS)
           SELECT user_id, conv_id, touch_id,
             CAST(datediff('microseconds', touch_ts, conv_ts) AS BIGINT) AS gap_micros
-          FROM j WHERE rn = 1 ORDER BY conv_id"""
+          FROM j WHERE rn = 1 ORDER BY conv_id""",
+
+    "q152_bfs" ->
+      s"""WITH $sqlTradeGraph,
+          sd AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS node),
+          v0 AS (SELECT node, 0 AS dist FROM sd),
+          f1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN sd ON e.src = sd.node
+                 WHERE e.dst NOT IN (SELECT node FROM v0)),
+          v1 AS (SELECT * FROM v0 UNION ALL SELECT node, 1 FROM f1),
+          f2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f1 ON e.src = f1.node
+                 WHERE e.dst NOT IN (SELECT node FROM v1)),
+          v2 AS (SELECT * FROM v1 UNION ALL SELECT node, 2 FROM f2),
+          f3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f2 ON e.src = f2.node
+                 WHERE e.dst NOT IN (SELECT node FROM v2)),
+          v3 AS (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM f3)
+          SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM v3 GROUP BY 1 ORDER BY 1""",
+
+    "q153_degree_hist" ->
+      s"""WITH $sqlTradeGraph
+          SELECT CAST(floor(log2(d)) AS INT) AS bucket,
+            CAST(count(*) AS BIGINT) AS n_nodes
+          FROM deg GROUP BY 1 ORDER BY 1"""
   )
 }

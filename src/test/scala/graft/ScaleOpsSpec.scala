@@ -30,6 +30,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ranks.values.sum <= 7L * 1000000L)
   }
 
+  test("bfsLevels assigns shortest-hop distances from the seed set") {
+    // path 0-1-2-3-4-5 plus a shortcut 0-4: node 4 is dist 1, node 5 dist 2
+    val pairs = ((0L to 4L).map(i => (i, i + 1)) :+ (0L, 4L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(0L)).toDF("node")
+    val d = Graph.bfsLevels(Graph.symmetrize(pairs), seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d === Map(0L -> 0, 1L -> 1, 4L -> 1, 2L -> 2, 3L -> 2, 5L -> 2))
+  }
+
+  test("degreeHistogram buckets exact powers of two correctly") {
+    // star with 8 leaves: center degree 8 -> bucket 3 (the log2-ulp trap)
+    val pairs = (1L to 8L).map(i => (0L, i)).toDF("src", "dst")
+    val h = Graph.degreeHistogram(Graph.symmetrize(pairs))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h === Map(3 -> 1L, 0 -> 8L)) // center in bucket 3, leaves in 0
+  }
+
   test("triangleCounts: K4 has 4 triangles, 3 per corner") {
     val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
       .toDF("u", "v")
