@@ -101,6 +101,34 @@ object Sequence {
           .as("gap_micros"))
   }
 
+  /** Effective-dated (SCD2-style) temporal join: build versioned
+    * validity intervals from a change-event stream (each change row
+    * is valid from its timestamp until the key's next change —
+    * half-open `[from, to)`, the last version open-ended), then join
+    * facts to the version in effect at fact time. The warehouse
+    * "dimension as of transaction time" primitive, with the interval
+    * table DERIVED from the log — no second source of truth.
+    *
+    * Shape: one per-key `lead` window to close the intervals (keys
+    * sort locally inside their hash partition), then a key-equi join
+    * with the interval test as a RESIDUAL predicate — co-partitioned
+    * by key, never a time-only range join; fan-out is bounded by
+    * versions-per-key.
+    */
+  def effectiveDatedJoin(changes: DataFrame, facts: DataFrame,
+      keyCol: String, changeTsCol: String, factTsCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(changeTsCol), col(tieCol))
+    val versions = changes
+      .withColumn("valid_to", lead(col(changeTsCol), 1).over(w))
+      .withColumnRenamed(changeTsCol, "valid_from")
+    facts.join(versions, Seq(keyCol))
+      .filter(col(factTsCol) >= col("valid_from") &&
+        (col("valid_to").isNull || col(factTsCol) < col("valid_to")))
+  }
+
   /** `rounds` iterations of k-core peeling over a SYMMETRIZED edge
     * list: drop nodes with degree < k, drop edges touching them,
     * repeat — after enough rounds the fixpoint is the k-core

@@ -214,6 +214,21 @@ object ScaleQueries {
         .orderBy(col("dist"))
     }),
 
+    // SCD2-style effective-dated join: purchases joined to the
+    // signup-version in effect at purchase time, intervals derived
+    // from the event log itself.
+    "q154_scd_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val changes = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("dim_id"),
+          col("value"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      Sequence.effectiveDatedJoin(changes, facts, "user_id", "ts", "p_ts", "dim_id")
+        .select(col("p_id"), col("dim_id"), round(col("value"), 6).as("dim_value"))
+        .orderBy(col("p_id"))
+    }),
+
     // Log2 degree histogram of the trade graph — the skew diagnostic.
     "q153_degree_hist" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -538,6 +553,17 @@ object ScaleQueries {
       s"""WITH $sqlTradeGraph
           SELECT CAST(floor(log2(d)) AS INT) AS bucket,
             CAST(count(*) AS BIGINT) AS n_nodes
-          FROM deg GROUP BY 1 ORDER BY 1"""
+          FROM deg GROUP BY 1 ORDER BY 1""",
+
+    "q154_scd_join" ->
+      s"""WITH ch AS (SELECT user_id, ts AS valid_from, event_id AS dim_id, value,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+            FROM events WHERE event_type = 'signup'),
+          f AS (SELECT user_id, ts AS p_ts, event_id AS p_id
+            FROM events WHERE event_type = 'purchase')
+          SELECT p_id, dim_id, round(value, 6) AS dim_value
+          FROM f JOIN ch USING (user_id)
+          WHERE p_ts >= valid_from AND (valid_to IS NULL OR p_ts < valid_to)
+          ORDER BY p_id"""
   )
 }

@@ -155,6 +155,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(m === Map(("a", "b") -> 2L, ("b", "c") -> 1L))
   }
 
+  test("effectiveDatedJoin picks the version in effect at fact time") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val changes = Seq(
+      (1L, ts(10), 100L, "v1"), (1L, ts(30), 101L, "v2") // two versions
+    ).toDF("user_id", "ts", "dim_id", "v")
+    val facts = Seq(
+      (1L, ts(5), 900L),   // before first version: drops
+      (1L, ts(20), 901L),  // inside [10, 30): v1
+      (1L, ts(30), 902L),  // boundary: half-open -> v2
+      (1L, ts(40), 903L)   // open-ended tail: v2
+    ).toDF("user_id", "p_ts", "p_id")
+    val j = graft.operators.Sequence.effectiveDatedJoin(
+        changes, facts, "user_id", "ts", "p_ts", "dim_id")
+      .collect().map(r => r.getAs[Long]("p_id") -> r.getAs[Long]("dim_id")).toMap
+    assert(j === Map(901L -> 100L, 902L -> 101L, 903L -> 101L))
+  }
+
   test("lastTouchAttribution picks the latest in-window touch with tie-break") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val ev = Seq(
