@@ -229,6 +229,33 @@ object ScaleQueries {
         .orderBy(col("p_id"))
     }),
 
+    // Entity resolution composed end-to-end over supplier names:
+    // FastSS fuzzy pairs (q98's candidates) -> exact connected
+    // components -> per-entity size + strongest member. The
+    // record-linkage pipeline beside q121's corpus-cleaning twin.
+    "q155_entity_resolution" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      // structured-attribute blocking: only same-nation name matches
+      // merge (sequential TPC-H names are TRANSITIVELY within edit
+      // distance 1, so the unblocked closure degenerates to one
+      // entity — blocking is what real record linkage does here)
+      val nat = sup.select(col("s_suppkey"), col("s_nationkey"))
+      val pairs = Dedup.editDistancePairsDeletion(sup, "s_suppkey", "s_name")
+        .join(nat.select(col("s_suppkey").as("id_a"), col("s_nationkey").as("na")), "id_a")
+        .join(nat.select(col("s_suppkey").as("id_b"), col("s_nationkey").as("nb")), "id_b")
+        .filter(col("na") === col("nb"))
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val labels = Dedup.connectedComponents(pairs)
+      sup.join(labels, sup("s_suppkey") === labels("doc"), "left_outer")
+        .select(col("s_suppkey"),
+          coalesce(col("label"), col("s_suppkey")).as("entity"),
+          Q.cents(col("s_acctbal")).as("bal_cents"))
+        .groupBy(col("entity"))
+        .agg(count(lit(1)).cast("int").as("n_members"),
+          max(col("bal_cents")).as("max_bal_cents"))
+        .orderBy(col("entity"))
+    }),
+
     // Log2 degree histogram of the trade graph — the skew diagnostic.
     "q153_degree_hist" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -564,6 +591,31 @@ object ScaleQueries {
           SELECT p_id, dim_id, round(value, 6) AS dim_value
           FROM f JOIN ch USING (user_id)
           WHERE p_ts >= valid_from AND (valid_to IS NULL OR p_ts < valid_to)
-          ORDER BY p_id"""
+          ORDER BY p_id""",
+
+    // q98's pair definition + recursive reachability (q93's shape) +
+    // the per-entity rollup.
+    "q155_entity_resolution" ->
+      s"""WITH RECURSIVE p AS (
+            SELECT l.s_suppkey AS a, r.s_suppkey AS b
+            FROM supplier l JOIN supplier r
+              ON abs(len(l.s_name) - len(r.s_name)) <= 1
+              AND l.s_suppkey < r.s_suppkey
+              AND l.s_nationkey = r.s_nationkey
+            WHERE levenshtein(l.s_name, r.s_name) <= 1),
+          e AS (SELECT a AS src, b AS dst FROM p
+                UNION ALL SELECT b AS src, a AS dst FROM p),
+          reach(src, dst) AS (
+            SELECT src, src AS dst FROM e
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+          lab AS (SELECT src AS doc, min(dst) AS label FROM reach GROUP BY src),
+          m AS (SELECT s.s_suppkey,
+              COALESCE(l.label, s.s_suppkey) AS entity,
+              CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM supplier s LEFT JOIN lab l ON s.s_suppkey = l.doc)
+          SELECT entity, CAST(count(*) AS INT) AS n_members,
+            max(bal_cents) AS max_bal_cents
+          FROM m GROUP BY 1 ORDER BY entity"""
   )
 }
