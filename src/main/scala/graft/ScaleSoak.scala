@@ -79,7 +79,8 @@ object ScaleSoak {
     "q142_triangles", "q144_hll_overlap", "q145_containment",
     // event-sequence family (events replicated as disjoint user
     // populations on the same calendar)
-    "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution")
+    "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",
+    "q154_scd_join", "q155_entity_resolution")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the
