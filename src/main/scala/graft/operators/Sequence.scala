@@ -101,6 +101,43 @@ object Sequence {
           .as("gap_micros"))
   }
 
+  /** Robust per-group outlier detection via median absolute deviation
+    * — the monitoring-pipeline staple that survives the very outliers
+    * it hunts (mean/stddev do not). All arithmetic is EXACT:
+    * measurements quantize to integer micro-units, and medians live
+    * in HALF-micro units (`round(2·median)` — an interpolated median
+    * of integers is either integer or integer + ½, so doubling makes
+    * it exact; the same trick again for the MAD). A point is an
+    * outlier when `|2x − 2med| > k · mad2` — integer comparisons an
+    * oracle replays bit-for-bit, where float medians compared in
+    * doubles could flip boundary points per engine.
+    *
+    * Shape: two grouped exact-percentile aggregates (group-keyed
+    * shuffles; swap in `percentile_approx` at corpus scale — the
+    * sketch-sized state path) broadcast back onto the stream, then
+    * one codegen'd comparison per row.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 5): DataFrame = {
+    val vm = df.select(col(groupCol),
+      round(col(valueCol).cast("double") * 1e6).cast("long").as("vm"))
+    val med = vm.groupBy(col(groupCol)).agg(
+      round(expr("percentile(vm, CAST(0.5 AS DOUBLE)) * 2").cast("double"))
+        .cast("long").as("med2"))
+    val dev = vm.join(med, groupCol)
+      .withColumn("d2", abs(lit(2) * col("vm") - col("med2")))
+    val mad = dev.groupBy(col(groupCol)).agg(
+      round(expr("percentile(d2, CAST(0.5 AS DOUBLE)) * 2").cast("double"))
+        .cast("long").as("mad4"))
+    dev.join(mad, groupCol)
+      // d > k·MAD  ⇔  4d > k·4MAD  ⇔  2·d2 > k·mad4 (all integers)
+      .withColumn("is_outlier", lit(2L) * col("d2") > lit(k.toLong) * col("mad4"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("int").as("n"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).cast("int").as("n_outliers"),
+        max(col("med2")).as("med2"), max(col("mad4")).as("mad4"))
+  }
+
   /** Effective-dated (SCD2-style) temporal join: build versioned
     * validity intervals from a change-event stream (each change row
     * is valid from its timestamp until the key's next change —

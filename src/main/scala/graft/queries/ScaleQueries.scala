@@ -256,6 +256,12 @@ object ScaleQueries {
         .orderBy(col("entity"))
     }),
 
+    // Robust outlier counts per event type: exact integer MAD gate
+    // (medians in half-micro units so interpolation stays integral).
+    "q156_mad_outliers" -> ((s, dir) =>
+      Sequence.madOutliers(t(s, dir, "events"), "event_type", "value", k = 5)
+        .orderBy(col("event_type"))),
+
     // Log2 degree histogram of the trade graph — the skew diagnostic.
     "q153_degree_hist" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -616,6 +622,24 @@ object ScaleQueries {
             FROM supplier s LEFT JOIN lab l ON s.s_suppkey = l.doc)
           SELECT entity, CAST(count(*) AS INT) AS n_members,
             max(bal_cents) AS max_bal_cents
-          FROM m GROUP BY 1 ORDER BY entity"""
+          FROM m GROUP BY 1 ORDER BY entity""",
+
+    "q156_mad_outliers" ->
+      s"""WITH vm AS (SELECT event_type,
+              CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+          med AS (SELECT event_type,
+              CAST(round(quantile_cont(vm, 0.5) * 2) AS BIGINT) AS med2
+            FROM vm GROUP BY 1),
+          dev AS (SELECT vm.event_type, abs(2 * vm.vm - med.med2) AS d2
+            FROM vm JOIN med USING (event_type)),
+          mad AS (SELECT event_type,
+              CAST(round(quantile_cont(d2, 0.5) * 2) AS BIGINT) AS mad4
+            FROM dev GROUP BY 1)
+          SELECT d.event_type, CAST(count(*) AS INT) AS n,
+            CAST(sum(CASE WHEN 2 * d.d2 > 5 * m.mad4 THEN 1 ELSE 0 END) AS INT)
+              AS n_outliers,
+            max(med.med2) AS med2, max(m.mad4) AS mad4
+          FROM dev d JOIN mad m USING (event_type) JOIN med USING (event_type)
+          GROUP BY 1 ORDER BY 1"""
   )
 }

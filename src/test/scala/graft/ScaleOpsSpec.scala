@@ -155,6 +155,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(m === Map(("a", "b") -> 2L, ("b", "c") -> 1L))
   }
 
+  test("madOutliers: exact integer medians, outliers only past k*MAD") {
+    // group g: values 1..9 plus a 100.0 spike -> median 5.5 (med2=11),
+    // deviations d2 = |2v-11| = {9,7,5,3,1,1,3,5,7,189}, sorted median
+    // of d2 = 5 -> mad4 = 10 (MAD 2.5); only the spike exceeds 5*MAD
+    val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 100.0))
+      .toDF("grp", "v")
+    val r = graft.operators.Sequence.madOutliers(df, "grp", "v", k = 5).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Int]("n") === 10)
+    assert(row.getAs[Long]("med2") === 11000000L)
+    assert(row.getAs[Long]("mad4") === 10000000L)
+    assert(row.getAs[Int]("n_outliers") === 1)
+  }
+
   test("effectiveDatedJoin picks the version in effect at fact time") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val changes = Seq(
