@@ -80,7 +80,7 @@ object ScaleSoak {
     // event-sequence family (events replicated as disjoint user
     // populations on the same calendar)
     "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",
-    "q154_scd_join", "q155_entity_resolution")
+    "q154_scd_join", "q155_entity_resolution", "q156_mad_outliers")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the
