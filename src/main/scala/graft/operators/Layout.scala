@@ -77,4 +77,58 @@ object Layout {
     spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+
+  /** Write a per-file column-stats manifest beside the data
+    * (`path/_manifest` — underscore-prefixed, so plain readers of
+    * `path` never see it): one row per data file with row count and
+    * min/max of each stats column. This is the file-skipping half of
+    * the Delta/Iceberg table-format idea ([[Versioned]] has the
+    * transaction half): a planner that consults KILOBYTES of manifest
+    * decides which of a 100 TB table's files a filtered scan must
+    * open, instead of opening every footer. One file-local pass over
+    * the snapshot (the group key is the file itself, so partial
+    * aggregation reduces each split to one row — the shuffle carries
+    * ~one row per file); the manifest lands as a single small file.
+    *
+    * Call after the snapshot is fully written (the writer owns the
+    * manifest lifecycle, like [[zorderWrite]] owns layout); rewriting
+    * data without re-writing the manifest makes it stale — same
+    * contract as every manifest format.
+    */
+  def writeManifest(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "writeManifest: at least one stats column")
+    val stats = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), stats: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
+  /** Data files whose `[min_c, max_c]` manifest range intersects
+    * `[lo, hi]` — the candidate set a range-filtered scan must open.
+    * Driver-side and manifest-sized (one row per file), never touches
+    * the data.
+    */
+  def prunedFiles(spark: SparkSession, path: String, c: String,
+      lo: Long, hi: Long): Seq[String] =
+    spark.read.parquet(s"$path/_manifest")
+      .filter(col(s"min_$c") <= hi && col(s"max_$c") >= lo)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+
+  /** Manifest-pruned scan: plan the parquet read over only the files
+    * [[prunedFiles]] admits for `c ∈ [lo, hi]`. File granularity is
+    * coarse — surviving files may still hold out-of-range rows — so
+    * the EXACT predicate is re-applied here; the manifest only decides
+    * what gets opened. Composes with [[zorderWrite]]: the z-layout is
+    * what makes per-file ranges narrow enough that most files fall out.
+    */
+  def prunedRead(spark: SparkSession, path: String, c: String,
+      lo: Long, hi: Long): DataFrame = {
+    val files = prunedFiles(spark, path, c, lo, hi)
+    val in = if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*)
+    in.filter(col(c) >= lo && col(c) <= hi)
+  }
 }

@@ -148,6 +148,75 @@ object Relational {
       .drop("_salt")
   }
 
+  /** One-pass numeric column profiler — the "what is in this table"
+    * sweep every ingest/audit pipeline runs before anything else: per
+    * column, non-null count, exact distinct count, min/max/sum in
+    * integer micro-units (exact in any aggregation order, so the
+    * profile hashes identically across engines). ONE aggregation job
+    * over the table produces a single wide row; `stack` unpivots it to
+    * a (column, metrics) row per profiled column — the table is
+    * scanned once no matter how many columns are profiled.
+    *
+    * The exact distinct counts plan as one Expand-based multi-distinct
+    * aggregate (rows replicate per distinct column). At 100 TB swap
+    * `countDistinct` for `approx_count_distinct` — same single pass,
+    * no Expand, HLL-sized state; micro sums of huge corpora may also
+    * need decimal(38) instead of long. The exact form here is what the
+    * cross-engine gate can hash.
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numericProfile: at least one column")
+    def micro(c: String) = round(col(c).cast("double") * 1e6).cast("long")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(micro(c)).as(s"mn_$c"),
+      max(micro(c)).as(s"mx_$c"),
+      sum(micro(c)).as(s"sm_$c")) }
+    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c, sm_$c")
+      .mkString(", ")
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nonnull, n_distinct, min_micro, max_micro, sum_micro)")
+  }
+
+  /** Bloom-pruned inner equi-join: build a Bloom filter over the small
+    * side's keys (driver-held, kilobytes at any corpus size for a
+    * bounded small side), broadcast it, and drop big-side rows that
+    * cannot match BEFORE the join's shuffle. False positives survive
+    * the prefilter and are removed by the exact join, so the result is
+    * exactly the plain inner join's — the bloom only decides how many
+    * non-matching rows pay shuffle I/O. At 100 TB this is the
+    * difference between shuffling the whole fact table and shuffling
+    * the ~matching slice when the small side is selective but too big
+    * to broadcast-join outright.
+    *
+    * Spark's own runtime bloom join (`spark.sql.optimizer.runtime.
+    * bloomFilter.enabled`, on in [[graft.GraftSession]]) covers the
+    * planner-visible case; reach for the explicit form when the small
+    * side comes from a computation Catalyst can't see through (an
+    * at-rest index, a collected driver artifact) or the filter should
+    * be built once and reused across several probes.
+    *
+    * `expectedKeys <= 0` counts the small side first (one cheap
+    * aggregate of the side that is small by contract).
+    */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, expectedKeys: Long = 0L, fpp: Double = 0.03): DataFrame = {
+    val exp = if (expectedKeys > 0) expectedKeys else math.max(1L, small.count())
+    val bf = small.stat.bloomFilter(smallKey, exp, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val keyIsString =
+      big.schema(bigKey).dataType == org.apache.spark.sql.types.StringType
+    val might =
+      if (keyIsString) udf((k: String) => k != null && bc.value.mightContainString(k))
+      else udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    val keyIn = if (keyIsString) col(bigKey) else col(bigKey).cast("long")
+    big.filter(might(keyIn))
+      .join(small, big(bigKey) === small(smallKey))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of several
     * retrieval lists: each input is (id, score, higher-better), rank is
     * re-derived inside the fusion with the engine-exact (score desc, id)

@@ -846,4 +846,67 @@ object Similarity {
       .select(col("cell"), col("n"), col("centroid_sum"))
       .orderBy(col("cell"))
   }
+
+  /** SPARSE-vector cosine pairs: TF-IDF document vectors compared via
+    * the inverted index instead of dense dot products — the text-side
+    * sibling of the embedding ANN family (classic all-pairs similarity
+    * search, Bayardo et al. 2007 / Elsayed et al. 2008 map-reduce
+    * shape: join postings lists by term, sum per-pair weight products).
+    *
+    * Scale posture: a pair can only surface through a SHARED term, and
+    * the per-term fan-out is df² — so the vocabulary is capped at
+    * `maxDf` document frequency BY CONSTRUCTION (the standard
+    * stopword-pruning move: terms in more than `maxDf` docs carry
+    * ~zero idf and quadratic fan-out). The vector space is defined
+    * over that capped vocabulary for dot products AND norms, so
+    * cosine stays a true cosine in [0, 1]. Everything that shuffles
+    * is (id, term-hashable, fixed-width weight) rows; no document
+    * payload moves.
+    *
+    * Engine-exactness: weights are integer milli-units
+    * (`tf · round(ln(N/df)·1000)`), so dots and norms are exact
+    * integer sums in any order; the final cosine divides exact
+    * integers in double and rounds to 6 decimals before the threshold
+    * comparison.
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      gram: Int = 3, maxDf: Int = 100, minCosine: Double = 0.25): DataFrame = {
+    require(maxDf >= 2, s"tfidfCosinePairs: maxDf >= 2, got $maxDf")
+    require(gram >= 1, s"tfidfCosinePairs: gram >= 1, got $gram")
+    val n = math.max(1L, docs.count())
+    // terms are `gram`-shingles (gram = 1 → unigrams): unigram spaces
+    // are stopword-dominated, shingles carry the discriminative mass
+    val terms =
+      if (gram <= 1)
+        graft.functions.Tokenize.exploded(docs, col(idCol), col(textCol))
+          .select(col(idCol).as("id"), col("token").as("term"))
+      else docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokenize(col(textCol)), gram)).as("term"))
+    val tf = terms.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // idf in integer milli-units; df == N terms fold to w = 0 and drop
+    val w = graft.GraftCache.registered(
+      tf.join(dfr, "term")
+        .select(col("id"), col("term"),
+          (col("tf") *
+            round(log(lit(n.toDouble) / col("df").cast("double")) * 1000)
+              .cast("long")).as("w"))
+        .filter(col("w") > 0))
+    val norms = w.groupBy(col("id")).agg(sum(col("w") * col("w")).as("q"))
+    val dots = w.select(col("id").as("id_a"), col("term"), col("w").as("wa"))
+      .join(w.select(col("id").as("id_b"), col("term"), col("w").as("wb")),
+        "term")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("q").as("qa")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("q").as("qb")), "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dot"),
+        round(col("dot") / (sqrt(col("qa")) * sqrt(col("qb"))), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
 }

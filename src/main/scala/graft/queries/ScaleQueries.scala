@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Graph, Sequence, Similarity, Sketch}
+import graft.operators.{Curation, Dedup, Graph, Layout, Relational, Sequence, Similarity, Sketch}
 import graft.functions.TextFunctions
 import Q._
 
@@ -261,6 +261,76 @@ object ScaleQueries {
     "q156_mad_outliers" -> ((s, dir) =>
       Sequence.madOutliers(t(s, dir, "events"), "event_type", "value", k = 5)
         .orderBy(col("event_type"))),
+
+    // Manifest-based file skipping at rest: z-order the docs snapshot,
+    // write a per-file min/max stats manifest, then answer a range
+    // query through the manifest-pruned scan — equality with the plain
+    // filter proves pruning loses nothing (LayoutSpec pins that it
+    // actually skips most files).
+    "q157_stats_pruned_read" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_skip")
+        .toString + "/zdocs"
+      Layout.zorderWrite(docs, path, least(col("n_chars"), lit(1023)),
+        pmod(col("doc_id"), lit(1024)), bits = 10, partitions = 8)
+      Layout.writeManifest(s, path, Seq("n_chars"))
+      Layout.prunedRead(s, path, "n_chars", 150L, 300L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Bloom-pruned fact-dim join: high-balance customers' orders by
+    // nation. The bloom prefilter drops non-matching orders before the
+    // shuffle; the exact join removes false positives, so the result
+    // is the plain join's (OperatorsSpec pins both claims).
+    "q158_bloom_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      Relational.bloomPrunedJoin(orders, cust, "o_custkey", "c_custkey")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("int").as("n_orders"),
+          sum(Q.cents(col("o_totalprice"))).as("rev_cents"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Sparse TF-IDF cosine pairs over 3-shingle terms via the inverted
+    // index (all-pairs similarity search) — the text-side sibling of
+    // the dense ANN family, integer milli-unit weights for exactness.
+    "q159_tfidf_pairs" -> ((s, dir) =>
+      Similarity.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+          gram = 3, maxDf = 100, minCosine = 0.25)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // One-pass numeric column profile of lineitem: per column non-null
+    // count, exact distinct count, min/max/sum in exact micro-units.
+    "q160_profile" -> ((s, dir) =>
+      Relational.numericProfile(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_name"))),
+
+    // Approximate-percentile contract: per event type, exact p95 (in
+    // 1/100 micro-units — interpolation of integers at hundredth ranks
+    // stays integral) plus a bit asserting approx_percentile(…, 1000)
+    // landed within the exact p93..p97 band (10x looser than its 1/1000
+    // rank guarantee). The production swap-in for q156/q161-style exact
+    // percentiles at corpus scale, graded on its accuracy contract.
+    "q161_p95_contract" -> ((s, dir) => {
+      val vm = t(s, dir, "events").select(col("event_type"),
+        round(col("value") * 1e6).cast("long").as("vm"))
+      vm.groupBy(col("event_type")).agg(
+          count(lit(1)).cast("long").as("n"),
+          round(expr("percentile(vm, 0.95D)") * 100).cast("long").as("p95_100"),
+          round(expr("percentile(vm, 0.93D)") * 100).cast("long").as("p93_100"),
+          round(expr("percentile(vm, 0.97D)") * 100).cast("long").as("p97_100"),
+          expr("approx_percentile(vm, 0.95D, 1000)").as("approx"))
+        .select(col("event_type"), col("n"), col("p95_100"),
+          (col("approx") * 100 >= col("p93_100") &&
+            col("approx") * 100 <= col("p97_100")).cast("int").as("within_tol"))
+        .orderBy(col("event_type"))
+    }),
 
     // Log2 degree histogram of the trade graph — the skew diagnostic.
     "q153_degree_hist" -> ((s, dir) => {
@@ -623,6 +693,70 @@ object ScaleQueries {
           SELECT entity, CAST(count(*) AS INT) AS n_members,
             max(bal_cents) AS max_bal_cents
           FROM m GROUP BY 1 ORDER BY entity""",
+
+    // the manifest/pruning is layout, not semantics: the oracle is the
+    // plain range filter the pruned scan must equal
+    "q157_stats_pruned_read" ->
+      s"""SELECT lang, CAST(count(*) AS INT) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM $DocsPq WHERE n_chars BETWEEN 150 AND 300
+          GROUP BY 1 ORDER BY 1""",
+
+    // bloom prefilter is result-invariant: oracle = the plain join
+    "q158_bloom_join" ->
+      s"""SELECT c_nationkey, CAST(count(*) AS INT) AS n_orders,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS rev_cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_acctbal > 9000
+          GROUP BY 1 ORDER BY 1""",
+
+    "q159_tfidf_pairs" ->
+      s"""WITH sh AS (SELECT doc_id AS id, shingle AS term
+            FROM (${DedupQueries.sqlShingles(s"SELECT doc_id, text FROM $DocsPq")})),
+          tf AS (SELECT id, term, count(*) AS tf FROM sh GROUP BY 1, 2),
+          dfr AS (SELECT term, count(*) AS df FROM tf
+            GROUP BY 1 HAVING count(*) <= 100),
+          nn AS (SELECT count(*) AS n FROM $DocsPq),
+          w AS (SELECT id, term,
+              tf * CAST(round(ln(n::DOUBLE / df::DOUBLE) * 1000) AS BIGINT) AS w
+            FROM tf JOIN dfr USING (term) CROSS JOIN nn
+            WHERE tf * CAST(round(ln(n::DOUBLE / df::DOUBLE) * 1000) AS BIGINT) > 0),
+          nrm AS (SELECT id, CAST(sum(w * w) AS BIGINT) AS q FROM w GROUP BY 1),
+          d AS (SELECT a.id AS doc_a, b.id AS doc_b,
+              CAST(sum(a.w * b.w) AS BIGINT) AS dot
+            FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, dot,
+            round(dot / (sqrt(qa.q) * sqrt(qb.q)), 6) AS cosine
+          FROM d JOIN nrm qa ON qa.id = doc_a JOIN nrm qb ON qb.id = doc_b
+          WHERE round(dot / (sqrt(qa.q) * sqrt(qb.q)), 6) >= 0.25
+          ORDER BY doc_a, doc_b""",
+
+    "q160_profile" -> {
+      def leg(c: String) =
+        s"""SELECT '$c' AS col_name, n_rows, count($c) AS n_nonnull,
+              count(DISTINCT $c) AS n_distinct,
+              min(CAST(round($c * 1000000) AS BIGINT)) AS min_micro,
+              max(CAST(round($c * 1000000) AS BIGINT)) AS max_micro,
+              CAST(sum(CAST(round($c * 1000000) AS BIGINT)) AS BIGINT)
+                AS sum_micro
+            FROM lineitem CROSS JOIN n GROUP BY n_rows"""
+      s"""WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+          ${Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+            .map(leg).mkString(" UNION ALL ")}
+          ORDER BY col_name"""
+    },
+
+    // approx leg graded as a contract (the sketch is engine state);
+    // exact p95 replayed, within_tol must be 1
+    "q161_p95_contract" ->
+      s"""WITH vm AS (SELECT event_type,
+              CAST(round(value * 1000000) AS BIGINT) AS vm FROM events)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(round(quantile_cont(vm, 0.95) * 100) AS BIGINT) AS p95_100,
+            1 AS within_tol
+          FROM vm GROUP BY 1 ORDER BY 1""",
 
     "q156_mad_outliers" ->
       s"""WITH vm AS (SELECT event_type,

@@ -64,4 +64,38 @@ class LayoutSpec extends SparkSpec {
     assert(candidates(s"$base/xsort", "x", 0, 15) <= 3)
     assert(candidates(s"$base/xsort", "y", 0, 15) === 8)
   }
+
+  test("stats manifest: prunedRead equals the plain filter and opens a strict subset of files") {
+    val grid = (0L until 4096L).map(i => (i, i % 64, i / 64)).toDF("id", "x", "y")
+    val base = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val path = s"$base/z"
+    Layout.zorderWrite(grid, path, col("x"), col("y"), bits = 6, partitions = 8)
+    Layout.writeManifest(spark, path, Seq("x", "y"))
+
+    // manifest: one row per data file, row counts sum to the corpus
+    val m = spark.read.parquet(s"$path/_manifest")
+    val nFiles = spark.read.parquet(path).select(input_file_name()).distinct().count()
+    assert(m.count() === nFiles)
+    assert(m.agg(sum(col("n_rows"))).head().getLong(0) === 4096L)
+
+    // pruning consults only the manifest and skips most files …
+    assert(Layout.prunedFiles(spark, path, "x", 0, 15).size <= 5)
+    assert(Layout.prunedFiles(spark, path, "y", 0, 15).size <= 4)
+
+    // … while the pruned scan's RESULT is exactly the plain filter's
+    // (file granularity is repaired by the residual predicate)
+    val got = Layout.prunedRead(spark, path, "x", 0, 15)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    val want = grid.filter(col("x") <= 15)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq)
+    // the pruned plan really reads fewer files than live at rest
+    val opened = Layout.prunedRead(spark, path, "x", 0, 15).inputFiles.length
+    assert(opened < nFiles)
+
+    // empty intersection: no files opened, schema preserved, zero rows
+    val none = Layout.prunedRead(spark, path, "x", 100, 200)
+    assert(none.count() === 0L)
+    assert(none.columns.contains("id"))
+  }
 }

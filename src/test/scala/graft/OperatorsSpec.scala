@@ -974,4 +974,64 @@ class OperatorsSpec extends SparkSpec {
     assert(got === naive && naive.nonEmpty)
     assert(got.distinct.length === got.length)
   }
+
+  test("bloomPrunedJoin equals the plain join and the prefilter drops non-matching rows") {
+    import spark.implicits._
+    // 2000 fact rows over 200 keys; small side keeps 10 keys
+    val big = (0L until 2000L).map(i => (i, i % 200)).toDF("rid", "k")
+    val small = (0L until 200L by 20L).map(i => (i, s"dim$i")).toDF("sk", "name")
+    val got = Relational.bloomPrunedJoin(big, small, "k", "sk")
+      .select("rid", "name").as[(Long, String)].collect().sorted
+    val want = big.join(small, col("k") === col("sk"))
+      .select("rid", "name").as[(Long, String)].collect().sorted
+    assert(got === want && want.length === 100)
+
+    // the prefilter alone (fpp 0.03) passes far fewer rows than the
+    // full fact side — that is the shuffle the operator saves
+    val bf = small.stat.bloomFilter("sk", 10, 0.03)
+    val passed = big.collect().count(r => bf.mightContainLong(r.getLong(1)))
+    assert(passed < 400 && passed >= 100)
+
+    // string keys route through mightContainString
+    val bigS = big.select(concat(lit("k"), col("k")).as("ks"), col("rid"))
+    val smallS = small.select(concat(lit("k"), col("sk")).as("sks"), col("name"))
+    val gotS = Relational.bloomPrunedJoin(bigS, smallS, "ks", "sks")
+      .select("rid", "name").as[(Long, String)].collect().sorted
+    assert(gotS === want)
+  }
+
+  test("numericProfile: one-pass stats match direct aggregates, nulls excluded") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.25), (2L, 1.25), (3L, -2.5), (4L, null), (5L, 0.0), (6L, 7.75)
+    ).toDF("id", "v")
+    val p = Relational.numericProfile(df, Seq("id", "v"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val v = p("v")
+    assert(v.getAs[Long]("n_rows") === 6L)
+    assert(v.getAs[Long]("n_nonnull") === 5L)      // null excluded
+    assert(v.getAs[Long]("n_distinct") === 4L)     // 1.25 dup, null excluded
+    assert(v.getAs[Long]("min_micro") === -2500000L)
+    assert(v.getAs[Long]("max_micro") === 7750000L)
+    assert(v.getAs[Long]("sum_micro") === 7750000L) // 1.25+1.25-2.5+0+7.75
+    val id = p("id")
+    assert(id.getAs[Long]("n_distinct") === 6L && id.getAs[Long]("sum_micro") === 21000000L)
+  }
+
+  test("tfidfCosinePairs: duplicate docs score 1.0, near-dups land between, disjoint docs never pair") {
+    val pairs = Similarity.tfidfCosinePairs(docsDf, "doc_id", "text",
+        gram = 3, maxDf = 100, minCosine = 0.0)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("cosine"))
+      .toMap
+    // docs 0 and 3 are verbatim duplicates: identical sparse vectors
+    assert(pairs((0L, 3L)) === 1.0)
+    // 0 vs 1 differ in the last token: high but below 1
+    assert(pairs((0L, 1L)) > 0.3 && pairs((0L, 1L)) < 1.0)
+    // doc 4 shares no 3-shingle with anyone: a pair can only surface
+    // through a shared term, so it appears in NO pair at all
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+    // cosines are true cosines
+    pairs.values.foreach(c => assert(c >= 0.0 && c <= 1.0))
+  }
 }
