@@ -148,6 +148,40 @@ object Relational {
       .drop("_salt")
   }
 
+  /** Exact phrase search over a POSITIONAL token index — the retrieval
+    * primitive [[invertedIndex]]'s bag-of-words postings cannot answer
+    * (adjacency is lost once positions are dropped). Tokens explode
+    * with their position; each phrase term becomes one selective leg
+    * `(doc, pos - i)` and an occurrence is a (doc, start) key all legs
+    * share — the standard positional-postings intersection, expressed
+    * as |phrase| keyed equi-joins.
+    *
+    * Scale posture: each leg's volume is that TERM's posting count,
+    * not the corpus (with an at-rest index the scan prunes to the
+    * queried terms; inline, the filter collapses the exploded stream
+    * map-side), and the joins key on (doc, start) so co-partitioned
+    * legs never fan out — an occurrence can only exist where the
+    * rarest term occurs, bounding everything by min posting size.
+    * Overlapping matches count (start positions differ), duplicates
+    * cannot (one row per (doc, start) per leg by construction).
+    *
+    * Returns one row per matching doc: hit count + first match
+    * position (1-based).
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.size <= 16, "phraseSearch: 1..16 terms")
+    val pos = docs.select(col(idCol).as("id"),
+      posexplode(graft.functions.Tokenize.arr(col(textCol))).as(Seq("p", "token")))
+    val legs = phrase.zipWithIndex.map { case (term, i) =>
+      pos.filter(col("token") === term).select(col("id"), (col("p") - i).as("start"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("id", "start")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_hits"),
+        (min(col("start")) + 1).cast("int").as("first_pos"))
+  }
+
   /** One-pass numeric column profiler — the "what is in this table"
     * sweep every ingest/audit pipeline runs before anything else: per
     * column, non-null count, exact distinct count, min/max/sum in

@@ -63,12 +63,21 @@ object Versioned {
   /** Write `df` as the next version and commit it: snapshot first,
     * pointer swap last (write-to-temp + atomic move, so a torn pointer
     * write can never be observed). Returns the committed version.
+    *
+    * With `statsCols`, a [[Layout.writeManifest]] per-file min/max
+    * manifest is written INSIDE the version directory before the
+    * pointer swaps — a committed version always carries its stats, so
+    * [[prunedRead]] can file-skip any committed snapshot (including
+    * time-travel reads; each version's manifest describes exactly its
+    * own immutable files).
     */
-  def commit(path: String, df: DataFrame): Long = {
+  def commit(path: String, df: DataFrame, statsCols: Seq[String] = Nil): Long = {
     // next = past every directory on disk, not just the committed
     // pointer — a crashed writer's orphan dir is never write-raced
     val next = (versions(path) ++ latestVersion(path)).foldLeft(-1L)(math.max) + 1
     df.write.mode("overwrite").parquet(s"$path/v=$next")
+    if (statsCols.nonEmpty)
+      Layout.writeManifest(df.sparkSession, s"$path/v=$next", statsCols)
     val tmp = Paths.get(path, s"_latest.tmp.$next")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer(path), StandardCopyOption.ATOMIC_MOVE,
@@ -88,14 +97,29 @@ object Versioned {
     * committed as one new snapshot. An uninitialized table commits the
     * batch as v0.
     */
-  def upsert(spark: SparkSession, path: String, updates: DataFrame, key: String): Long =
+  def upsert(spark: SparkSession, path: String, updates: DataFrame, key: String,
+      statsCols: Seq[String] = Nil): Long =
     latestVersion(path) match {
-      case None => commit(path, updates)
+      case None => commit(path, updates, statsCols)
       case Some(v) =>
         val cur = read(spark, path, Some(v))
         commit(path, cur.join(updates.select(col(key)), Seq(key), "left_anti")
-          .unionByName(updates))
+          .unionByName(updates), statsCols)
     }
+
+  /** Manifest-pruned scan of a committed snapshot (latest by default):
+    * [[Layout.prunedRead]] against the version's own `_manifest`, so a
+    * range-filtered read of a 100 TB versioned corpus opens only the
+    * files whose stats intersect — the table-format composition of the
+    * transaction half (this object) and the skipping half ([[Layout]]).
+    * The version must have been committed with `statsCols` covering `c`.
+    */
+  def prunedRead(spark: SparkSession, path: String, c: String, lo: Long, hi: Long,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalStateException(s"versioned table at $path has no committed version"))
+    Layout.prunedRead(spark, s"$path/v=$v", c, lo, hi)
+  }
 
   /** Rewrite the latest snapshot as a new version with `files` output
     * files — the small-files compaction pass a long upsert history

@@ -332,6 +332,63 @@ object ScaleQueries {
         .orderBy(col("event_type"))
     }),
 
+    // TPC-H Q5-shaped star join (6 tables, extra c_nationkey =
+    // s_nationkey condition): declared flat and left entirely to
+    // Catalyst — filters push into every scan, the four dimension
+    // sides broadcast, and the single shuffle is the orders-lineitem
+    // fact join (PlanSpec pins that shape). Revenue in exact 1e-4
+    // units: cents(price) * (100 - cents(discount)).
+    "q162_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(Q.cents(col("l_extendedprice")) *
+            (lit(100L) - Q.cents(col("l_discount")))).as("revenue_e4"),
+          count(lit(1)).cast("int").as("n_lineitems"))
+        .orderBy(col("revenue_e4").desc, col("n_name"))
+    }),
+
+    // The table-format composition: versioned commits carry their own
+    // per-file stats manifest (written BEFORE the pointer swap, so a
+    // committed snapshot always has it), and the range read of the
+    // merged latest goes through manifest file-skipping.
+    "q163_versioned_skipping" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_vskip")
+        .toString + "/table"
+      graft.operators.Versioned.commit(path,
+        docs.filter(col("doc_id") < 400), Seq("n_chars"))
+      val updates = docs.filter(col("doc_id") >= 300)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      graft.operators.Versioned.upsert(s, path, updates, "doc_id", Seq("n_chars"))
+      graft.operators.Versioned.prunedRead(s, path, "n_chars", 150L, 300L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Exact phrase retrieval over positional postings: per-doc
+    // occurrence counts + first match position for a 3-term phrase.
+    "q164_phrase_search" -> ((s, dir) =>
+      Relational.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+          Seq("slow", "hash", "batch"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Log2 degree histogram of the trade graph — the skew diagnostic.
     "q153_degree_hist" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -747,6 +804,49 @@ object ScaleQueries {
             .map(leg).mkString(" UNION ALL ")}
           ORDER BY col_name"""
     },
+
+    "q162_star_join" ->
+      s"""SELECT n_name,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+              (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+              AS revenue_e4,
+            CAST(count(*) AS INT) AS n_lineitems
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1 ORDER BY revenue_e4 DESC, n_name""",
+
+    // replay of the merged latest (v0 = docs<400, upsert = docs>=300
+    // with n_chars+1000); the manifest pruning is layout, the filter
+    // result is the contract
+    "q163_versioned_skipping" ->
+      s"""WITH merged AS (
+            SELECT doc_id, lang, n_chars FROM $DocsPq WHERE doc_id < 300
+            UNION ALL
+            SELECT doc_id, lang, n_chars + 1000 FROM $DocsPq WHERE doc_id >= 300)
+          SELECT lang, CAST(count(*) AS INT) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM merged WHERE n_chars BETWEEN 150 AND 300
+          GROUP BY 1 ORDER BY 1""",
+
+    "q164_phrase_search" ->
+      s"""WITH tk AS ($sqlToks),
+          pos AS (SELECT doc_id, tk[i] AS token, i
+            FROM tk, unnest(generate_series(1, len(tk))) AS u(i)),
+          l0 AS (SELECT doc_id, i AS start FROM pos WHERE token = 'slow'),
+          l1 AS (SELECT doc_id, i - 1 AS start FROM pos WHERE token = 'hash'),
+          l2 AS (SELECT doc_id, i - 2 AS start FROM pos WHERE token = 'batch'),
+          m AS (SELECT doc_id, start FROM l0
+            JOIN l1 USING (doc_id, start) JOIN l2 USING (doc_id, start))
+          SELECT doc_id, CAST(count(*) AS INT) AS n_hits,
+            CAST(min(start) AS INT) AS first_pos
+          FROM m GROUP BY 1 ORDER BY doc_id""",
 
     // approx leg graded as a contract (the sketch is engine state);
     // exact p95 replayed, within_tol must be 1

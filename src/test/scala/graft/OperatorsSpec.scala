@@ -1018,6 +1018,53 @@ class OperatorsSpec extends SparkSpec {
     assert(id.getAs[Long]("n_distinct") === 6L && id.getAs[Long]("sum_micro") === 21000000L)
   }
 
+  test("Versioned commits with statsCols carry a per-version manifest; time-travel pruned reads work") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    val path = java.nio.file.Files.createTempDirectory("graft_vstats").toString + "/t"
+    val v0data = (0L until 100L).map(i => (i, i * 10)).toDF("k", "v")
+    Versioned.commit(path, v0data, Seq("v"))
+    val updates = (50L until 150L).map(i => (i, i * 10 + 5)).toDF("k", "v")
+    Versioned.upsert(spark, path, updates, "k", Seq("v"))
+
+    // every committed version carries its own manifest
+    Seq(0L, 1L).foreach { v =>
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$path/v=$v/_manifest")), s"v=$v manifest")
+    }
+    // latest pruned read == plain filter of the merged state
+    val got = Versioned.prunedRead(spark, path, "v", 300L, 800L)
+      .select("k").as[Long].collect().sorted
+    val want = Versioned.read(spark, path)
+      .filter(col("v") >= 300 && col("v") <= 800)
+      .select("k").as[Long].collect().sorted
+    assert(got.toSeq === want.toSeq && got.nonEmpty)
+    // time travel: v0's pruned read sees pre-upsert values only
+    val v0got = Versioned.prunedRead(spark, path, "v", 500L, 505L, Some(0L))
+      .select("v").as[Long].collect().sorted
+    assert(v0got.toSeq === Seq(500L))   // v1 would also hold 505
+  }
+
+  test("phraseSearch counts aligned occurrences, overlapping included, partial matches excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta alpha beta gamma"),  // 2 hits
+      (1L, "alpha beta delta gamma"),                    // adjacency broken
+      (2L, "beta gamma alpha"),                          // wrong order
+      (3L, "x alpha  beta gamma"),                       // empty-token robust: 1 hit
+      (4L, "a a a a")                                    // overlap self-phrase
+    ).toDF("doc_id", "text")
+    val got = Relational.phraseSearch(docs, "doc_id", "text",
+        Seq("alpha", "beta", "gamma"))
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Int]("n_hits"), r.getAs[Int]("first_pos"))).sortBy(_._1)
+    assert(got.toSeq === Seq((0L, 2, 1), (3L, 1, 2)))
+    // overlapping occurrences each count: "a a" in "a a a a" -> 3
+    val ov = Relational.phraseSearch(docs.filter(col("doc_id") === 4), "doc_id",
+        "text", Seq("a", "a")).collect()
+    assert(ov.length === 1 && ov.head.getAs[Int]("n_hits") === 3)
+  }
+
   test("tfidfCosinePairs: duplicate docs score 1.0, near-dups land between, disjoint docs never pair") {
     val pairs = Similarity.tfidfCosinePairs(docsDf, "doc_id", "text",
         gram = 3, maxDf = 100, minCosine = 0.0)

@@ -531,4 +531,18 @@ class PlanSpec extends SparkSpec {
     // broadcast of per-cell checksums
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q162 star join: dims broadcast, at most one fact-fact shuffle join, filters pushed") {
+    val p = plan(q("q162_star_join"))
+    // the four dimension sides (region, nation, supplier, customer)
+    // join broadcast — never a nested loop, never a dim shuffle
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    // the only shuffle-side join allowed is orders ⋈ lineitem
+    val shuffled = "SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size
+    assert(shuffled <= 1, p)
+    // the date filter reaches the orders scan, the region filter its scan
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+  }
 }
