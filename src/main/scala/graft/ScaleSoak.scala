@@ -81,10 +81,11 @@ object ScaleSoak {
     // populations on the same calendar)
     "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",
     "q154_scd_join", "q155_entity_resolution", "q156_mad_outliers",
-    // fourth-session additions (q158/q160/q162 are star-schema → bench
-    // ladder)
+    // fourth-session additions (q158/q160/q162/q165/q166/q168 are
+    // star-schema → bench ladder)
     "q157_stats_pruned_read", "q159_tfidf_pairs", "q161_p95_contract",
-    "q163_versioned_skipping", "q164_phrase_search")
+    "q163_versioned_skipping", "q164_phrase_search", "q167_grouping_sets",
+    "q169_table_checksum")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

@@ -106,6 +106,23 @@ object Layout {
       .write.mode("overwrite").parquet(s"$path/_manifest")
   }
 
+  /** Globally-sorted export: range-partition on `c` (sampled balanced
+    * bounds, the same mechanism a total sort uses), sort within each
+    * file, write parquet WITH the stats manifest. The result is the
+    * "sorted table" layout: file ranges on `c` are pairwise
+    * non-overlapping (LayoutSpec pins it), so a point or range lookup
+    * binary-searches the manifest to O(1) candidate files — the
+    * single-dimension specialization of [[zorderWrite]] (one hot
+    * lookup column beats interleaving when queries only ever filter
+    * that column). One range exchange, no other movement.
+    */
+  def sortedWrite(df: DataFrame, path: String, c: String, partitions: Int): Unit = {
+    df.repartitionByRange(partitions, col(c))
+      .sortWithinPartitions(col(c))
+      .write.mode("overwrite").parquet(path)
+    writeManifest(df.sparkSession, path, Seq(c))
+  }
+
   /** Data files whose `[min_c, max_c]` manifest range intersects
     * `[lo, hi]` — the candidate set a range-filtered scan must open.
     * Driver-side and manifest-sized (one row per file), never touches

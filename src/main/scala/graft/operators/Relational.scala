@@ -148,6 +148,52 @@ object Relational {
       .drop("_salt")
   }
 
+  /** Order-independent content checksum of a table projection: per row,
+    * the 32-bit md5-prefix hash of a canonical `|`-joined rendering of
+    * the columns (nulls rendered as a sentinel), summed exactly. Any
+    * engine that agrees on the canonical string computes the identical
+    * (n_rows, checksum) pair in ANY row order and ANY partitioning —
+    * the cheap replication/migration verdict ("did the copy arrive
+    * intact?") that doesn't need a sorted diff of two 100 TB tables.
+    * One scan, map-side combined to two longs per partition.
+    *
+    * A checksum, not an identity: `|` inside string values (and string
+    * values equal to the null sentinel) canonicalize ambiguously, and
+    * colliding row multisets exist — the verdict is probabilistic the
+    * way every content hash is.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum: at least one column")
+    val canon = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*)
+    df.agg(count(lit(1)).cast("long").as("n_rows"),
+      sum(graft.plans.Md5Prefix32.md5prefix32(canon)).as("checksum"))
+  }
+
+  /** Inner-equi-join output size WITHOUT executing the join:
+    * |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k), computed from the two per-key
+    * count frames. The count frames are distinct-key-sized (map-side
+    * combined), so the cost is two aggregates plus a key-count join —
+    * at 100 TB that is the difference between a planning probe and
+    * materializing a possibly-exploding join. This is the
+    * pre-flight check before a risky join: a blown-up estimate
+    * (hot-key product) says "salt it ([[saltedJoin]]) or rethink"
+    * BEFORE the 10-hour shuffle, and the per-key products this sums
+    * are exactly the skew diagnostic ordered by contribution.
+    *
+    * Returns one row: est rows, distinct join keys, and the largest
+    * single-key contribution (the skew headline).
+    */
+  def joinSize(a: DataFrame, b: DataFrame, aKey: String, bKey: String): DataFrame = {
+    val ca = a.groupBy(col(aKey).as("k")).agg(count(lit(1)).as("na"))
+    val cb = b.groupBy(col(bKey).as("k")).agg(count(lit(1)).as("nb"))
+    ca.join(cb, "k")
+      .select((col("na") * col("nb")).as("prod"))
+      .agg(sum(col("prod")).as("join_rows"),
+        count(lit(1)).as("n_join_keys"),
+        max(col("prod")).as("max_key_rows"))
+  }
+
   /** Exact phrase search over a POSITIONAL token index — the retrieval
     * primitive [[invertedIndex]]'s bag-of-words postings cannot answer
     * (adjacency is lost once positions are dropped). Tokens explode

@@ -389,6 +389,67 @@ object ScaleQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Globally-sorted export + manifest: the "sorted table" layout
+    // whose file ranges are pairwise disjoint (LayoutSpec pins it), so
+    // the price-range read opens O(1) files. Graded on equality with
+    // the plain filter.
+    "q165_sorted_export" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), Q.cents(col("l_extendedprice")).as("price_cents"))
+      val path = java.nio.file.Files.createTempDirectory("graft_sorted")
+        .toString + "/byprice"
+      Layout.sortedWrite(li, path, "price_cents", partitions = 8)
+      Layout.prunedRead(s, path, "price_cents", 100000L, 2000000L)
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("price_cents")).as("min_cents"),
+          max(col("price_cents")).as("max_cents"))
+    }),
+
+    // Join-size pre-flight: |orders ⋈ lineitem| from the two per-key
+    // count frames, never materializing the join. The oracle RUNS the
+    // actual join, so the gate proves the Σ na·nb identity
+    // cross-engine — plus the skew headline (max single-key rows).
+    "q166_join_size" -> ((s, dir) =>
+      Relational.joinSize(t(s, dir, "orders"), t(s, dir, "lineitem"),
+        "o_orderkey", "l_orderkey")),
+
+    // GROUPING SETS over (day × event type): the general form of the
+    // q43/q48 rollup/cube family, graded through the same Expand-based
+    // single pass; aggregated-away dims render as 'ALL'.
+    "q167_grouping_sets" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(to_date(col("ts")).as("day"),
+        col("event_type"), round(col("value") * 1e6).cast("long").as("vm"))
+      ev.groupingSets(
+          Seq(Seq(col("day"), col("event_type")), Seq(col("day")),
+            Seq(col("event_type")), Seq()),
+          col("day"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("vm")).as("sum_micro"))
+        .select(coalesce(col("day").cast("string"), lit("ALL")).as("day"),
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          col("n"), col("sum_micro"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // Per-group top-k via the bounded-heap typed Aggregator (k rows
+    // per group cross the shuffle; no per-group sort, no Window —
+    // PlanSpec pins it). Top-3 orders by price per market segment.
+    "q168_group_topk" -> ((s, dir) => {
+      val j = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          Q.cents(col("o_totalprice")).as("price_cents"), col("o_orderkey"))
+      graft.operators.TopK.topKPerGroupAgg(j, "segment", "price_cents",
+          "o_orderkey", k = 3)
+        .orderBy(col("segment"), col("rank"))
+    }),
+
+    // Order-independent table checksum: the replication/migration
+    // verdict both engines must agree on from any row order.
+    "q169_table_checksum" -> ((s, dir) =>
+      Relational.tableChecksum(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+
     // Log2 degree histogram of the trade graph — the skew diagnostic.
     "q153_degree_hist" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -847,6 +908,58 @@ object ScaleQueries {
           SELECT doc_id, CAST(count(*) AS INT) AS n_hits,
             CAST(min(start) AS INT) AS first_pos
           FROM m GROUP BY 1 ORDER BY doc_id""",
+
+    // layout is not semantics: the oracle is the plain range filter
+    "q165_sorted_export" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(pc) AS BIGINT) AS sum_cents,
+            min(pc) AS min_cents, max(pc) AS max_cents
+          FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+            FROM lineitem)
+          WHERE pc BETWEEN 100000 AND 2000000""",
+
+    // the oracle MATERIALIZES the join the engine only estimates —
+    // the gate proves the sum(na*nb) identity across engines
+    "q166_join_size" ->
+      s"""WITH j AS (SELECT o_orderkey AS k FROM orders
+            JOIN lineitem ON o_orderkey = l_orderkey),
+          per AS (SELECT k, count(*) AS c FROM j GROUP BY 1)
+          SELECT CAST(sum(c) AS BIGINT) AS join_rows,
+            CAST(count(*) AS BIGINT) AS n_join_keys,
+            CAST(max(c) AS BIGINT) AS max_key_rows
+          FROM per""",
+
+    "q167_grouping_sets" ->
+      s"""WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type,
+              CAST(round(value * 1000000) AS BIGINT) AS vm FROM events)
+          SELECT coalesce(CAST(day AS VARCHAR), 'ALL') AS day,
+            coalesce(event_type, 'ALL') AS event_type,
+            CAST(count(*) AS BIGINT) AS n, CAST(sum(vm) AS BIGINT) AS sum_micro
+          FROM e GROUP BY GROUPING SETS ((day, event_type), (day),
+            (event_type), ())
+          ORDER BY 1, 2""",
+
+    // the oracle ranks with a window; the engine's aggregator must
+    // produce the identical cut under the same (score desc, id) order
+    "q168_group_topk" ->
+      s"""WITH j AS (SELECT c_mktsegment AS seg,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS pc, o_orderkey AS ok
+            FROM orders JOIN customer ON o_custkey = c_custkey),
+          r AS (SELECT seg, pc, ok,
+              row_number() OVER (PARTITION BY seg ORDER BY pc DESC, ok) AS rn
+            FROM j)
+          SELECT seg AS segment, CAST(rn AS INT) AS rank, pc AS price_cents,
+            ok AS o_orderkey
+          FROM r WHERE rn <= 3 ORDER BY segment, rank""",
+
+    "q169_table_checksum" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(${Q.sqlTokenHash(
+              "concat_ws('|', coalesce(CAST(doc_id AS VARCHAR), '<NULL>'), " +
+              "coalesce(lang, '<NULL>'), coalesce(source, '<NULL>'), " +
+              "coalesce(CAST(n_chars AS VARCHAR), '<NULL>'))")}) AS BIGINT)
+              AS checksum
+          FROM $DocsPq""",
 
     // approx leg graded as a contract (the sketch is engine state);
     // exact p95 replayed, within_tol must be 1

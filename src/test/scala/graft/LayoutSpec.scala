@@ -98,4 +98,29 @@ class LayoutSpec extends SparkSpec {
     assert(none.count() === 0L)
     assert(none.columns.contains("id"))
   }
+
+  test("sortedWrite: file ranges are pairwise non-overlapping, point lookups open one file") {
+    // shuffled input so the sort actually has to move everything
+    val rows = scala.util.Random.shuffle((0L until 4000L).toVector)
+      .map(i => (i, i % 97)).toDF("v", "tag")
+    val base = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    val path = s"$base/s"
+    Layout.sortedWrite(rows, path, "v", partitions = 8)
+
+    // manifest ranges sorted by lo must not overlap (same value never
+    // splits across files under range partitioning)
+    val ranges = spark.read.parquet(s"$path/_manifest")
+      .select(col("min_v"), col("max_v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(ranges.length === 8)
+    ranges.sliding(2).foreach {
+      case Array((_, hiPrev), (loNext, _)) => assert(hiPrev < loNext)
+      case _ =>
+    }
+    // a point lookup opens exactly one file; result matches
+    assert(Layout.prunedFiles(spark, path, "v", 1234, 1234).size === 1)
+    val got = Layout.prunedRead(spark, path, "v", 1234, 1234)
+      .select(col("tag")).collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1234L % 97))
+  }
 }

@@ -1045,6 +1045,55 @@ class OperatorsSpec extends SparkSpec {
     assert(v0got.toSeq === Seq(500L))   // v1 would also hold 505
   }
 
+  test("topKPerGroupAgg equals the ranking-window cut, ties broken by id") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // scores drawn from a tiny range so ties are common
+    val rows = (0L until 3000L).map(i => (s"g${i % 7}", rnd.nextInt(20).toLong, i))
+      .toDF("g", "score", "id")
+    val got = graft.operators.TopK.topKPerGroupAgg(rows, "g", "score", "id", 5)
+      .select("g", "rank", "score", "id")
+      .as[(String, Int, Long, Long)].collect().sorted
+    val want = Relational.topKPerGroup(rows, 5, Seq(col("g")),
+        Seq(col("score").desc, col("id").asc))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+          .orderBy(col("score").desc, col("id").asc)))
+      .select("g", "rank", "score", "id")
+      .as[(String, Int, Long, Long)].collect().sorted
+    assert(got.toSeq === want.toSeq && got.length === 35)
+  }
+
+  test("tableChecksum is row-order and partitioning invariant; any cell change moves it") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, s"v$i")).toDF("k", "s")
+    def sig(d: org.apache.spark.sql.DataFrame) =
+      Relational.tableChecksum(d, Seq("k", "s")).head() match {
+        case r => (r.getAs[Long]("n_rows"), r.getAs[Long]("checksum"))
+      }
+    val base = sig(df)
+    assert(base === sig(df.orderBy(col("s").desc)))
+    assert(base === sig(df.repartition(13)))
+    // a single changed cell changes the checksum but not the count
+    val mutated = sig(df.withColumn("s",
+      when(col("k") === 250, lit("vX")).otherwise(col("s"))))
+    assert(mutated._1 === base._1 && mutated._2 != base._2)
+  }
+
+  test("joinSize equals the materialized join's row count and flags the hot key") {
+    import spark.implicits._
+    // skewed: key 7 has 300 left x 40 right rows = 12000 of the total
+    val a = ((0L until 300L).map(i => (i, 7L)) ++
+      (0L until 200L).map(i => (i + 1000, i % 50))).toDF("aid", "ka")
+    val b = ((0L until 40L).map(i => (i, 7L)) ++
+      (0L until 100L).map(i => (i + 500, i % 25))).toDF("bid", "kb")
+    val est = Relational.joinSize(a, b, "ka", "kb").head()
+    val actual = a.join(b, col("ka") === col("kb")).count()
+    assert(est.getAs[Long]("join_rows") === actual)
+    assert(est.getAs[Long]("max_key_rows") === 304L * 44L) // key 7: (300+4)·(40+4)
+    assert(est.getAs[Long]("n_join_keys") === 25L)  // keys 0..24 ∪ {7}
+  }
+
   test("phraseSearch counts aligned occurrences, overlapping included, partial matches excluded") {
     import spark.implicits._
     val docs = Seq(

@@ -545,4 +545,12 @@ class PlanSpec extends SparkSpec {
     // the date filter reaches the orders scan, the region filter its scan
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
   }
+
+  test("q168 per-group top-k aggregates — no Window, no per-group sort exchange") {
+    val p = plan(q("q168_group_topk"))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    // the typed bounded-heap buffer plans as an object hash aggregate
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
 }
