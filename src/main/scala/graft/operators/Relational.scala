@@ -148,6 +148,28 @@ object Relational {
       .drop("_salt")
   }
 
+  /** Data-quality rule report: each rule is (name, violation
+    * predicate); ONE aggregation pass over the table emits every
+    * rule's violation count (`sum(when(pred, 1))` columns, map-side
+    * combined), stack-unpivoted to a row per rule. The
+    * ingest-gate companion of [[numericProfile]]: rules are ordinary
+    * `Column` predicates, so anything expressible in the engine
+    * (ranges, set membership, regex, null checks, cross-column
+    * comparisons) costs the same single scan regardless of rule
+    * count. Cross-TABLE rules (referential integrity) are anti-join
+    * counts — compose them beside this per-table pass.
+    */
+  def qualityReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "qualityReport: at least one rule")
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"r_$i") }
+    val stackArgs = rules.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', r_$i" }.mkString(", ")
+    df.agg(count(lit(1)).cast("long").as("n_rows"), aggs: _*)
+      .selectExpr("n_rows",
+        s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)")
+  }
+
   /** Order-independent content checksum of a table projection: per row,
     * the 32-bit md5-prefix hash of a canonical `|`-joined rendering of
     * the columns (nulls rendered as a sentinel), summed exactly. Any
@@ -217,8 +239,19 @@ object Relational {
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty && phrase.size <= 16, "phraseSearch: 1..16 terms")
-    val pos = docs.select(col(idCol).as("id"),
-      posexplode(graft.functions.Tokenize.arr(col(textCol))).as(Seq("p", "token")))
+    // conjunctive substring prefilter: a doc missing any term as a raw
+    // substring cannot match the tokenized phrase, and `contains` is a
+    // codegen'd scan predicate — at corpus scale this drops almost
+    // everything BEFORE the (non-codegen) tokenize+explode runs
+    val candidates = docs.filter(
+      phrase.map(t => lower(col(textCol)).contains(t)).reduce(_ && _))
+    // ONE explode pass shared by every leg (the first cut re-ran the
+    // corpus explode once per term — 3x the whole-scan cost at x1000);
+    // only the phrase terms' postings persist, which is index-sized
+    val pos = graft.GraftCache.registered(
+      candidates.select(col(idCol).as("id"),
+          posexplode(graft.functions.Tokenize.arr(col(textCol))).as(Seq("p", "token")))
+        .filter(col("token").isin(phrase.distinct: _*)))
     val legs = phrase.zipWithIndex.map { case (term, i) =>
       pos.filter(col("token") === term).select(col("id"), (col("p") - i).as("start"))
     }

@@ -68,6 +68,31 @@ object Sequence {
       .agg(count(lit(1)).cast("int").as("n_users"))
   }
 
+  /** Exponentially time-decayed counts per group — the trending /
+    * recency-weighted popularity primitive (what "hot topics" ranks
+    * by): each event contributes a weight halved per elapsed
+    * half-life. Engine-exact by construction: ages quantize to whole
+    * half-lives, weights are integer micro-units `1000000 >> k`
+    * (k capped at 20, past which the weight is 0 anyway), and the sum
+    * of integers is exact in any order. The anchor is the corpus's
+    * latest event date (data-derived and replayable, the q147-cohort
+    * dual); one broadcast 1-row cross join + one map-side-combined
+    * aggregation — a pure scan shape at any corpus size.
+    */
+  def decayedCounts(events: DataFrame, groupCol: String, tsCol: String,
+      halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, s"decayedCounts: halfLifeDays >= 1, got $halfLifeDays")
+    val anchor = broadcast(events.agg(max(to_date(col(tsCol))).as("t1")))
+    events.crossJoin(anchor)
+      .select(col(groupCol),
+        expr(s"least(datediff(t1, to_date($tsCol)) div $halfLifeDays, 20)").as("hl"))
+      .select(col(groupCol),
+        expr("1000000L div shiftleft(1L, cast(hl as int))").as("w_micro"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("w_micro")).as("decayed_micro"))
+  }
+
   /** Last-touch attribution: for every conversion event, the latest
     * touch event by the same user inside the lookback window
     * (`touch_ts ∈ (conv_ts − windowSec, conv_ts]`), ties broken on

@@ -888,23 +888,28 @@ object Similarity {
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     // idf in integer milli-units; df == N terms fold to w = 0 and drop
-    val w = graft.GraftCache.registered(
-      tf.join(dfr, "term")
-        .select(col("id"), col("term"),
-          (col("tf") *
-            round(log(lit(n.toDouble) / col("df").cast("double")) * 1000)
-              .cast("long")).as("w"))
-        .filter(col("w") > 0))
+    val w = tf.join(dfr, "term")
+      .select(col("id"), col("term"),
+        (col("tf") *
+          round(log(lit(n.toDouble) / col("df").cast("double")) * 1000)
+            .cast("long")).as("w"))
+      .filter(col("w") > 0)
     val norms = w.groupBy(col("id")).agg(sum(col("w") * col("w")).as("q"))
-    val dots = w.select(col("id").as("id_a"), col("term"), col("w").as("wa"))
-      .join(w.select(col("id").as("id_b"), col("term"), col("w").as("wb")),
-        "term")
+    // each weight row CARRIES its doc's norm into the pair join, so the
+    // cosine folds into the one pair aggregation. The first cut joined
+    // norms onto the aggregated pairs instead — at the x1000 soak tier
+    // that re-shuffled the ~billions-of-rows candidate-pair frame TWICE
+    // more before the threshold could drop it (measured: filled 75 GB
+    // of scratch and died); carrying 8 bytes per leg row makes the pair
+    // shuffle the only big movement and the filter immediate.
+    val wn = graft.GraftCache.registered(w.join(norms, "id"))
+    wn.select(col("id").as("id_a"), col("term"), col("w").as("wa"), col("q").as("qa"))
+      .join(wn.select(col("id").as("id_b"), col("term"), col("w").as("wb"),
+        col("q").as("qb")), "term")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("wa") * col("wb")).as("dot"))
-    dots
-      .join(norms.select(col("id").as("id_a"), col("q").as("qa")), "id_a")
-      .join(norms.select(col("id").as("id_b"), col("q").as("qb")), "id_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"),
+        max(col("qa")).as("qa"), max(col("qb")).as("qb"))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dot"),
         round(col("dot") / (sqrt(col("qa")) * sqrt(col("qb"))), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Count-Min sketch (Cormode & Muthukrishnan 2005): frequency
@@ -158,5 +158,29 @@ object Sketch {
         expr("hll_sketch_estimate(b.sk)").as("est_b"),
         expr("hll_sketch_estimate(hll_union(a.sk, b.sk))").as("est_union"))
       .withColumn("est_overlap", col("est_a") + col("est_b") - col("est_union"))
+  }
+
+  /** Mergeable distinct-count rollup: build one HLL sketch per fine
+    * bucket (e.g. per day) in a single corpus pass, then answer ANY
+    * coarse range (months, quarters, arbitrary windows) by
+    * `hll_union_agg` over the kilobyte sketches — never rescanning the
+    * rows. This mergeability is THE reason sketches beat exact
+    * distinct at 100 TB: daily sketches persist at rest and every
+    * later rollup is a metadata-sized aggregation. Returns one row per
+    * coarse bucket with the estimate.
+    *
+    * `fineBucket`/`coarseBucket` are expressions over the input (the
+    * coarse bucket must be a function of the fine one for the rollup
+    * to be exact-in-structure, e.g. day → month).
+    */
+  def distinctRollup(items: DataFrame, keyCol: String, fineBucket: Column,
+      coarseBucket: Column, lgK: Int = 14): DataFrame = {
+    val daily = items
+      .select(fineBucket.as("fine"), coarseBucket.as("coarse"), col(keyCol))
+      .groupBy(col("fine"), col("coarse"))
+      .agg(expr(s"hll_sketch_agg($keyCol, $lgK)").as("sk"))
+    daily.groupBy(col("coarse"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct"),
+        count(lit(1)).cast("int").as("n_fine_buckets"))
   }
 }

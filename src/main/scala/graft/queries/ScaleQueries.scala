@@ -450,6 +450,56 @@ object ScaleQueries {
       Relational.tableChecksum(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
 
+    // Exponentially time-decayed event counts (half-life 7 days over
+    // the 30-day event window, anchor = latest event): the trending /
+    // recency primitive in exact integer micro-weights.
+    "q170_decayed_counts" -> ((s, dir) =>
+      Sequence.decayedCounts(t(s, dir, "events"), "event_type", "ts",
+          halfLifeDays = 7)
+        .orderBy(col("event_type"))),
+
+    // Mergeable distinct-count rollup: one corpus pass builds per-DAY
+    // HLL sketches, weekly rollups union the kilobyte sketches — never
+    // rescanning rows. Graded on the 2%+5 contract against the exact
+    // weekly distincts (anchor-derived weeks, the q147 discipline).
+    "q171_distinct_rollup" -> ((s, dir) => {
+      val raw = t(s, dir, "events")
+      val anchor = broadcast(raw.agg(min(to_date(col("ts"))).as("t0")))
+      val ev = raw.crossJoin(anchor).select(
+        to_date(col("ts")).as("day"),
+        expr("datediff(to_date(ts), t0) div 7").as("week"),
+        col("user_id"))
+      val est = Sketch.distinctRollup(ev, "user_id", col("day"), col("week"))
+        .select(col("coarse").as("week"), col("est_distinct"),
+          col("n_fine_buckets").as("n_days"))
+      val exact = ev.groupBy(col("week"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, "week")
+        .select(col("week"), col("exact_users"), col("n_days"),
+          (abs(col("est_distinct") - col("exact_users")) <=
+            lit(0.02) * col("exact_users") + lit(5)).cast("int").as("within_tol"))
+        .orderBy(col("week"))
+    }),
+
+    // Data-quality gate: every row rule costs the same ONE scan
+    // (sum-of-when columns, stack-unpivoted); the referential rule is
+    // an anti-join count beside it.
+    "q172_quality_rules" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val rows = Relational.qualityReport(li, Seq(
+        "quantity_gt45" -> (col("l_quantity") > 45),
+        "discount_gt8pct" -> (col("l_discount") > 0.08),
+        "tax_out_of_range" -> (col("l_tax") < 0 || col("l_tax") > 0.08),
+        "price_nonpositive" -> (col("l_extendedprice") <= 0)))
+      val ref = li.join(t(s, dir, "orders").select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(li.agg(count(lit(1)).cast("long").as("n_rows")))
+        .select(col("n_rows"), lit("orphan_lineitem").as("rule"),
+          col("n_violations"))
+      rows.unionByName(ref).orderBy(col("rule"))
+    }),
+
     // Log2 degree histogram of the trade graph — the skew diagnostic.
     "q153_degree_hist" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -960,6 +1010,47 @@ object ScaleQueries {
               "coalesce(CAST(n_chars AS VARCHAR), '<NULL>'))")}) AS BIGINT)
               AS checksum
           FROM $DocsPq""",
+
+    "q170_decayed_counts" ->
+      s"""WITH a AS (SELECT max(CAST(ts AS DATE)) AS t1 FROM events),
+          w AS (SELECT event_type,
+              1000000 // (1 << CAST(least(
+                datediff('day', CAST(ts AS DATE), t1) // 7, 20) AS INT)) AS wm
+            FROM events CROSS JOIN a)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(wm) AS BIGINT) AS decayed_micro
+          FROM w GROUP BY 1 ORDER BY 1""",
+
+    // sketch leg is engine state; exact weekly distincts replayed,
+    // within_tol must be 1
+    "q171_distinct_rollup" ->
+      s"""WITH a AS (SELECT min(CAST(ts AS DATE)) AS t0 FROM events),
+          e AS (SELECT CAST(ts AS DATE) AS day,
+              datediff('day', t0, CAST(ts AS DATE)) // 7 AS week, user_id
+            FROM events CROSS JOIN a)
+          SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+            CAST(count(DISTINCT day) AS INT) AS n_days, 1 AS within_tol
+          FROM e GROUP BY 1 ORDER BY 1""",
+
+    "q172_quality_rules" -> {
+      def leg(name: String, pred: String) =
+        s"""SELECT n_rows, '$name' AS rule,
+              CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_violations
+            FROM lineitem CROSS JOIN n GROUP BY n_rows"""
+      s"""WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+          ${Seq(
+            leg("quantity_gt45", "l_quantity > 45"),
+            leg("discount_gt8pct", "l_discount > 0.08"),
+            leg("tax_out_of_range", "l_tax < 0 OR l_tax > 0.08"),
+            leg("price_nonpositive", "l_extendedprice <= 0"),
+            s"""SELECT n_rows, 'orphan_lineitem' AS rule,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                  AS n_violations
+              FROM n""").mkString(" UNION ALL ")}
+          ORDER BY rule"""
+    },
 
     // approx leg graded as a contract (the sketch is engine state);
     // exact p95 replayed, within_tol must be 1

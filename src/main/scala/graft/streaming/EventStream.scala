@@ -265,6 +265,34 @@ object EventStream {
         ()
       }
 
+  /** Streaming replication checksum: each micro-batch's
+    * [[graft.operators.Relational.tableChecksum]] row lands in its own
+    * `batch=<id>` overwrite directory under `statePath`, so retries of
+    * a batch are idempotent (same dir rewritten, never double-counted)
+    * and the running total is the SUM over the state rows — valid
+    * because the checksum is an exact integer sum, hence associative
+    * across any batch partitioning of the rows. StreamingSpec pins
+    * stream-accumulated total ≡ one batch scan. This is how a CDC
+    * replica gets its "did everything arrive intact" verdict without
+    * ever rescanning the source: per-batch kilobyte rows, summed.
+    */
+  def checksumStream(rows: DataFrame, cols: Seq[String], statePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Relational.tableChecksum(batch, cols)
+          .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+      }
+
+  /** Running total over a [[checksumStream]] state directory. */
+  def checksumTotal(spark: SparkSession, statePath: String): (Long, Long) = {
+    val r = spark.read.parquet(statePath)
+      .agg(org.apache.spark.sql.functions.sum("n_rows"),
+        org.apache.spark.sql.functions.sum("checksum")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Drive a streaming query from a static parquet dir through the
     * memory sink synchronously — the local smoke path (one parquet file
     * per micro-batch via maxFilesPerTrigger).

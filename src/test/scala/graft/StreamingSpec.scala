@@ -319,4 +319,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === total)                    // nothing reprocessed
     assert(out.select("event_id").distinct().count() === total) // no dups
   }
+
+  test("streaming checksum accumulates to the batch table checksum; batch replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val base = java.nio.file.Files.createTempDirectory("graft_sck").toString
+    val docs = (0L until 60L).map(i => EventStream.StreamDoc(i, s"text $i", ts(i)))
+
+    val input = MemoryStream[EventStream.StreamDoc]
+    val q = EventStream.checksumStream(input.toDF(), Seq("doc_id", "text"), s"$base/state").start()
+    input.addData(docs.take(25)); q.processAllAvailable()
+    input.addData(docs.drop(25)); q.processAllAvailable(); q.stop()
+
+    val (n, sum) = EventStream.checksumTotal(spark, s"$base/state")
+    val batch = graft.operators.Relational
+      .tableChecksum(docs.toDF(), Seq("doc_id", "text")).head()
+    assert(n === batch.getAs[Long]("n_rows"))
+    assert(sum === batch.getAs[Long]("checksum"))
+
+    // replaying a batch overwrites its own dir — the total is unchanged
+    graft.operators.Relational.tableChecksum(docs.take(25).toDF(), Seq("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$base/state/batch=0")
+    assert(EventStream.checksumTotal(spark, s"$base/state") === ((n, sum)))
+  }
 }
