@@ -126,6 +126,28 @@ object Sequence {
           .as("gap_micros"))
   }
 
+  /** Per-user conversion gaps: the time from a user's FIRST `fromType`
+    * event to the first `toType` event strictly after it (the q146
+    * strict-funnel semantics reduced to its two-stage timing). Two
+    * user-keyed aggregates and one user-keyed join — co-partitioned,
+    * no windows, no per-user sort; gaps come out in exact integer
+    * microseconds ready for the percentile machinery. Feed the result
+    * to [[madOutliers]] or a percentile contract for the
+    * "time-to-convert" distribution.
+    */
+  def conversionGaps(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, fromType: String, toType: String): DataFrame = {
+    val first = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_from"))
+    events.filter(col(typeCol) === toType)
+      .join(first, userCol)
+      .filter(col(tsCol) > col("t_from"))
+      .groupBy(col(userCol), col("t_from"))
+      .agg(min(col(tsCol)).as("t_to"))
+      .select(col(userCol),
+        (unix_micros(col("t_to")) - unix_micros(col("t_from"))).as("gap_micros"))
+  }
+
   /** Robust per-group outlier detection via median absolute deviation
     * — the monitoring-pipeline staple that survives the very outliers
     * it hunts (mean/stddev do not). All arithmetic is EXACT:

@@ -71,11 +71,21 @@ object Versioned {
     * time-travel reads; each version's manifest describes exactly its
     * own immutable files).
     */
-  def commit(path: String, df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+  def commit(path: String, df: DataFrame, statsCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Long = {
     // next = past every directory on disk, not just the committed
     // pointer — a crashed writer's orphan dir is never write-raced
     val next = (versions(path) ++ latestVersion(path)).foldLeft(-1L)(math.max) + 1
-    df.write.mode("overwrite").parquet(s"$path/v=$next")
+    val w = df.write.mode("overwrite")
+    // Hive-style partition layout inside the snapshot: a filtered read
+    // of the committed version prunes whole partition directories at
+    // PLANNING time (PartitionFilters in the scan — zero files listed,
+    // let alone opened, for excluded partitions). The coarse,
+    // low-cardinality complement of the row-level stats manifest; a
+    // later partitioned commit (incl. upserts of such a table) must
+    // pass the same partitionBy to keep the layout.
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$path/v=$next")
     if (statsCols.nonEmpty)
       Layout.writeManifest(df.sparkSession, s"$path/v=$next", statsCols)
     val tmp = Paths.get(path, s"_latest.tmp.$next")

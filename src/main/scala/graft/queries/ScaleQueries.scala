@@ -500,6 +500,47 @@ object ScaleQueries {
       rows.unionByName(ref).orderBy(col("rule"))
     }),
 
+    // Hive-partitioned versioned commit: a lang-filtered read of the
+    // snapshot prunes whole partition directories at planning time
+    // (PlanSpec pins PartitionFilters + en-only files opened).
+    "q173_partitioned_table" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_ptab")
+        .toString + "/table"
+      graft.operators.Versioned.commit(path, docs, Nil, Seq("lang"))
+      graft.operators.Versioned.read(s, path)
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // Time-to-convert distribution: per-user first-view → first-later-
+    // purchase gaps, p50/p95 in the exact half/hundredth-unit integer
+    // percentile discipline.
+    "q174_conversion_time" -> ((s, dir) =>
+      Sequence.conversionGaps(t(s, dir, "events"), "user_id", "ts",
+          "event_type", fromType = "view", toType = "purchase")
+        .agg(count(lit(1)).cast("long").as("n_converted"),
+          round(expr("percentile(gap_micros, CAST(0.5 AS DOUBLE)) * 100"))
+            .cast("long").as("p50_100"),
+          round(expr("percentile(gap_micros, CAST(0.95 AS DOUBLE)) * 100"))
+            .cast("long").as("p95_100"))),
+
+    // Metric-series anomaly gate: daily event volumes per type through
+    // the exact integer MAD machinery (q156 applied to the aggregated
+    // series — the heavy part at 100 TB is the count scan; the gate
+    // math is series-sized).
+    "q175_daily_anomalies" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      Sequence.madOutliers(daily, "event_type", "n_events", k = 3)
+        .orderBy(col("event_type"))
+    }),
+
     // Log2 degree histogram of the trade graph — the skew diagnostic.
     "q153_degree_hist" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -1051,6 +1092,46 @@ object ScaleQueries {
               FROM n""").mkString(" UNION ALL ")}
           ORDER BY rule"""
     },
+
+    // partition layout is not semantics: oracle = the plain filter
+    "q173_partitioned_table" ->
+      s"""SELECT source, CAST(count(*) AS INT) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM $DocsPq WHERE lang = 'en'
+          GROUP BY 1 ORDER BY 1""",
+
+    "q174_conversion_time" ->
+      s"""WITH f AS (SELECT user_id, min(ts) AS t_from FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+          g AS (SELECT e.user_id,
+              min(datediff('microseconds', t_from, e.ts)) AS gap_micros
+            FROM events e JOIN f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > f.t_from
+            GROUP BY 1)
+          SELECT CAST(count(*) AS BIGINT) AS n_converted,
+            CAST(round(quantile_cont(gap_micros, 0.5) * 100) AS BIGINT) AS p50_100,
+            CAST(round(quantile_cont(gap_micros, 0.95) * 100) AS BIGINT) AS p95_100
+          FROM g""",
+
+    "q175_daily_anomalies" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+              count(*) AS n_events FROM events GROUP BY 1, 2),
+          vm AS (SELECT event_type,
+              CAST(round(n_events * 1000000) AS BIGINT) AS vm FROM daily),
+          med AS (SELECT event_type,
+              CAST(round(quantile_cont(vm, 0.5) * 2) AS BIGINT) AS med2
+            FROM vm GROUP BY 1),
+          dev AS (SELECT vm.event_type, abs(2 * vm.vm - med.med2) AS d2
+            FROM vm JOIN med USING (event_type)),
+          mad AS (SELECT event_type,
+              CAST(round(quantile_cont(d2, 0.5) * 2) AS BIGINT) AS mad4
+            FROM dev GROUP BY 1)
+          SELECT d.event_type, CAST(count(*) AS INT) AS n,
+            CAST(sum(CASE WHEN 2 * d.d2 > 3 * m.mad4 THEN 1 ELSE 0 END) AS INT)
+              AS n_outliers,
+            max(med.med2) AS med2, max(m.mad4) AS mad4
+          FROM dev d JOIN mad m USING (event_type) JOIN med USING (event_type)
+          GROUP BY 1 ORDER BY 1""",
 
     // approx leg graded as a contract (the sketch is engine state);
     // exact p95 replayed, within_tol must be 1

@@ -546,6 +546,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
   }
 
+  test("q173 partitioned snapshot read prunes non-matching partitions at planning time") {
+    val df = q("q173_partitioned_table")
+    val p = plan(df)
+    // the lang predicate became a PARTITION filter on the scan (pruned
+    // at planning — excluded directories are never listed as splits),
+    // not a row-level filter over all partitions. (inputFiles can't
+    // witness this: it reads the unpruned FileIndex by design.)
+    assert(p.contains("PartitionFilters") && p.contains("lang"), p)
+    assert(p.contains("lang = en") || p.contains("lang#"), p)
+    // the snapshot really is laid out hive-style, one dir per lang
+    val root = df.inputFiles.head.replaceAll("/lang=.*", "")
+    val dirs = new java.io.File(new java.net.URI(root)).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(dirs.length >= 4 && dirs.contains("lang=en"), dirs.mkString(","))
+  }
+
   test("q168 per-group top-k aggregates — no Window, no per-group sort exchange") {
     val p = plan(q("q168_group_topk"))
     assert(!p.contains("Window"), p)
