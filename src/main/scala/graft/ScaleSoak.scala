@@ -86,7 +86,8 @@ object ScaleSoak {
     "q157_stats_pruned_read", "q159_tfidf_pairs", "q161_p95_contract",
     "q163_versioned_skipping", "q164_phrase_search", "q167_grouping_sets",
     "q169_table_checksum", "q170_decayed_counts", "q171_distinct_rollup",
-    "q173_partitioned_table", "q174_conversion_time", "q175_daily_anomalies")
+    "q173_partitioned_table", "q174_conversion_time", "q175_daily_anomalies",
+    "q176_backfill_merge", "q177_apply_changes")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

@@ -131,6 +131,27 @@ object Versioned {
     Layout.prunedRead(spark, s"$path/v=$v", c, lo, hi)
   }
 
+  /** Apply a full CDC change batch — the mutation [[upsert]] cannot
+    * express: DELETES. `changes` carries an op column (`delete` rows
+    * need only the key; everything else is a full replacement/insert
+    * row). One left-anti join removes every changed key from the
+    * current snapshot, the non-delete rows union back in, and the
+    * result commits as ONE new snapshot — atomic like every commit,
+    * with deletes/updates/inserts visible together or not at all.
+    * Keys are unique per batch by contract (a replayed log should be
+    * compacted to final-state-per-key first).
+    */
+  def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
+      key: String, opCol: String = "op", statsCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Long = {
+    val cur = read(spark, path)
+    val upserts = changes.filter(col(opCol) =!= "delete").drop(opCol)
+    commit(path,
+      cur.join(changes.select(col(key)), Seq(key), "left_anti")
+        .unionByName(upserts),
+      statsCols, partitionBy)
+  }
+
   /** Rewrite the latest snapshot as a new version with `files` output
     * files — the small-files compaction pass a long upsert history
     * needs (every upsert writes a full snapshot at the then-current

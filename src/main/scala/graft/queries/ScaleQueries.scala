@@ -541,6 +541,58 @@ object ScaleQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Late-data backfill with partition-scoped recompute: daily
+    // aggregates at rest are REPAIRED by recomputing only the days a
+    // late batch touches (6 of 30 here) and carrying every other day's
+    // at-rest row forward — the incremental-pipeline primitive. The
+    // oracle is the full recompute the merge must equal.
+    "q176_backfill_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"), col("event_id"))
+      // deterministic split: "late" rows arrive after the base build,
+      // and only within the trailing window
+      val isLate = col("day") >= lit("2024-01-25").cast("date") &&
+        pmod(col("event_id"), lit(3)) === 0
+      val base = ev.filter(!isLate)
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val late = ev.filter(isLate)
+      val dirtyDays = late.select(col("day")).distinct()
+      // repair = untouched at-rest rows + full recompute of dirty days
+      val kept = base.join(dirtyDays, Seq("day"), "left_anti")
+      val recomputed = ev.join(dirtyDays, Seq("day"), "left_semi")
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      kept.unionByName(recomputed)
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          col("n").cast("long").as("n"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // Full CDC batch against the versioned table — deletes included
+    // (the mutation upsert can't express): one atomic snapshot commit.
+    "q177_apply_changes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_cdc")
+        .toString + "/table"
+      graft.operators.Versioned.commit(path, docs.filter(col("doc_id") < 400))
+      val changes =
+        docs.filter(col("doc_id") < 50)
+          .select(lit("delete").as("op"), col("doc_id"), col("lang"), col("n_chars"))
+        .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+          .select(lit("update").as("op"), col("doc_id"), col("lang"),
+            (col("n_chars") + 1000000L).as("n_chars")))
+        .unionByName(docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+          .select(lit("insert").as("op"), col("doc_id"), col("lang"), col("n_chars")))
+      graft.operators.Versioned.applyChanges(s, path, changes, "doc_id")
+      graft.operators.Versioned.read(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Log2 degree histogram of the trade graph — the skew diagnostic.
     "q153_degree_hist" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -1092,6 +1144,28 @@ object ScaleQueries {
               FROM n""").mkString(" UNION ALL ")}
           ORDER BY rule"""
     },
+
+    // the incremental merge must equal the FULL recompute
+    "q176_backfill_merge" ->
+      s"""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // v0 = docs<400; batch deletes <50, updates 300-349 (+1e6 chars),
+    // inserts 400-449 — final state replayed directly
+    "q177_apply_changes" ->
+      s"""WITH merged AS (
+            SELECT doc_id, lang, n_chars FROM $DocsPq
+              WHERE doc_id >= 50 AND doc_id < 300
+            UNION ALL
+            SELECT doc_id, lang, n_chars + 1000000 FROM $DocsPq
+              WHERE doc_id >= 300 AND doc_id < 350
+            UNION ALL
+            SELECT doc_id, lang, n_chars FROM $DocsPq
+              WHERE doc_id >= 350 AND doc_id < 450)
+          SELECT lang, CAST(count(*) AS INT) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM merged GROUP BY 1 ORDER BY 1""",
 
     // partition layout is not semantics: oracle = the plain filter
     "q173_partitioned_table" ->

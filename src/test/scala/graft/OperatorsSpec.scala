@@ -1094,6 +1094,24 @@ class OperatorsSpec extends SparkSpec {
     assert(est.getAs[Long]("n_join_keys") === 25L)  // keys 0..24 ∪ {7}
   }
 
+  test("applyChanges deletes, updates and inserts in one atomic snapshot; prior version intact") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    val path = java.nio.file.Files.createTempDirectory("graft_cdcop").toString + "/t"
+    Versioned.commit(path, (0L until 10L).map(i => (i, s"v$i")).toDF("k", "s"))
+    val changes = Seq(
+      ("delete", 3L, "ignored"), ("delete", 7L, "ignored"),
+      ("update", 5L, "v5b"), ("insert", 12L, "v12")
+    ).toDF("op", "k", "s")
+    Versioned.applyChanges(spark, path, changes, "k")
+    val latest = Versioned.read(spark, path)
+      .select("k", "s").as[(Long, String)].collect().sortBy(_._1)
+    assert(latest.map(_._1).toSeq === Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L, 12L))
+    assert(latest.toMap.apply(5L) === "v5b" && latest.toMap.apply(12L) === "v12")
+    // time travel: v0 still holds the deleted keys
+    assert(Versioned.read(spark, path, Some(0L)).count() === 10L)
+  }
+
   test("phraseSearch counts aligned occurrences, overlapping included, partial matches excluded") {
     import spark.implicits._
     val docs = Seq(
