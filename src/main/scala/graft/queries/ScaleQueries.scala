@@ -593,6 +593,27 @@ object ScaleQueries {
         .orderBy(col("lang"))
     }),
 
+    // Customer-value decile segmentation: per-user purchase value in
+    // exact micro units -> ntile(10) with full tie-break -> per-decile
+    // population/mass/bounds. The BI segmentation staple; the window
+    // ranks USERS (corpus-count-of-users rows, not events).
+    "q178_ltv_deciles" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 1e6).cast("long")).as("ltv_micro"))
+      perUser
+        .withColumn("decile", ntile(10).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("ltv_micro"), col("user_id"))))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).cast("int").as("n_users"),
+          sum(col("ltv_micro")).as("sum_micro"),
+          min(col("ltv_micro")).as("min_micro"),
+          max(col("ltv_micro")).as("max_micro"))
+        .orderBy(col("decile"))
+    }),
+
     // Log2 degree histogram of the trade graph — the skew diagnostic.
     "q153_degree_hist" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -1144,6 +1165,18 @@ object ScaleQueries {
               FROM n""").mkString(" UNION ALL ")}
           ORDER BY rule"""
     },
+
+    "q178_ltv_deciles" ->
+      s"""WITH u AS (SELECT user_id,
+              CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                AS ltv_micro
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          d AS (SELECT ltv_micro,
+              ntile(10) OVER (ORDER BY ltv_micro, user_id) AS decile FROM u)
+          SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS INT) AS n_users,
+            CAST(sum(ltv_micro) AS BIGINT) AS sum_micro,
+            min(ltv_micro) AS min_micro, max(ltv_micro) AS max_micro
+          FROM d GROUP BY 1 ORDER BY 1""",
 
     // the incremental merge must equal the FULL recompute
     "q176_backfill_merge" ->
