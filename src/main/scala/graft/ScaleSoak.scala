@@ -87,7 +87,8 @@ object ScaleSoak {
     "q163_versioned_skipping", "q164_phrase_search", "q167_grouping_sets",
     "q169_table_checksum", "q170_decayed_counts", "q171_distinct_rollup",
     "q173_partitioned_table", "q174_conversion_time", "q175_daily_anomalies",
-    "q176_backfill_merge", "q177_apply_changes", "q178_ltv_deciles")
+    "q176_backfill_merge", "q177_apply_changes", "q178_ltv_deciles",
+    "q179_props_extract")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

@@ -614,6 +614,21 @@ object ScaleQueries {
         .orderBy(col("decile"))
     }),
 
+    // Semi-structured extraction at event scale: get_json_object over
+    // the props JSON column (codegen'd path extraction, no UDF), then
+    // ordinary relational aggregates over the extracted field — the
+    // "log with a JSON payload" staple.
+    "q179_props_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).cast("long").as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).cast("long").as("n_distinct_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // Log2 degree histogram of the trade graph — the skew diagnostic.
     "q153_degree_hist" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -1165,6 +1180,16 @@ object ScaleQueries {
               FROM n""").mkString(" UNION ALL ")}
           ORDER BY rule"""
     },
+
+    "q179_props_extract" ->
+      s"""WITH e AS (SELECT event_type,
+              CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+            FROM events)
+          SELECT event_type, CAST(count(k) AS BIGINT) AS n_with_k,
+            CAST(sum(k) AS BIGINT) AS sum_k,
+            CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+            min(k) AS min_k, max(k) AS max_k
+          FROM e GROUP BY 1 ORDER BY 1""",
 
     "q178_ltv_deciles" ->
       s"""WITH u AS (SELECT user_id,
