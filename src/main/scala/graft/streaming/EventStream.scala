@@ -265,6 +265,18 @@ object EventStream {
         ()
       }
 
+  /** Stream-static enrichment: the event stream joined to an at-rest
+    * dimension (user segments, document metadata). The static side
+    * broadcasts and is re-resolved per micro-batch — on a cluster that
+    * means a dimension refreshed at rest is picked up by later batches
+    * without restarting the query, and the stream side never shuffles
+    * for the join. The remaining streaming join shape beside the
+    * stream-stream joins already pinned; StreamingSpec pins
+    * stream ≡ batch enrichment.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   /** Streaming replication checksum: each micro-batch's
     * [[graft.operators.Relational.tableChecksum]] row lands in its own
     * `batch=<id>` overwrite directory under `statePath`, so retries of

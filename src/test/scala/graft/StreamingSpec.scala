@@ -320,6 +320,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() === total) // no dups
   }
 
+  test("stream-static enrichment equals the batch join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val dim = (0L until 10L).map(i => (i, s"seg${i % 3}")).toDF("user_id", "segment")
+    val evs = (0L until 40L).map(i => EventStream.UserEvent(i % 12, ts(i), s"t${i % 4}"))
+
+    val input = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.enrichStream(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      input.addData(evs.take(20)); q.processAllAvailable()
+      input.addData(evs.drop(20)); q.processAllAvailable()
+      val got = spark.table("enrich")
+        .select("user_id", "event_type", "segment")
+        .as[(Long, String, String)].collect().sorted
+      val want = evs.toDF().join(dim, "user_id")
+        .select("user_id", "event_type", "segment")
+        .as[(Long, String, String)].collect().sorted
+      // users 10/11 have no dimension row: inner-join semantics drop them
+      assert(got.toSeq === want.toSeq && got.nonEmpty)
+      assert(!got.exists(_._1 >= 10))
+    } finally q.stop()
+  }
+
   test("streaming checksum accumulates to the batch table checksum; batch replay is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
