@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering and ML-observability operators: the stages that
+  * sit between a curated corpus/event log and a trained (or monitored)
+  * model. Everything follows the engine's determinism discipline —
+  * integer micro/cents units for all ratio arithmetic, round-6 floats
+  * only where a transcendental (ln, sqrt) is inherent — so every
+  * operator has an exact DuckDB-oracle rendering.
+  *
+  * Reference surface: the reference ships the generic combinators
+  * these compose from (`group_by`/`a_group_by`/`join`,
+  * `/root/reference/dampr/dampr.py:331-420`) but no ML-prep layer;
+  * these are the upgrade operators a training-data pipeline needs at
+  * 100 TB, same spirit as the dedup/ANN families.
+  */
+object Features {
+
+  /** Max concurrent intervals per group via the sweep-line (+1/-1)
+    * trick: each row becomes a start point (+1) and an end point (-1)
+    * `durSec` later, and the running sum ordered by (time, delta) is
+    * the instantaneous concurrency. `delta` ascending at equal time
+    * processes ends before starts — half-open [t, t+dur) semantics, so
+    * back-to-back intervals never double-count.
+    *
+    * Scale: the window partitions by `part`, so groups parallelize;
+    * one group's points must sort within a partition (the inherent
+    * cost of an ordered sweep). For 100 TB event logs, sub-partition
+    * by calendar day and carry boundary concurrency forward — the
+    * day-boundary correction is a per-day scalar join, not a resort.
+    */
+  def maxConcurrency(df: DataFrame, part: Column, ts: Column, durSec: Int): DataFrame = {
+    val base = df.select(part.as("grp"), ts.as("t0"))
+    val points = base
+      .select(col("grp"), col("t0").as("t"), lit(1).as("delta"))
+      .unionAll(base.select(col("grp"),
+        (col("t0") + expr(s"INTERVAL $durSec SECONDS")).as("t"), lit(-1).as("delta")))
+    val w = Window.partitionBy(col("grp")).orderBy(col("t"), col("delta"))
+    points
+      .withColumn("conc", sum(col("delta")).over(w))
+      .groupBy(col("grp"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+        max(col("conc")).cast("int").as("max_conc"))
+  }
+
+  /** Population Stability Index between a reference and a current
+    * sample of an integer-unit metric: 10 equal-width buckets bounded
+    * by the REFERENCE min/max (out-of-range current values clamp to
+    * the edge buckets — drift beyond the trained range lands visibly
+    * in bucket 0/9), Laplace-smoothed proportions so empty buckets
+    * never divide by zero, per-bucket contribution
+    * `(p - q) * ln(p / q)` rounded to 6 decimals (ln is the one
+    * inherent float; counts and bucketing stay exact integers).
+    *
+    * Both inputs are scanned once into 10-row aggregates; the PSI
+    * arithmetic happens on the bucket spine (driver-free, broadcast
+    * joins). The corpus-size cost is the two scans — nothing else
+    * grows with data.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, vm: Column, buckets: Int = 10): DataFrame = {
+    val sp = ref.sparkSession
+    val bounds = ref.select(vm.as("vm")).agg(min(col("vm")).as("mn"), max(col("vm")).as("mx"))
+    // clamp first: Spark `div` truncates toward zero while DuckDB `//`
+    // floors, but every below-range quotient is <= 0 in both and the
+    // greatest(0, _) clamp erases the difference.
+    def side(df: DataFrame, name: String): DataFrame =
+      df.select(vm.as("vm")).crossJoin(broadcast(bounds))
+        .select(greatest(lit(0), least(lit(buckets - 1),
+          expr(s"((vm - mn) * $buckets) div (mx - mn + 1)").cast("int"))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(name))
+    val spine = sp.range(buckets).select(col("id").cast("int").as("bucket"))
+    val joined = spine
+      .join(side(ref, "ref_n"), Seq("bucket"), "left")
+      .join(side(cur, "cur_n"), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val totals = joined.agg(sum(col("ref_n")).as("rt"), sum(col("cur_n")).as("ct"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("ref_n"), col("cur_n"),
+        round(
+          ((col("ref_n") + 1) / (col("rt") + buckets) - (col("cur_n") + 1) / (col("ct") + buckets)) *
+            log(((col("ref_n") + 1) / (col("rt") + buckets)) / ((col("cur_n") + 1) / (col("ct") + buckets))),
+          6).as("psi_r6"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Smoothed target (mean) encoding of a categorical key: the encoded
+    * value is `(sum + prior * m) / (n + m)` in exact integer micro
+    * units, where `prior` is the global mean (itself an integer floor)
+    * and `m` the smoothing pseudo-count — rare categories shrink
+    * toward the prior instead of memorizing noise. One grouped
+    * aggregate plus a broadcast of the 1-row global; nothing quadratic,
+    * nothing driver-side.
+    */
+  def targetEncode(df: DataFrame, key: Column, vm: Column, m: Int): DataFrame = {
+    val per = df.select(key.as("key"), vm.as("vm"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n"), sum(col("vm")).as("sum_micro"))
+    val global = per.agg(sum(col("sum_micro")).as("ts"), sum(col("n")).as("tn"))
+    per.crossJoin(broadcast(global))
+      .select(col("key"), col("n"), col("sum_micro"),
+        expr(s"(sum_micro + (ts div tn) * $m) div (n + $m)").as("enc_micro"))
+  }
+
+  /** The hashing trick: every token routes to one of `nBuckets`
+    * feature buckets by the engine's shared md5-derived hash (so the
+    * bucket assignment is reproducible across engines, languages and
+    * reruns — the property that makes hashed features usable as a
+    * stable contract). Emits per-bucket load stats: total tokens,
+    * distinct terms (collision load) and distinct docs. Map-side
+    * hash + one aggregation; the two count-distincts expand the
+    * aggregate 2×, the standard cost of auditing collision load.
+    */
+  def featureHashStats(df: DataFrame, id: Column, text: Column, nBuckets: Int): DataFrame = {
+    val toks = graft.functions.Tokenize.exploded(df, id.as("id"), text)
+    toks
+      .select(col("id"),
+        pmod(graft.plans.Md5Prefix32.md5prefix32(concat(lit("fh_"), col("token"))),
+          lit(nBuckets.toLong)).cast("int").as("bucket"),
+        col("token"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("token")).as("n_terms"),
+        countDistinct(col("id")).as("n_docs"))
+  }
+
+  /** Exact ROC AUC of an integer score against a boolean label via the
+    * tie-aware rank-sum (Mann-Whitney U) identity, entirely in integer
+    * arithmetic: group rows by distinct score (one corpus-sized
+    * aggregate), then on the DISTINCT-SCORE frame — bounded by score
+    * cardinality, not corpus size — compute doubled tie-averaged ranks
+    * `2*cum_below + n_s + 1`, so `U2 = 2*U` stays integral under ties.
+    * `auc_micro = U2 * 1e6 / (2 * n_pos * n_neg)` (floor).
+    *
+    * The unpartitioned window runs over distinct scores only — for a
+    * quantized model score (the practical case) that is thousands of
+    * rows regardless of corpus size.
+    */
+  def aucExact(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val g = df.select(score.cast("long").as("s"), label.cast("int").cast("long").as("y"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val w = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .agg(sum(col("p") * (col("cum") * 2 + col("n") + 1)).as("r2"),
+        sum(col("p")).as("n_pos"), sum(col("n") - col("p")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("r2") - col("n_pos") * (col("n_pos") + 1)).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("(u2 * 1000000) div (2 * n_pos * n_neg)").as("auc_micro"))
+  }
+
+  /** Welch's two-sample z over exact integer-cents sums: group counts
+    * and Σ/Σ² accumulate as BIGINTs (cents keep Σ² inside 2^63 for
+    * realistic magnitudes; micro units would overflow), then the mean
+    * difference and z-statistic are the only floats, rounded to 6
+    * decimals. One conditional aggregate — a single corpus pass, no
+    * shuffle beyond the 1-row result.
+    */
+  def welchAB(df: DataFrame, isA: Column, cents: Column): DataFrame = {
+    val a = df.select(isA.cast("int").as("g"), cents.cast("long").as("c"))
+    a.agg(
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("g") =!= 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("g") === 1, col("c")).otherwise(0L)).as("sum_a_cents"),
+        sum(when(col("g") =!= 1, col("c")).otherwise(0L)).as("sum_b_cents"),
+        sum(when(col("g") === 1, col("c") * col("c")).otherwise(0L)).as("qa"),
+        sum(when(col("g") =!= 1, col("c") * col("c")).otherwise(0L)).as("qb"))
+      .select(col("n_a"), col("n_b"), col("sum_a_cents"), col("sum_b_cents"),
+        round(col("sum_a_cents") / col("n_a") - col("sum_b_cents") / col("n_b"), 6)
+          .as("dmean_cents_r6"),
+        round(
+          (col("sum_a_cents") / col("n_a") - col("sum_b_cents") / col("n_b")) /
+            sqrt(
+              (col("qa") - col("sum_a_cents") * col("sum_a_cents") / col("n_a")) / (col("n_a") - 1) / col("n_a") +
+              (col("qb") - col("sum_b_cents") * col("sum_b_cents") / col("n_b")) / (col("n_b") - 1) / col("n_b")),
+          6).as("z_r6"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Features
+
+/** Laws for the feature-engineering/ML-observability operators —
+  * each checked against an independent brute-force computation on
+  * randomized (seeded) data, not against themselves.
+  */
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aucExact equals the brute-force pair formula under heavy ties") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(400)(i => (rnd.nextInt(12).toLong, rnd.nextBoolean()))
+    val df = rows.toDF("s", "y")
+    val got = Features.aucExact(df, col("y"), col("s")).as[(Long, Long, Long, Long)].head()
+
+    // brute force: over all pos-neg pairs, wins + half-ties
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    assert(got._1 === pos.size.toLong)
+    assert(got._2 === neg.size.toLong)
+    assert(got._3 === u2)
+    assert(got._4 === u2 * 1000000L / (2L * pos.size * neg.size))
+  }
+
+  test("aucExact is 1.0 for a perfectly separating score and 0.5 for a constant") {
+    val perfect = Seq.tabulate(50)(i => (i.toLong, i >= 25)).toDF("s", "y")
+    assert(Features.aucExact(perfect, col("y"), col("s"))
+      .select("auc_micro").as[Long].head() === 1000000L)
+    val const = Seq.tabulate(50)(i => (5L, i % 2 == 0)).toDF("s", "y")
+    assert(Features.aucExact(const, col("y"), col("s"))
+      .select("auc_micro").as[Long].head() === 500000L)
+  }
+
+  test("maxConcurrency matches a brute-force sweep, half-open intervals") {
+    val rnd = new scala.util.Random(11)
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val rows = Seq.tabulate(300)(i => (s"g${i % 3}", rnd.nextInt(2000).toLong))
+    val df = rows.map { case (g, s) => (g, ts(s)) }.toDF("grp", "t")
+    val got = Features.maxConcurrency(df, col("grp"), col("t"), 60)
+      .as[(String, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    for (g <- Seq("g0", "g1", "g2")) {
+      val starts = rows.filter(_._1 == g).map(_._2)
+      // concurrency only changes at starts; [s, s+60) half-open
+      val brute = starts.map(t => starts.count(s => s <= t && t < s + 60)).max
+      assert(got(g)._1 === starts.size.toLong, s"n_intervals for $g")
+      assert(got(g)._2 === brute, s"max_conc for $g")
+    }
+  }
+
+  test("maxConcurrency: back-to-back intervals never double-count") {
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    // [0,60) and [60,120): end meets start exactly — concurrency stays 1
+    val df = Seq(("a", ts(0)), ("a", ts(60))).toDF("grp", "t")
+    val got = Features.maxConcurrency(df, col("grp"), col("t"), 60)
+      .select("max_conc").as[Int].head()
+    assert(got === 1)
+  }
+
+  test("psiDrift: identical distributions give zero PSI, counts cover both sides") {
+    val ref = (0L until 1000L).map(i => i % 100).toDF("vm")
+    val got = Features.psiDrift(ref, ref, col("vm")).collect()
+    assert(got.length === 10)
+    assert(got.map(_.getLong(1)).sum === 1000L)
+    assert(got.map(_.getLong(2)).sum === 1000L)
+    assert(got.forall(r => math.abs(r.getDouble(3)) < 1e-12))
+  }
+
+  test("psiDrift: out-of-range current values clamp to edge buckets; PSI positive under shift") {
+    val ref = (0L until 500L).map(i => i % 100).toDF("vm")
+    val cur = (0L until 500L).map(i => i % 100 + 200).toDF("vm") // all beyond ref max
+    val rows = Features.psiDrift(ref, cur, col("vm")).collect()
+    val byBucket = rows.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(byBucket(9) === 500L) // everything clamps high
+    assert((0 to 8).forall(b => byBucket(b) === 0L))
+    assert(rows.map(_.getDouble(3)).sum > 0.5) // strong drift reads as large PSI
+  }
+
+  test("targetEncode shrinks rare categories toward the global prior") {
+    val df = (Seq.fill(500)(("common", 1000000L)) ++ Seq(("rare", 9000000L)))
+      .toDF("k", "vm")
+    val got = Features.targetEncode(df, col("k"), col("vm"), m = 20)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val prior = (500L * 1000000L + 9000000L) / 501L
+    // rare category: 1 observation of 9e6 shrinks close to the prior
+    val rare = got("rare")._4
+    assert(rare > prior && rare < 9000000L)
+    assert(rare === (9000000L + prior * 20) / 21)
+    // common category barely moves
+    val common = got("common")._4
+    assert(math.abs(common - 1000000L) < 100000L)
+  }
+
+  test("welchAB matches a direct computation") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(600)(i => (i % 2 == 0, (rnd.nextInt(5000) + 100).toLong))
+    val df = rows.toDF("a", "c")
+    val got = Features.welchAB(df, col("a"), col("c"))
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    val as = rows.filter(_._1).map(_._2); val bs = rows.filterNot(_._1).map(_._2)
+    assert(got._1 === as.size.toLong && got._2 === bs.size.toLong)
+    assert(got._3 === as.sum && got._4 === bs.sum)
+    val ma = as.sum.toDouble / as.size; val mb = bs.sum.toDouble / bs.size
+    def varOf(xs: Seq[Long]) = {
+      val m = xs.sum.toDouble / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val z = (ma - mb) / math.sqrt(varOf(as) / as.size + varOf(bs) / bs.size)
+    assert(math.abs(got._6 - z) < 1e-4)
+    assert(math.abs(got._5 - (ma - mb)) < 1e-4)
+  }
+
+  test("featureHashStats: bucket loads sum to the corpus token count") {
+    val df = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "e f")).toDF("id", "text")
+    val got = Features.featureHashStats(df, col("id"), col("text"), 8).collect()
+    assert(got.map(_.getLong(1)).sum === 9L) // total tokens
+    assert(got.forall(r => r.getLong(2) <= r.getLong(1))) // terms <= tokens
+    assert(got.forall(r => r.getLong(3) <= 3L)) // docs bounded
+    // determinism: same input, same buckets
+    val again = Features.featureHashStats(df, col("id"), col("text"), 8).collect()
+    assert(got.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+}
