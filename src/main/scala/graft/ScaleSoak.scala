@@ -88,7 +88,12 @@ object ScaleSoak {
     "q169_table_checksum", "q170_decayed_counts", "q171_distinct_rollup",
     "q173_partitioned_table", "q174_conversion_time", "q175_daily_anomalies",
     "q176_backfill_merge", "q177_apply_changes", "q178_ltv_deciles",
-    "q179_props_extract")
+    "q179_props_extract",
+    // ML-observability pack (q187 is star-schema → bench ladder)
+    "q180_concurrency", "q181_psi_drift", "q182_target_encoding",
+    "q183_feature_hash", "q184_auc", "q185_ab_test", "q186_keywords",
+    "q188_rfm", "q189_ks_test", "q190_user_paths", "q191_class_balance",
+    "q192_trend_slope", "q193_kaplan_meier")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

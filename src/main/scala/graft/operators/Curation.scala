@@ -533,37 +533,54 @@ object Curation {
     */
   def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
       minDf: Int = 5, minPair: Int = 3, maxTokensPerDoc: Int = 64,
-      k: Int = 50): DataFrame = {
+      k: Int = 50): DataFrame =
+    liftPairs(Q.explodedTokens(docs, idCol, textCol)
+        .select(col(idCol).as("id"), col("token")),
+      col("id"), col("token"), docs.select(col(idCol)),
+      minDf, minPair, maxTokensPerDoc, k)
+      .withColumnRenamed("item_a", "tok_a")
+      .withColumnRenamed("item_b", "tok_b")
+
+  /** Generic co-occurrence lift over ANY (basket, item) incidence —
+    * tokens in documents ([[pmiPairs]]), parts in orders
+    * (market-basket analysis), tags on assets. `universe` supplies
+    * the basket-count denominator independently of the incidence
+    * frame, so baskets with zero (kept) items still count toward N.
+    * Same bounded-quadratic discipline as [[pmiPairs]]: per-basket
+    * item cap, support floor, basket-keyed self-join.
+    */
+  def liftPairs(incidence: DataFrame, basket: Column, item: Column,
+      universe: DataFrame, minSupport: Int, minPair: Int,
+      maxPerBasket: Int, k: Int): DataFrame = {
     val tok = graft.GraftCache.registered(
-      Q.explodedTokens(docs, idCol, textCol)
-        .select(col(idCol).as("id"), col("token")).distinct())
-    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") >= minDf)
+      incidence.select(basket.as("id"), item.as("item")).distinct())
+    val dfreq = tok.groupBy(col("item")).agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") >= minSupport)
     // kept feeds BOTH legs of the pair self-join — persist or the
-    // token scan + df join run twice
+    // incidence scan + support join run twice
     val kept = graft.GraftCache.registered(
-      tok.join(dfreq, "token")
+      tok.join(dfreq, "item")
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("token"))))
-        .filter(col("rn") <= maxTokensPerDoc)
-        .select(col("id"), col("token")))
-    val nDocs = broadcast(docs.agg(
-      countDistinct(col(idCol)).as("n_docs")))
+          Window.partitionBy(col("id")).orderBy(col("item"))))
+        .filter(col("rn") <= maxPerBasket)
+        .select(col("id"), col("item")))
+    val nBaskets = broadcast(universe.agg(
+      countDistinct(universe.columns.head).as("n_docs")))
     val pairs = kept.as("a")
       .join(kept.as("b"), col("a.id") === col("b.id") &&
-        col("a.token") < col("b.token"))
-      .groupBy(col("a.token").as("tok_a"), col("b.token").as("tok_b"))
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
       .agg(count(lit(1)).as("npair"))
       .filter(col("npair") >= minPair)
     pairs
-      .join(dfreq.select(col("token").as("tok_a"), col("dfreq").as("na")), "tok_a")
-      .join(dfreq.select(col("token").as("tok_b"), col("dfreq").as("nb")), "tok_b")
-      .crossJoin(nDocs)
-      .select(col("tok_a"), col("tok_b"),
+      .join(dfreq.select(col("item").as("item_a"), col("dfreq").as("na")), "item_a")
+      .join(dfreq.select(col("item").as("item_b"), col("dfreq").as("nb")), "item_b")
+      .crossJoin(nBaskets)
+      .select(col("item_a"), col("item_b"),
         col("npair").cast("int").as("npair"),
         col("na").cast("int").as("na"), col("nb").cast("int").as("nb"),
         expr("(npair * n_docs * 1000000) div (na * nb)").as("lift_micro"))
-      .orderBy(col("lift_micro").desc, col("npair").desc, col("tok_a"), col("tok_b"))
+      .orderBy(col("lift_micro").desc, col("npair").desc, col("item_a"), col("item_b"))
       .limit(k)
   }
 

@@ -151,6 +151,103 @@ object Features {
         expr("(u2 * 1000000) div (2 * n_pos * n_neg)").as("auc_micro"))
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov statistic over an integer
+    * metric, entirely in integer arithmetic: group both samples by
+    * distinct value (corpus-sized aggregates), then on the
+    * distinct-value frame the scaled CDF gap `|cumA*nB - cumB*nA|` is
+    * an integer whose max is exact — `ks_micro = D * 1e6 / (nA*nB)`.
+    * The complement to [[psiDrift]]: PSI reads bucketed proportion
+    * shift, KS reads the worst-point CDF gap with no bucketing choice.
+    * The unpartitioned window runs over distinct metric values only.
+    */
+  def ksTest(a: DataFrame, b: DataFrame, vm: Column): DataFrame = {
+    val ga = a.select(vm.as("v")).groupBy(col("v")).agg(count(lit(1)).as("ca"))
+    val gb = b.select(vm.as("v")).groupBy(col("v")).agg(count(lit(1)).as("cb"))
+    val g = ga.join(gb, Seq("v"), "full")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = broadcast(g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b")))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.select(sum(col("ca")).over(w).as("cuma"), sum(col("cb")).over(w).as("cumb"))
+      .crossJoin(totals)
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))).as("d_scaled"))
+      .select(col("n_a"), col("n_b"), col("d_scaled"),
+        expr("(d_scaled * 1000000) div (n_a * n_b)").as("ks_micro"))
+  }
+
+  /** Deterministic class balancing: downsample every label class to
+    * the size of the SMALLEST class, choosing survivors by the
+    * engine-shared md5 rank (reproducible across engines and reruns —
+    * no RNG state). One window rank per class + a broadcast of the
+    * 1-row minimum; the output is exactly `n_labels * min_count` rows.
+    */
+  def balanceClasses(df: DataFrame, label: Column, id: Column): DataFrame = {
+    val tagged = df.withColumn("_lbl", label)
+    val minc = broadcast(tagged.groupBy(col("_lbl")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("min_n")))
+    tagged
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_lbl"))
+          .orderBy(md5(concat(lit("bal_"), id.cast("string"))), id)))
+      .crossJoin(minc)
+      .filter(col("_rn") <= col("min_n"))
+      .drop("_rn", "min_n", "_lbl")
+  }
+
+  /** Per-key OLS slope of y over x in exact integer micro-units:
+    * `slope_micro = 1e6 * (n*Σxy - Σx*Σy) div (n*Σx² - (Σx)²)` — one
+    * grouped aggregate, integer throughout (trend detection over
+    * daily series without a float in sight). Keys with a single x
+    * value (zero variance) return null.
+    */
+  def slopePerKey(df: DataFrame, key: Column, x: Column, y: Column): DataFrame =
+    df.select(key.as("key"), x.cast("long").as("x"), y.cast("long").as("y"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("key"), col("n"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+          expr("(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"))
+          .as("slope_micro"))
+
+  /** Kaplan-Meier survival curve over integer event times with right
+    * censoring: `subjects` has one row per subject with `t` (event or
+    * censor time) and `ev` (1 = event, 0 = censored). Grouped by
+    * distinct time (corpus-sized aggregate), then the at-risk count
+    * and the cumulative product both ride one ordered window over the
+    * DISTINCT-TIME frame. The product is the one inherent float,
+    * computed as `exp(sum(ln(1 - d/n)))` in deterministic time order
+    * and rounded to 6 decimals. Rows where no event occurred (pure
+    * censoring times) are folded into the risk set but not emitted —
+    * standard KM presentation.
+    */
+  def kaplanMeier(subjects: DataFrame, t: Column, ev: Column): DataFrame = {
+    val g = subjects.select(t.cast("long").as("t"), ev.cast("int").as("ev"))
+      .groupBy(col("t"))
+      .agg(sum(col("ev")).cast("long").as("d"),
+        sum(lit(1) - col("ev")).cast("long").as("c"))
+    val total = broadcast(g.agg(sum(col("d") + col("c")).as("n_total")))
+    val w = Window.orderBy(col("t"))
+    val left = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    // a time where EVERYONE at risk has the event makes its factor 0:
+    // ln is undefined there (and Spark's log would null it out, which a
+    // windowed sum silently skips — worse than an error). Sum ln over
+    // the positive factors only, and once any zero factor has occurred
+    // in the prefix, the curve IS 0 from that point on.
+    g.crossJoin(total)
+      .withColumn("n_risk", col("n_total") - coalesce(sum(col("d") + col("c")).over(left), lit(0L)))
+      .withColumn("_hit0", max(when(col("d") >= col("n_risk"), 1).otherwise(0)).over(w))
+      .withColumn("km_r6",
+        when(col("_hit0") === 1, lit(0.0)).otherwise(
+          round(exp(sum(when(col("d") < col("n_risk"),
+            log(lit(1.0) - col("d") / col("n_risk"))).otherwise(lit(0.0))).over(w)), 6)))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"), col("km_r6"))
+      .orderBy(col("t"))
+  }
+
   /** Welch's two-sample z over exact integer-cents sums: group counts
     * and Σ/Σ² accumulate as BIGINTs (cents keep Σ² inside 2^63 for
     * realistic magnitudes; micro units would overflow), then the mean

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Features, Relational}
+import graft.operators.{Curation, Features, Relational}
 import graft.functions.TextFunctions
 import Q._
 
@@ -88,6 +88,121 @@ object FeatureQueries {
           Seq(col("score").desc, col("term").asc))
         .select(col("doc_id"), col("term"), col("score"))
         .orderBy(col("doc_id"), col("score").desc, col("term"))
+    }),
+
+    // Market-basket lift: part pairs co-purchased in the same order,
+    // integer micro-lift — the generic [[Curation.liftPairs]] the PMI
+    // collocations specialize (same bounded-quadratic discipline,
+    // different incidence).
+    "q187_basket_pairs" -> ((s, dir) =>
+      Curation.liftPairs(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey"), col("l_partkey"),
+        t(s, dir, "orders").select(col("o_orderkey")),
+        minSupport = 3, minPair = 2, maxPerBasket = 64, k = 50)),
+
+    // RFM segmentation: per-user recency/frequency/monetary quartiles
+    // (ntile with full user_id tie-breaks), graded as per-segment
+    // population + monetary mass.
+    "q188_rfm" -> ((s, dir) => {
+      val e = Q.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          Q.cents(col("value")).as("cents"))
+      val maxd = e.agg(max(col("day")).as("maxd"))
+      val per = e.groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+          sum(col("cents")).as("m_cents"))
+        .crossJoin(broadcast(maxd))
+        .select(col("user_id"), datediff(col("maxd"), col("last_day")).as("r_days"),
+          col("f"), col("m_cents"))
+      import org.apache.spark.sql.expressions.Window
+      val q = per.select(col("user_id"), col("f"), col("m_cents"),
+        ntile(4).over(Window.orderBy(col("r_days"), col("user_id"))).as("r_q"),
+        ntile(4).over(Window.orderBy(col("f"), col("user_id"))).as("f_q"),
+        ntile(4).over(Window.orderBy(col("m_cents"), col("user_id"))).as("m_q"))
+      q.groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).cast("int").as("n_users"),
+          sum(col("m_cents")).as("sum_cents"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    }),
+
+    // Exact Kolmogorov-Smirnov statistic between the two halves of the
+    // event window (purchase value micro) — the bucket-free companion
+    // to q181's PSI, integer throughout.
+    "q189_ks_test" -> ((s, dir) => {
+      val e = Q.events(s, dir)
+        .select(col("ts").cast("date").as("day"),
+          round(col("value") * 1000000).cast("long").as("vm"))
+      val mid = e.agg(date_add(min(col("day")), 15).as("mid"))
+      val tagged = e.crossJoin(broadcast(mid))
+      Features.ksTest(
+        tagged.filter(col("day") < col("mid")),
+        tagged.filter(col("day") >= col("mid")),
+        col("vm"))
+    }),
+
+    // Top-20 opening user journeys: each user's first three event
+    // types in (ts, event_id) order, concatenated — the path-analysis
+    // readout over the event log.
+    "q190_user_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Q.events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val first3 = e.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      first3.groupBy(col("user_id"))
+        .agg(concat_ws(">",
+          max(when(col("rn") === 1, col("event_type"))),
+          max(when(col("rn") === 2, col("event_type"))),
+          max(when(col("rn") === 3, col("event_type")))).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).cast("int").as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(20)
+    }),
+
+    // Deterministic class balancing: every language downsampled to the
+    // smallest class by md5 rank; graded as per-class kept population
+    // (equal by construction) + which docs survived.
+    "q191_class_balance" -> ((s, dir) =>
+      Features.balanceClasses(t(s, dir, "documents"), col("lang"), col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))),
+
+    // Per-event-type OLS trend slope of daily volume, exact integer
+    // micro-units — the "is this metric drifting" ops readout.
+    "q192_trend_slope" -> ((s, dir) => {
+      val e = Q.events(s, dir).select(col("event_type"), col("ts").cast("date").as("day"))
+      val daily = e.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+      val d0 = daily.agg(min(col("day")).as("d0"))
+      val xy = daily.crossJoin(broadcast(d0))
+        .select(col("event_type"), datediff(col("day"), col("d0")).as("x"), col("y"))
+      Features.slopePerKey(xy, col("event_type"), col("x"), col("y"))
+        .withColumnRenamed("key", "event_type")
+        .withColumnRenamed("n", "n_days")
+        .orderBy(col("event_type"))
+    }),
+
+    // Kaplan-Meier signup→purchase survival with right censoring at
+    // the window end: integer day gaps, exact at-risk/event counts,
+    // the cumulative product as ordered exp-sum-ln round-6.
+    "q193_kaplan_meier" -> ((s, dir) => {
+      val e = Q.events(s, dir)
+      val maxd = e.agg(max(col("ts").cast("date")).as("maxd"))
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val fp = e.filter(col("event_type") === "purchase").as("p")
+        .join(su.as("s"), col("p.user_id") === col("s.user_id") &&
+          col("p.ts") > col("s.s_ts"))
+        .groupBy(col("s.user_id").as("user_id")).agg(min(col("p.ts")).as("p_ts"))
+      val subjects = su.join(fp, Seq("user_id"), "left")
+        .crossJoin(broadcast(maxd))
+        .select(
+          when(col("p_ts").isNotNull,
+            datediff(col("p_ts").cast("date"), col("s_ts").cast("date")))
+            .otherwise(datediff(col("maxd"), col("s_ts").cast("date"))).as("t"),
+          when(col("p_ts").isNotNull, 1).otherwise(0).as("ev"))
+      Features.kaplanMeier(subjects, col("t"), col("ev"))
     })
   )
 
@@ -213,6 +328,150 @@ object FeatureQueries {
               row_number() OVER (PARTITION BY doc_id
                 ORDER BY score DESC, term) AS rn FROM sc)
           SELECT doc_id, term, CAST(score AS BIGINT) AS score
-          FROM rk WHERE rn <= 3 ORDER BY doc_id, score DESC, term"""
+          FROM rk WHERE rn <= 3 ORDER BY doc_id, score DESC, term""",
+
+    "q187_basket_pairs" ->
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS id, l_partkey AS item
+            FROM lineitem),
+          dfreq AS (SELECT item, count(*) AS dfreq FROM inc
+            GROUP BY 1 HAVING count(*) >= 3),
+          kept AS (SELECT id, item FROM (
+              SELECT i.id, i.item,
+                row_number() OVER (PARTITION BY i.id ORDER BY i.item) AS rn
+              FROM inc i JOIN dfreq USING (item)) WHERE rn <= 64),
+          u AS (SELECT count(DISTINCT o_orderkey) AS n_docs FROM orders),
+          pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+              count(*) AS npair
+            FROM kept a JOIN kept b ON a.id = b.id AND a.item < b.item
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+          SELECT item_a, item_b, CAST(npair AS INT) AS npair,
+            CAST(da.dfreq AS INT) AS na, CAST(db.dfreq AS INT) AS nb,
+            CAST((npair * n_docs * 1000000) // (da.dfreq * db.dfreq) AS BIGINT)
+              AS lift_micro
+          FROM pairs JOIN dfreq da ON pairs.item_a = da.item
+            JOIN dfreq db ON pairs.item_b = db.item CROSS JOIN u
+          ORDER BY lift_micro DESC, npair DESC, item_a, item_b LIMIT 50""",
+
+    "q188_rfm" ->
+      s"""WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+              CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+          mx AS (SELECT max(day) AS maxd FROM p),
+          per AS (SELECT user_id,
+              datediff('day', max(day), maxd) AS r_days,
+              count(*) AS f, sum(cents) AS m_cents
+            FROM p CROSS JOIN mx GROUP BY user_id, maxd),
+          q AS (SELECT user_id, f, m_cents,
+              ntile(4) OVER (ORDER BY r_days, user_id) AS r_q,
+              ntile(4) OVER (ORDER BY f, user_id) AS f_q,
+              ntile(4) OVER (ORDER BY m_cents, user_id) AS m_q
+            FROM per)
+          SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+            CAST(m_q AS INT) AS m_q, CAST(count(*) AS INT) AS n_users,
+            CAST(sum(m_cents) AS BIGINT) AS sum_cents
+          FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q189_ks_test" ->
+      s"""WITH e AS (SELECT CAST(ts AS DATE) AS day,
+              CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+          m AS (SELECT min(day) + INTERVAL 15 DAYS AS mid FROM e),
+          ga AS (SELECT vm AS v, count(*) AS ca FROM e CROSS JOIN m
+            WHERE day < mid GROUP BY 1),
+          gb AS (SELECT vm AS v, count(*) AS cb FROM e CROSS JOIN m
+            WHERE day >= mid GROUP BY 1),
+          g AS (SELECT coalesce(ga.v, gb.v) AS v, coalesce(ca, 0) AS ca,
+              coalesce(cb, 0) AS cb
+            FROM ga FULL OUTER JOIN gb ON ga.v = gb.v),
+          tt AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM g),
+          cw AS (SELECT
+              sum(ca) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+              sum(cb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+            FROM g)
+          SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+            CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_scaled,
+            CAST((max(abs(cuma * n_b - cumb * n_a)) * 1000000)
+              // (n_a * n_b) AS BIGINT) AS ks_micro
+          FROM cw CROSS JOIN tt GROUP BY n_a, n_b""",
+
+    "q190_user_paths" ->
+      s"""WITH r AS (SELECT user_id, event_type,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS rn
+            FROM events),
+          p AS (SELECT user_id, concat_ws('>',
+              max(CASE WHEN rn = 1 THEN event_type END),
+              max(CASE WHEN rn = 2 THEN event_type END),
+              max(CASE WHEN rn = 3 THEN event_type END)) AS path
+            FROM r WHERE rn <= 3 GROUP BY 1)
+          SELECT path, CAST(count(*) AS INT) AS n_users
+          FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""",
+
+    "q191_class_balance" ->
+      s"""WITH ranked AS (SELECT lang, doc_id, n_chars,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY md5('bal_' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM $DocsPq),
+          mn AS (SELECT min(cnt) AS min_n FROM
+            (SELECT count(*) AS cnt FROM $DocsPq GROUP BY lang)),
+          kept AS (SELECT lang, doc_id, n_chars FROM ranked CROSS JOIN mn
+            WHERE rn <= min_n)
+          SELECT lang, CAST(count(*) AS INT) AS n_kept,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            min(doc_id) AS min_id, max(doc_id) AS max_id
+          FROM kept GROUP BY 1 ORDER BY 1""",
+
+    "q192_trend_slope" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+          d0 AS (SELECT min(day) AS d0 FROM daily),
+          xy AS (SELECT event_type,
+              CAST(datediff('day', d0, day) AS BIGINT) AS x, y
+            FROM daily CROSS JOIN d0),
+          a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM xy GROUP BY 1)
+          SELECT event_type, CAST(n AS BIGINT) AS n_days,
+            CASE WHEN n * sxx - sx * sx <> 0 THEN
+              CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                AS BIGINT) END AS slope_micro
+          FROM a ORDER BY 1""",
+
+    "q193_kaplan_meier" ->
+      s"""WITH mx AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+          su AS (SELECT user_id, min(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+          fp AS (SELECT s.user_id, min(p.ts) AS p_ts
+            FROM events p JOIN su s ON p.user_id = s.user_id
+              AND p.ts > s.s_ts
+            WHERE p.event_type = 'purchase' GROUP BY 1),
+          subj AS (SELECT
+              CASE WHEN p_ts IS NOT NULL THEN
+                datediff('day', CAST(s_ts AS DATE), CAST(p_ts AS DATE))
+              ELSE datediff('day', CAST(s_ts AS DATE), maxd) END AS t,
+              CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM su LEFT JOIN fp USING (user_id) CROSS JOIN mx),
+          g AS (SELECT t, sum(ev) AS d, sum(1 - ev) AS c FROM subj GROUP BY 1),
+          tot AS (SELECT sum(d + c) AS n_total FROM g),
+          r AS (SELECT t, d,
+              n_total - coalesce(sum(d + c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+            FROM g CROSS JOIN tot),
+          k AS (SELECT t, n_risk, d,
+              CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                  OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN d < n_risk
+                    THEN ln(1.0 - d * 1.0 / n_risk) ELSE 0.0 END)
+                  OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+              END AS km_r6
+            FROM r)
+          SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+            CAST(d AS BIGINT) AS d, km_r6
+          FROM k WHERE d > 0 ORDER BY t"""
   )
 }

@@ -116,6 +116,78 @@ class FeaturesSpec extends SparkSpec {
     assert(math.abs(got._5 - (ma - mb)) < 1e-4)
   }
 
+  test("ksTest: identical samples give 0; disjoint samples give 1e6; matches brute force") {
+    val rnd = new scala.util.Random(31)
+    val xs = Seq.fill(300)(rnd.nextInt(40).toLong)
+    val ys = Seq.fill(200)(rnd.nextInt(40).toLong + 10)
+    val same = Features.ksTest(xs.toDF("v"), xs.toDF("v"), col("v"))
+      .select("ks_micro").as[Long].head()
+    assert(same === 0L)
+    val disjoint = Features.ksTest(Seq(1L, 2L).toDF("v"), Seq(10L, 11L).toDF("v"), col("v"))
+      .select("ks_micro").as[Long].head()
+    assert(disjoint === 1000000L)
+    // brute force over all candidate thresholds
+    val got = Features.ksTest(xs.toDF("v"), ys.toDF("v"), col("v"))
+      .as[(Long, Long, Long, Long)].head()
+    val brute = (xs ++ ys).distinct.map { t =>
+      math.abs(xs.count(_ <= t).toLong * ys.size - ys.count(_ <= t).toLong * xs.size)
+    }.max
+    assert(got._3 === brute)
+    assert(got._4 === brute * 1000000L / (xs.size.toLong * ys.size))
+  }
+
+  test("balanceClasses: every class downsampled to the minority count, deterministically") {
+    val df = (Seq.tabulate(90)(i => ("big", i.toLong)) ++
+      Seq.tabulate(40)(i => ("mid", 1000L + i)) ++
+      Seq.tabulate(15)(i => ("small", 2000L + i))).toDF("lbl", "id")
+    val out = Features.balanceClasses(df, col("lbl"), col("id"))
+    val counts = out.groupBy("lbl").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("big" -> 15L, "mid" -> 15L, "small" -> 15L))
+    // deterministic: second run keeps the same ids
+    val out2 = Features.balanceClasses(df, col("lbl"), col("id"))
+    assert(out.select("id").as[Long].collect().sorted.toSeq ===
+      out2.select("id").as[Long].collect().sorted.toSeq)
+    // schema passthrough: original columns survive
+    assert(out.columns.toSeq === Seq("lbl", "id"))
+  }
+
+  test("slopePerKey matches closed-form OLS; zero-variance x gives null") {
+    // y = 3x + 7 exactly -> slope_micro = 3_000_000
+    val exact = Seq.tabulate(20)(x => ("a", x.toLong, 3L * x + 7))
+    val flat = Seq.tabulate(5)(i => ("b", 2L, i.toLong)) // all x equal
+    val got = Features.slopePerKey((exact ++ flat).toDF("k", "x", "y"),
+        col("k"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(got("a") === Some(3000000L))
+    assert(got("b") === None)
+  }
+
+  test("kaplanMeier matches hand-computed curve with censoring and a zero-crossing tail") {
+    // subjects: events at t=1 (2 of 5 at risk), censor at t=2,
+    // events at t=3 (both remaining) -> curve 0.6, then 0
+    val subjects = Seq((1L, 1), (1L, 1), (2L, 0), (3L, 1), (3L, 1)).toDF("t", "ev")
+    val rows = Features.kaplanMeier(subjects, col("t"), col("ev"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq === Seq((1L, 5L, 2L), (3L, 2L, 2L)))
+    assert(math.abs(rows(0)._4 - 0.6) < 1e-9)
+    assert(rows(1)._4 === 0.0) // d == n_risk: the curve hits zero, no ln(0) blowup
+  }
+
+  test("liftPairs on explicit baskets matches hand computation") {
+    import graft.operators.Curation
+    // 4 baskets; items x,y together twice, x,z once
+    val inc = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"), (3L, "z"),
+      (4L, "z")).toDF("b", "i")
+    val universe = Seq(1L, 2L, 3L, 4L).toDF("b")
+    val got = Curation.liftPairs(inc, col("b"), col("i"), universe,
+        minSupport = 1, minPair = 2, maxPerBasket = 10, k = 10)
+      .as[(String, String, Int, Int, Int, Long)].collect()
+    assert(got.length === 1)
+    val (a, b, npair, na, nb, lift) = got.head
+    assert((a, b, npair, na, nb) === ("x", "y", 2, 3, 2))
+    assert(lift === 2L * 4 * 1000000 / (3 * 2))
+  }
+
   test("featureHashStats: bucket loads sum to the corpus token count") {
     val df = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "e f")).toDF("id", "text")
     val got = Features.featureHashStats(df, col("id"), col("text"), 8).collect()
