@@ -93,7 +93,8 @@ object ScaleSoak {
     "q180_concurrency", "q181_psi_drift", "q182_target_encoding",
     "q183_feature_hash", "q184_auc", "q185_ab_test", "q186_keywords",
     "q188_rfm", "q189_ks_test", "q190_user_paths", "q191_class_balance",
-    "q192_trend_slope", "q193_kaplan_meier")
+    "q192_trend_slope", "q193_kaplan_meier", "q194_kanon",
+    "q195_dow_seasonality")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

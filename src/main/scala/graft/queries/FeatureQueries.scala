@@ -75,13 +75,19 @@ object FeatureQueries {
     // (tf * floor(1e6 * n_docs / df)); ranking-window per doc with
     // full (score desc, term asc) tie-break.
     "q186_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val toks = docs.select(col("doc_id"),
         explode(TextFunctions.shingles(TextFunctions.tokenize(col("text")), 3)).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nd = docs.agg(count_distinct(col("doc_id")).as("nd"))
-      val scored = tf.join(dfreq, "term").crossJoin(broadcast(nd))
+      // df as count-over-term WINDOW, not groupBy+join: the join form
+      // sort-merges two corpus-sized string frames (97.7 s at the x100
+      // soak tier); the window shuffles the tf frame on term exactly
+      // once and the df count rides the same sort.
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .crossJoin(broadcast(nd))
         .select(col("doc_id"), col("term"),
           (col("tf") * expr("(1000000 * nd) div df")).as("score"))
       Relational.topKPerGroup(scored, 3, Seq(col("doc_id")),
@@ -203,6 +209,39 @@ object FeatureQueries {
             .otherwise(datediff(col("maxd"), col("s_ts").cast("date"))).as("t"),
           when(col("p_ts").isNotNull, 1).otherwise(0).as("ev"))
       Features.kaplanMeier(subjects, col("t"), col("ev"))
+    }),
+
+    // k-anonymity audit: documents grouped by the quasi-identifier
+    // tuple (lang, source, size-KB bucket); groups smaller than k=5
+    // are re-identification risks. Per-lang risk summary — the privacy
+    // gate a release pipeline runs before publishing a corpus.
+    "q194_kanon" -> ((s, dir) => {
+      val q = t(s, dir, "documents")
+        .select(col("lang"), col("source"), expr("n_chars div 1000").as("size_kb"))
+      val groups = q.groupBy(col("lang"), col("source"), col("size_kb"))
+        .agg(count(lit(1)).as("n"))
+      groups.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("n_groups"),
+          sum(when(col("n") < 5, 1).otherwise(0)).cast("int").as("risky_groups"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("risky_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    // Day-of-week seasonality index per event type:
+    // (dow volume * 7 * 1e6) div total — 1e6 = flat. The dow is
+    // calendar-function-free (days since a known Sunday, mod 7) so
+    // both engines agree without dayofweek() convention games.
+    "q195_dow_seasonality" -> ((s, dir) => {
+      val e = Q.events(s, dir)
+        .select(col("event_type"),
+          pmod(datediff(col("ts").cast("date"), lit("2023-12-31").cast("date")), lit(7))
+            .as("dow"))
+      val per = e.groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("n"))
+      val tot = per.groupBy(col("event_type")).agg(sum(col("n")).as("n_tot"))
+      per.join(tot, "event_type")
+        .select(col("event_type"), col("dow").cast("int").as("dow"), col("n"),
+          expr("(n * 7 * 1000000) div n_tot").as("index_micro"))
+        .orderBy(col("event_type"), col("dow"))
     })
   )
 
@@ -472,6 +511,27 @@ object FeatureQueries {
             FROM r)
           SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
             CAST(d AS BIGINT) AS d, km_r6
-          FROM k WHERE d > 0 ORDER BY t"""
+          FROM k WHERE d > 0 ORDER BY t""",
+
+    "q194_kanon" ->
+      s"""WITH g AS (SELECT lang, source, n_chars // 1000 AS size_kb,
+              count(*) AS n
+            FROM $DocsPq GROUP BY 1, 2, 3)
+          SELECT lang, CAST(count(*) AS INT) AS n_groups,
+            CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS INT) AS risky_groups,
+            CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS risky_docs
+          FROM g GROUP BY 1 ORDER BY 1""",
+
+    "q195_dow_seasonality" ->
+      s"""WITH e AS (SELECT event_type,
+              datediff('day', DATE '2023-12-31', CAST(ts AS DATE)) % 7 AS dow
+            FROM events),
+          per AS (SELECT event_type, dow, count(*) AS n FROM e GROUP BY 1, 2),
+          tot AS (SELECT event_type, sum(n) AS n_tot FROM per GROUP BY 1)
+          SELECT per.event_type, CAST(dow AS INT) AS dow,
+            CAST(n AS BIGINT) AS n,
+            CAST((n * 7 * 1000000) // n_tot AS BIGINT) AS index_micro
+          FROM per JOIN tot USING (event_type)
+          ORDER BY event_type, dow"""
   )
 }

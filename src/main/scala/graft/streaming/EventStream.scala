@@ -277,6 +277,27 @@ object EventStream {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), key)
 
+  /** Streaming PSI drift monitor — the streaming face of
+    * [[graft.operators.Features.psiDrift]]: every micro-batch of the
+    * metric stream is scored against the AT-REST reference
+    * distribution (the training-time snapshot), and the 10-row PSI
+    * verdict lands in its own `batch=<id>` overwrite directory —
+    * retries idempotent, history append-only, so an alerting job just
+    * tails the state dir. The reference frame is static (broadcast
+    * bounds + 10-row bucket spine); per batch the only data-sized work
+    * is one pass over that batch. StreamingSpec pins single-batch
+    * stream ≡ batch operator.
+    */
+  def psiDriftStream(metrics: DataFrame, ref: DataFrame,
+      vm: org.apache.spark.sql.Column, statePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    metrics.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Features.psiDrift(ref, batch, vm)
+          .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+      }
+
   /** Streaming replication checksum: each micro-batch's
     * [[graft.operators.Relational.tableChecksum]] row lands in its own
     * `batch=<id>` overwrite directory under `statePath`, so retries of

@@ -54,6 +54,22 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("maxConcurrency: intervals crossing the day partition boundary carry correctly") {
+    // midnight UTC 2024-01-02 = epoch 1704153600s; three intervals all
+    // open across midnight plus one the next morning -> max 3 reached
+    // in the minutes before AND after the boundary; a day-partitioned
+    // sweep without carry would report 1 for day 2's opening state.
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val mid = 1704153600L
+    val df = Seq(
+      ("a", ts(mid - 100)), ("a", ts(mid - 60)), ("a", ts(mid - 30)), // all span midnight (dur 300)
+      ("a", ts(mid + 3600))).toDF("grp", "t")
+    val got = Features.maxConcurrency(df, col("grp"), col("t"), 300)
+      .as[(String, Long, Int)].head()
+    assert(got._2 === 4L)
+    assert(got._3 === 3)
+  }
+
   test("maxConcurrency: back-to-back intervals never double-count") {
     def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
     // [0,60) and [60,120): end meets start exactly — concurrency stays 1
@@ -186,6 +202,15 @@ class FeaturesSpec extends SparkSpec {
     val (a, b, npair, na, nb, lift) = got.head
     assert((a, b, npair, na, nb) === ("x", "y", 2, 3, 2))
     assert(lift === 2L * 4 * 1000000 / (3 * 2))
+  }
+
+  test("no FeatureQueries plan contains an unbounded CartesianProduct") {
+    // broadcast-1-row crossJoins plan as BroadcastNestedLoopJoin — fine;
+    // a CartesianProduct means a real unbounded quadratic slipped in.
+    for ((name, fn) <- graft.queries.FeatureQueries.queries) {
+      val plan = fn(spark, sf001).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a CartesianProduct")
+    }
   }
 
   test("featureHashStats: bucket loads sum to the corpus token count") {

@@ -320,6 +320,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() === total) // no dups
   }
 
+  test("streaming PSI monitor: single-batch stream equals the batch operator; per-batch dirs idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("psi_stream").toString
+    val ref = (0L until 400L).map(i => i % 100).toDF("vm")
+    val curRows = (0L until 300L).map(i => (i * 7) % 130) // some beyond ref max
+
+    val input = MemoryStream[Long]
+    val q = graft.streaming.EventStream.psiDriftStream(
+        input.toDF().select(col("value").as("vm")), ref,
+        col("vm"), dir)
+      .start()
+    try {
+      input.addData(curRows); q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/batch=0")
+        .orderBy("bucket").collect().map(_.toString)
+      val want = graft.operators.Features.psiDrift(ref, curRows.toDF("vm"), col("vm"))
+        .collect().map(_.toString)
+      assert(got.toSeq === want.toSeq)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment equals the batch join") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
