@@ -94,7 +94,8 @@ object ScaleSoak {
     "q183_feature_hash", "q184_auc", "q185_ab_test", "q186_keywords",
     "q188_rfm", "q189_ks_test", "q190_user_paths", "q191_class_balance",
     "q192_trend_slope", "q193_kaplan_meier", "q194_kanon",
-    "q195_dow_seasonality")
+    "q195_dow_seasonality", "q196_embedding_covariance", "q197_gini",
+    "q198_calibration", "q199_chi_square")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

@@ -242,6 +242,91 @@ object FeatureQueries {
         .select(col("event_type"), col("dow").cast("int").as("dow"), col("n"),
           expr("(n * 7 * 1000000) div n_tot").as("index_micro"))
         .orderBy(col("event_type"), col("dow"))
+    }),
+
+    // Embedding covariance (first 8 dims): milli-quantized (+1000
+    // offset keeps every sum nonnegative so div/floor-div agree),
+    // centered on the integer floor-mean, pairwise products via a
+    // vec_id-co-located self-join — the unpivot shape generalizes to
+    // any dim without 2k generated expressions. Integer sums exact;
+    // the covariance itself is the one round-6 double.
+    "q196_embedding_covariance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 8)).as(Seq("i0", "v")))
+        .select(col("vec_id"), (col("i0") + 1).as("i"),
+          (round(col("v").cast("double") * 1000) + 1000).cast("long").as("vm"))
+      val means = e.groupBy(col("i"))
+        .agg(sum(col("vm")).as("sv"), count(lit(1)).as("n"))
+        .select(col("i"), expr("sv div n").as("mu"))
+      val c = e.join(broadcast(means), "i")
+        .select(col("vec_id"), col("i"), (col("vm") - col("mu")).as("c"))
+      c.as("a").join(c.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(count(lit(1)).as("n"), sum(col("a.c") * col("b.c")).as("s_ij"),
+          sum(col("a.c")).as("sa"), sum(col("b.c")).as("sb"))
+        .select(col("i"), col("j"), col("n"), col("s_ij"),
+          round((col("n") * col("s_ij") - col("sa") * col("sb")) /
+            (col("n") * (col("n") - 1)), 6).as("cov_r6"))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // Gini concentration of purchase value across users — the
+    // "how concentrated is this corpus/revenue on few contributors"
+    // audit. Rank-formula numerator exact in integers; one double
+    // division round-6.
+    "q197_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Q.events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(sum(Q.cents(col("value"))).as("x"))
+      val ranked = per.select(col("x"),
+        row_number().over(Window.orderBy(col("x"), col("user_id"))).as("rk"))
+      ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("rk") * col("x")).as("srx"))
+        .select(col("n"), col("sx"),
+          round((col("srx") * 2 - (col("n") + 1) * col("sx")) /
+            (col("n") * col("sx")), 6).as("gini_r6"))
+    }),
+
+    // Calibration bins: the heuristic quality score as a predictor of
+    // lang='en', cut into score deciles — per-bin observed positive
+    // rate in exact integer micro. The reliability-diagram readout
+    // beside q184's AUC.
+    "q198_calibration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val scored = docs
+        .join(TextFunctions.tokenAggregates(docs, "doc_id", "text"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          round(TextFunctions.qualityFromScores(col("text")) * 1000000).cast("long")
+            .as("score_micro"),
+          (col("lang") === "en").cast("long").as("y"))
+      scored
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("score_micro"), col("doc_id"))))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("score_micro")).as("ssum"))
+        .select(col("decile").cast("int").as("decile"), col("n"), col("n_pos"),
+          expr("(n_pos * 1000000) div n").as("pos_rate_micro"),
+          expr("ssum div n").as("mean_score_micro"))
+        .orderBy(col("decile"))
+    }),
+
+    // Chi-square uniformity audit of the md5 shard assignment (q138's
+    // router): exact integer statistic via the (8·O − n)² identity —
+    // the "is my partitioner actually balanced" gate.
+    "q199_chi_square" -> ((s, dir) => {
+      val sh = Curation.shardAssign(t(s, dir, "documents"), "doc_id", 8)
+        .groupBy(col("shard")).agg(count(lit(1)).as("o"))
+      val tot = sh.agg(sum(col("o")).as("n"))
+      sh.crossJoin(broadcast(tot))
+        .agg(max(col("n")).as("n_docs"),
+          sum((col("o") * 8 - col("n")) * (col("o") * 8 - col("n"))).as("num"),
+          max(abs(col("o") * 8 - col("n"))).as("max_abs_dev8"))
+        .select(col("n_docs"),
+          expr("(num * 1000000) div (8 * n_docs)").as("chi2_micro"),
+          col("max_abs_dev8"))
     })
   )
 
@@ -532,6 +617,59 @@ object FeatureQueries {
             CAST(n AS BIGINT) AS n,
             CAST((n * 7 * 1000000) // n_tot AS BIGINT) AS index_micro
           FROM per JOIN tot USING (event_type)
-          ORDER BY event_type, dow"""
+          ORDER BY event_type, dow""",
+
+    "q196_embedding_covariance" ->
+      s"""WITH e AS (SELECT vec_id, i,
+              CAST(round(embedding[i]::DOUBLE * 1000) + 1000 AS BIGINT) AS vm
+            FROM $EmbPq, unnest(generate_series(1, 8)) AS u(i)),
+          mu AS (SELECT i, sum(vm) // count(*) AS mu FROM e GROUP BY 1),
+          c AS (SELECT vec_id, e.i, vm - mu AS c FROM e JOIN mu ON e.i = mu.i),
+          p AS (SELECT a.i AS i, b.i AS j, count(*) AS n,
+              sum(a.c * b.c) AS s_ij, sum(a.c) AS sa, sum(b.c) AS sb
+            FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2)
+          SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+            CAST(n AS BIGINT) AS n, CAST(s_ij AS BIGINT) AS s_ij,
+            round((n * s_ij - sa * sb) / (n * (n - 1)), 6) AS cov_r6
+          FROM p ORDER BY i, j""",
+
+    "q197_gini" ->
+      s"""WITH per AS (SELECT user_id,
+              sum(CAST(round(value * 100) AS BIGINT)) AS x
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS rk
+            FROM per)
+          SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+            round((sum(rk * x) * 2 - (count(*) + 1) * sum(x)) /
+              (count(*) * sum(x)), 6) AS gini_r6
+          FROM r""",
+
+    "q198_calibration" ->
+      s"""WITH ${TextQueries.sqlQualityCtes},
+          s AS (SELECT q.doc_id,
+              CAST(round(quality * 1000000) AS BIGINT) AS score_micro,
+              CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM qual q JOIN $DocsPq d ON q.doc_id = d.doc_id),
+          b AS (SELECT score_micro, y,
+              ntile(10) OVER (ORDER BY score_micro, doc_id) AS decile FROM s)
+          SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(y) AS BIGINT) AS n_pos,
+            CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS pos_rate_micro,
+            CAST(sum(score_micro) // count(*) AS BIGINT) AS mean_score_micro
+          FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q199_chi_square" ->
+      s"""WITH s AS (SELECT doc_id,
+            CAST(${Q.sqlTokenHash("'shard_' || CAST(doc_id AS VARCHAR)")} % 8 AS INT)
+              AS shard
+          FROM $DocsPq),
+          o AS (SELECT shard, count(*) AS o FROM s GROUP BY 1),
+          t AS (SELECT sum(o) AS n FROM o)
+          SELECT CAST(max(n) AS BIGINT) AS n_docs,
+            CAST((sum((o * 8 - n) * (o * 8 - n)) * 1000000) // (8 * max(n))
+              AS BIGINT) AS chi2_micro,
+            CAST(max(abs(o * 8 - n)) AS BIGINT) AS max_abs_dev8
+          FROM o CROSS JOIN t"""
   )
 }
