@@ -261,6 +261,48 @@ object Features {
       .orderBy(col("t"))
   }
 
+  /** Point-in-time (feature-store) join: for every label row, carry
+    * the value columns of the LATEST feature row at or before the
+    * label's timestamp within the same key — `strict = true` (the
+    * training-set default) takes strictly-before only, so a label can
+    * never see features derived from its own instant: the
+    * leakage-free-training guarantee a feature store exists to
+    * provide.
+    *
+    * Same shape as [[AsOf.asofJoin]], generalized to carry N typed
+    * value columns and every label column: tag both sides, union, and
+    * `last(ignoreNulls)` each value column over one
+    * (key)-partitioned (ts, side, seq) window. ONE hash shuffle on
+    * the keys + a per-partition sort — never the O(labels × features)
+    * candidate set of a range join. `seq` breaks feature ties at
+    * equal timestamps (latest wins), keeping the carried row — and
+    * the oracle hash — deterministic.
+    */
+  def pitJoin(labels: DataFrame, features: DataFrame, by: Seq[String],
+      ts: String, seq: String, valueCols: Seq[String],
+      strict: Boolean = true): DataFrame = {
+    val labelExtra = labels.columns.toSeq.filterNot(c => by.contains(c) || c == ts)
+    // strict: features sort AFTER labels at equal ts (excluded by the
+    // unbounded..current frame); inclusive: before.
+    val fTag = if (strict) 1 else -1
+    val l = labels.select(
+      (by :+ ts).map(col) ++ Seq(lit(0L).as("_seq"), lit(0).as("_tag")) ++
+        labelExtra.map(col) ++
+        valueCols.map(c => lit(null).cast(features.schema(c).dataType).as(c)): _*)
+    val f = features.select(
+      (by :+ ts).map(col) ++ Seq(col(seq).cast("long").as("_seq"), lit(fTag).as("_tag")) ++
+        labelExtra.map(c => lit(null).cast(labels.schema(c).dataType).as(c)) ++
+        valueCols.map(col): _*)
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col(ts), col("_tag"), col("_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(l.unionByName(f)) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .filter(col("_tag") === 0)
+      .select((by :+ ts).map(col) ++ labelExtra.map(col) ++ valueCols.map(col): _*)
+  }
+
   /** Welch's two-sample z over exact integer-cents sums: group counts
     * and Σ/Σ² accumulate as BIGINTs (cents keep Σ² inside 2^63 for
     * realistic magnitudes; micro units would overflow), then the mean

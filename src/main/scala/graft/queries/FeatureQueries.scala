@@ -327,6 +327,34 @@ object FeatureQueries {
         .select(col("n_docs"),
           expr("(num * 1000000) div (8 * n_docs)").as("chi2_micro"),
           col("max_abs_dev8"))
+    }),
+
+    // Point-in-time feature-store join: every purchase becomes a
+    // training example carrying the user's running view count, running
+    // spend, and last event type STRICTLY before the purchase instant
+    // — the leakage-free training-set assembly a feature store exists
+    // for. One key-shuffle window join ([[Features.pitJoin]]), never a
+    // labels x features candidate set.
+    "q200_pit_features" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Q.events(s, dir)
+      val wf = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val feats = ev.select(col("user_id"), col("ts"), col("event_id"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(wf).as("prior_views"),
+        sum(when(col("event_type") === "purchase", Q.cents(col("value"))).otherwise(0L))
+          .over(wf).as("prior_spend_cents"),
+        col("event_type").as("last_type"))
+      val labels = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("label_id"),
+          Q.cents(col("value")).as("label_cents"))
+      Features.pitJoin(labels, feats, Seq("user_id"), "ts", "event_id",
+          Seq("prior_views", "prior_spend_cents", "last_type"), strict = true)
+        .select(col("label_id"), col("user_id"), col("label_cents"),
+          coalesce(col("prior_views"), lit(0L)).as("prior_views"),
+          coalesce(col("prior_spend_cents"), lit(0L)).as("prior_spend_cents"),
+          col("last_type"))
+        .orderBy(col("label_id"))
     })
   )
 
@@ -670,6 +698,35 @@ object FeatureQueries {
             CAST((sum((o * 8 - n) * (o * 8 - n)) * 1000000) // (8 * max(n))
               AS BIGINT) AS chi2_micro,
             CAST(max(abs(o * 8 - n)) AS BIGINT) AS max_abs_dev8
-          FROM o CROSS JOIN t"""
+          FROM o CROSS JOIN t""",
+
+    // correlated replay: the latest strictly-prior event per purchase
+    // (ts DESC, event_id DESC) carries the running aggregates computed
+    // in (ts, event_id) order — identical tie discipline to pitJoin.
+    "q200_pit_features" ->
+      s"""WITH f AS (SELECT user_id, ts, event_id,
+              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                OVER w AS prior_views,
+              sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                OVER w AS prior_spend_cents,
+              event_type AS last_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          lbl AS (SELECT user_id, ts, event_id AS label_id,
+              CAST(round(value * 100) AS BIGINT) AS label_cents
+            FROM events WHERE event_type = 'purchase'),
+          m AS (SELECT lbl.label_id, lbl.user_id, lbl.label_cents,
+              f.prior_views, f.prior_spend_cents, f.last_type,
+              row_number() OVER (PARTITION BY lbl.label_id
+                ORDER BY f.ts DESC, f.event_id DESC) AS rn
+            FROM lbl JOIN f ON lbl.user_id = f.user_id AND f.ts < lbl.ts)
+          SELECT label_id, user_id, label_cents,
+            CAST(coalesce(prior_views, 0) AS BIGINT) AS prior_views,
+            CAST(coalesce(prior_spend_cents, 0) AS BIGINT) AS prior_spend_cents,
+            last_type
+          FROM lbl LEFT JOIN (SELECT * FROM m WHERE rn = 1) USING (label_id, user_id, label_cents)
+          ORDER BY label_id"""
   )
 }

@@ -204,6 +204,38 @@ class FeaturesSpec extends SparkSpec {
     assert(lift === 2L * 4 * 1000000 / (3 * 2))
   }
 
+  test("pitJoin matches a brute-force correlated lookup; strict mode never leaks same-instant features") {
+    val rnd = new scala.util.Random(43)
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val feats = Seq.tabulate(200)(i =>
+      (i % 5L, ts(rnd.nextInt(100).toLong), i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "t", "seq", "v")
+    val labels = Seq.tabulate(60)(i => (i % 5L, ts(rnd.nextInt(100).toLong), 1000L + i))
+      .toDF("k", "t", "lid")
+
+    val got = Features.pitJoin(labels, feats, Seq("k"), "t", "seq", Seq("v"), strict = true)
+      .select(col("lid"), col("v")).as[(Long, Option[Long])].collect().toMap
+
+    val fRows = feats.as[(Long, java.sql.Timestamp, Long, Long)].collect()
+    for ((k, t0, lid) <- labels.as[(Long, java.sql.Timestamp, Long)].collect()) {
+      val prior = fRows.filter(f => f._1 == k && f._2.getTime < t0.getTime)
+      val want = if (prior.isEmpty) None
+        else Some(prior.maxBy(f => (f._2.getTime, f._3))._4)
+      assert(got(lid) === want, s"label $lid")
+    }
+
+    // leakage probe: a feature at EXACTLY the label instant is invisible
+    // in strict mode, visible in inclusive mode
+    val f1 = Seq((1L, ts(50), 7L, 999L)).toDF("k", "t", "seq", "v")
+    val l1 = Seq((1L, ts(50), 1L)).toDF("k", "t", "lid")
+    val strictV = Features.pitJoin(l1, f1, Seq("k"), "t", "seq", Seq("v"), strict = true)
+      .select("v").as[Option[Long]].head()
+    val inclV = Features.pitJoin(l1, f1, Seq("k"), "t", "seq", Seq("v"), strict = false)
+      .select("v").as[Option[Long]].head()
+    assert(strictV === None)
+    assert(inclV === Some(999L))
+  }
+
   test("no FeatureQueries plan contains an unbounded CartesianProduct") {
     // broadcast-1-row crossJoins plan as BroadcastNestedLoopJoin — fine;
     // a CartesianProduct means a real unbounded quadratic slipped in.
