@@ -186,8 +186,11 @@ object Features {
       .crossJoin(totals)
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))).as("d_scaled"))
+      // the D ratio divides two exact integers that pass ~2e15 at the
+      // x1000 tier — an integer micro rescale overflows 64 bits there
+      // (measured), so the one division is a round-6 double
       .select(col("n_a"), col("n_b"), col("d_scaled"),
-        expr("(d_scaled * 1000000) div (n_a * n_b)").as("ks_micro"))
+        round(col("d_scaled") / (col("n_a") * col("n_b")), 6).as("ks_r6"))
   }
 
   /** Deterministic class balancing: downsample every label class to

@@ -355,6 +355,70 @@ object FeatureQueries {
           coalesce(col("prior_spend_cents"), lit(0L)).as("prior_spend_cents"),
           col("last_type"))
         .orderBy(col("label_id"))
+    }),
+
+    // Compaction + retention lifecycle: three overlapping upsert
+    // commits fragment the table; compact() rewrites the latest
+    // snapshot at the target file count as a NEW commit, vacuum()
+    // drops the superseded versions. Graded on content preservation
+    // (the merged per-lang aggregates) plus contract flags for
+    // file-count reduction and single-version retention — the
+    // small-files maintenance loop every table format needs.
+    "q201_compact_vacuum" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      Versioned.commit(root, docs.filter(col("doc_id") < 300).repartition(8))
+      Versioned.upsert(s, root,
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 400).repartition(8), "doc_id")
+      Versioned.upsert(s, root,
+        docs.filter(col("doc_id") >= 350).repartition(8), "doc_id")
+      val filesBefore = Versioned.read(s, root).inputFiles.length
+      Versioned.compact(s, root, 2)
+      Versioned.vacuum(root)
+      val filesAfter = Versioned.read(s, root).inputFiles.length
+      val compacted = if (filesAfter < filesBefore && filesAfter <= 2) 1 else 0
+      val retained = if (Versioned.versions(root).size == 1) 1 else 0
+      Versioned.read(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          lit(compacted).as("compacted_ok"), lit(retained).as("retained_ok"))
+        .orderBy(col("lang"))
+    }),
+
+    // Retrieval-eval contract: MRR@10 of the 8-plane LSH bucket search
+    // against the exact brute-force top-1 ground truth for 20 query
+    // vectors — the eval loop an ANN deployment runs before trusting
+    // its index. Candidates come only from the query's own bucket
+    // (the production read path); a miss scores 0.
+    "q202_mrr_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val b = emb.select(col("vec_id"),
+        Similarity.lshBucket(Similarity.toDoubleVec(col("embedding")), 8, 64).as("bucket"),
+        Similarity.toDoubleVec(col("embedding")).as("e"))
+      val qs = b.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("bucket"), col("e").as("qe"))
+      val ranked = b.join(broadcast(qs), "bucket")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(Similarity.cosine(col("e"), col("qe")), 6).as("cos_sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+      val truth = Similarity.knnJoin(emb, col("vec_id") < 20, 1)
+        .select(col("query_id"), col("vec_id").as("t_id"))
+      truth.join(
+          ranked.select(col("query_id"), col("vec_id").as("t_id"), col("rn")),
+          Seq("query_id", "t_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("rn").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+          sum(coalesce(expr("1000000 div rn"), lit(0L))).as("rr_sum"))
+        .select(col("n_queries"), col("n_hit"),
+          expr("rr_sum div n_queries").as("mrr_micro"))
     })
   )
 
@@ -543,8 +607,7 @@ object FeatureQueries {
             FROM g)
           SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
             CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_scaled,
-            CAST((max(abs(cuma * n_b - cumb * n_a)) * 1000000)
-              // (n_a * n_b) AS BIGINT) AS ks_micro
+            round(max(abs(cuma * n_b - cumb * n_a)) / (n_a * n_b), 6) AS ks_r6
           FROM cw CROSS JOIN tt GROUP BY n_a, n_b""",
 
     "q190_user_paths" ->
@@ -727,6 +790,47 @@ object FeatureQueries {
             CAST(coalesce(prior_spend_cents, 0) AS BIGINT) AS prior_spend_cents,
             last_type
           FROM lbl LEFT JOIN (SELECT * FROM m WHERE rn = 1) USING (label_id, user_id, label_cents)
-          ORDER BY label_id"""
+          ORDER BY label_id""",
+
+    // layout is engine state: the oracle grades CONTENT preservation
+    // (upsert-merged rows == the source slice union) and the contract
+    // flags must come back 1
+    "q201_compact_vacuum" ->
+      s"""SELECT lang, CAST(count(*) AS INT) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            1 AS compacted_ok, 1 AS retained_ok
+          FROM $DocsPq GROUP BY 1 ORDER BY 1""",
+
+    "q202_mrr_eval" ->
+      s"""WITH pw AS (SELECT p, d,
+            (((('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0 AS w
+            FROM unnest(generate_series(0, 7)) AS tp(p), unnest(generate_series(0, 63)) AS td(d)),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
+          proj AS (SELECT vec_id, p, sum(e.e[d + 1] * pw.w) AS proj
+            FROM e CROSS JOIN pw GROUP BY 1, 2),
+          bk AS (SELECT vec_id,
+              CAST(sum(CASE WHEN round(proj, 9) > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id),
+          be AS (SELECT bk.vec_id, bucket, e FROM bk JOIN e USING (vec_id)),
+          qb AS (SELECT vec_id AS query_id, bucket, e AS qe FROM be WHERE vec_id < 20),
+          cand AS (SELECT query_id, be.vec_id,
+              round(list_cosine_similarity(be.e, qe), 6) AS cos_sim
+            FROM be JOIN qb USING (bucket) WHERE be.vec_id <> query_id),
+          r10 AS (SELECT query_id, vec_id, rn FROM (
+              SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id) AS rn FROM cand) WHERE rn <= 10),
+          qt AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 20),
+          ts AS (SELECT query_id, e.vec_id,
+              round(list_cosine_similarity(e.e, qe), 6) AS cs
+            FROM e CROSS JOIN qt WHERE e.vec_id <> query_id),
+          t1 AS (SELECT query_id, vec_id AS t_id FROM (
+              SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+                ORDER BY cs DESC, vec_id) AS rn FROM ts) WHERE rn = 1),
+          rr AS (SELECT t1.query_id, r10.rn FROM t1
+            LEFT JOIN r10 ON t1.query_id = r10.query_id AND t1.t_id = r10.vec_id)
+          SELECT CAST(count(*) AS BIGINT) AS n_queries,
+            CAST(sum(CASE WHEN rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+            CAST(sum(coalesce(1000000 // rn, 0)) // count(*) AS BIGINT) AS mrr_micro
+          FROM rr"""
   )
 }

@@ -137,19 +137,19 @@ class FeaturesSpec extends SparkSpec {
     val xs = Seq.fill(300)(rnd.nextInt(40).toLong)
     val ys = Seq.fill(200)(rnd.nextInt(40).toLong + 10)
     val same = Features.ksTest(xs.toDF("v"), xs.toDF("v"), col("v"))
-      .select("ks_micro").as[Long].head()
-    assert(same === 0L)
+      .select("ks_r6").as[Double].head()
+    assert(same === 0.0)
     val disjoint = Features.ksTest(Seq(1L, 2L).toDF("v"), Seq(10L, 11L).toDF("v"), col("v"))
-      .select("ks_micro").as[Long].head()
-    assert(disjoint === 1000000L)
+      .select("ks_r6").as[Double].head()
+    assert(disjoint === 1.0)
     // brute force over all candidate thresholds
     val got = Features.ksTest(xs.toDF("v"), ys.toDF("v"), col("v"))
-      .as[(Long, Long, Long, Long)].head()
+      .as[(Long, Long, Long, Double)].head()
     val brute = (xs ++ ys).distinct.map { t =>
       math.abs(xs.count(_ <= t).toLong * ys.size - ys.count(_ <= t).toLong * xs.size)
     }.max
     assert(got._3 === brute)
-    assert(got._4 === brute * 1000000L / (xs.size.toLong * ys.size))
+    assert(math.abs(got._4 - brute.toDouble / (xs.size.toLong * ys.size)) < 1e-6)
   }
 
   test("balanceClasses: every class downsampled to the minority count, deterministically") {
