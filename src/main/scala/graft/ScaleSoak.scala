@@ -96,7 +96,7 @@ object ScaleSoak {
     "q192_trend_slope", "q193_kaplan_meier", "q194_kanon",
     "q195_dow_seasonality", "q196_embedding_covariance", "q197_gini",
     "q198_calibration", "q199_chi_square", "q200_pit_features",
-    "q201_compact_vacuum", "q202_mrr_eval")
+    "q201_compact_vacuum", "q202_mrr_eval", "q204_cusum")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

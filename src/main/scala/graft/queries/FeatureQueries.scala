@@ -419,6 +419,85 @@ object FeatureQueries {
           sum(coalesce(expr("1000000 div rn"), lit(0L))).as("rr_sum"))
         .select(col("n_queries"), col("n_hit"),
           expr("rr_sum div n_queries").as("mrr_micro"))
+    }),
+
+    // Weighted median: smallest price whose doubled cumulative weight
+    // reaches the total (weight = quantity), per return flag — exact
+    // integers end to end: one grouped aggregate + a cumulative window
+    // over DISTINCT prices + a min-pick. The weighted-percentile
+    // discipline for "median price actually shipped".
+    "q203_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 1000000).cast("long").as("pm"),
+        col("l_quantity").cast("long").as("w"))
+      val g = li.groupBy(col("flag"), col("pm")).agg(sum(col("w")).as("wsum"))
+      val wcum = Window.partitionBy(col("flag")).orderBy(col("pm"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = li.groupBy(col("flag")).agg(sum(col("w")).as("totw"),
+        count(lit(1)).as("n_rows"))
+      g.withColumn("cumw", sum(col("wsum")).over(wcum))
+        .join(tot, "flag")
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy(col("flag"))
+        .agg(max(col("n_rows")).as("n_rows"), max(col("totw")).as("tot_w"),
+          min(col("pm")).as("wmedian_micro"))
+        .orderBy(col("flag"))
+    }),
+
+    // CUSUM changepoint detection over daily volumes — the sequential
+    // recurrence S_t = max(0, S_{t-1} + x_t - mu - k) computed
+    // ASSOCIATIVELY via the prefix-min identity
+    // S_t = P_t - min(0, min_{j<=t} P_j): two ordered windows over the
+    // per-(type, day) aggregate frame, exact integer micro throughout.
+    // The sustained-shift detector q175's MAD spike gate can't see.
+    "q204_cusum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Q.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val mu = daily.groupBy(col("event_type"))
+        .agg(expr("(sum(x) * 1000000) div count(1)").as("mu_micro"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(mu, "event_type")
+        .withColumn("p",
+          sum(col("x") * 1000000L - col("mu_micro") - expr("mu_micro div 20")).over(w))
+        .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(w)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("int").as("n_days"),
+          max(col("s")).as("max_cusum_micro"),
+          // alarm when S exceeds h = mu/2 (2S > mu avoids the div)
+          sum(when(col("s") * 2 > col("mu_micro"), 1).otherwise(0))
+            .cast("int").as("n_alarm_days"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Degree assortativity of the trade graph: Pearson correlation of
+    // endpoint degrees over symmetrized edges — do high-degree
+    // customers trade with high-degree suppliers? Integer sums exact,
+    // the correlation is the one round-6 double.
+    "q205_assortativity" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey").cast("long") + 1)).as("dst"))
+        .distinct()
+      val edges = graft.GraftCache.registered(
+        pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst"))))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val xy = edges
+        .join(deg.select(col("src"), col("deg").as("dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+      xy.agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"), sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            .as("r_r6"))
     })
   )
 
@@ -831,6 +910,64 @@ object FeatureQueries {
           SELECT CAST(count(*) AS BIGINT) AS n_queries,
             CAST(sum(CASE WHEN rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
             CAST(sum(coalesce(1000000 // rn, 0)) // count(*) AS BIGINT) AS mrr_micro
-          FROM rr"""
+          FROM rr""",
+
+    "q203_weighted_median" ->
+      s"""WITH li AS (SELECT l_returnflag AS flag,
+              CAST(round(l_extendedprice * 1000000) AS BIGINT) AS pm,
+              CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem),
+          g AS (SELECT flag, pm, sum(w) AS wsum FROM li GROUP BY 1, 2),
+          c AS (SELECT flag, pm,
+              sum(wsum) OVER (PARTITION BY flag ORDER BY pm
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+            FROM g),
+          tot AS (SELECT flag, sum(w) AS totw, count(*) AS n_rows
+            FROM li GROUP BY 1)
+          SELECT c.flag, CAST(max(n_rows) AS BIGINT) AS n_rows,
+            CAST(max(totw) AS BIGINT) AS tot_w,
+            min(pm) AS wmedian_micro
+          FROM c JOIN tot ON c.flag = tot.flag
+          WHERE cumw * 2 >= totw GROUP BY 1 ORDER BY 1""",
+
+    "q204_cusum" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+          mu AS (SELECT event_type,
+              (sum(x) * 1000000) // count(*) AS mu_micro FROM daily GROUP BY 1),
+          p AS (SELECT daily.event_type, day, mu_micro,
+              sum(x * 1000000 - mu_micro - mu_micro // 20)
+                OVER (PARTITION BY daily.event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+            FROM daily JOIN mu ON daily.event_type = mu.event_type),
+          s AS (SELECT event_type, mu_micro,
+              p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+            FROM p)
+          SELECT event_type, CAST(count(*) AS INT) AS n_days,
+            CAST(max(s) AS BIGINT) AS max_cusum_micro,
+            CAST(sum(CASE WHEN s * 2 > mu_micro THEN 1 ELSE 0 END) AS INT)
+              AS n_alarm_days
+          FROM s GROUP BY 1 ORDER BY 1""",
+
+    "q205_assortativity" ->
+      s"""WITH pr AS (SELECT DISTINCT o_custkey AS src,
+              -(l_suppkey + 1) AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT src, dst FROM pr
+            UNION ALL SELECT dst, src FROM pr),
+          deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+          xy AS (SELECT dx.deg AS dx, dy.deg AS dy
+            FROM e JOIN deg dx ON e.src = dx.src
+              JOIN deg dy ON e.dst = dy.src),
+          a AS (SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+              sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+            FROM xy)
+          SELECT CAST(n AS BIGINT) AS n,
+            round((n * sxy - sx * sy)::DOUBLE /
+              sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+              AS r_r6
+          FROM a"""
   )
 }
