@@ -96,7 +96,8 @@ object ScaleSoak {
     "q192_trend_slope", "q193_kaplan_meier", "q194_kanon",
     "q195_dow_seasonality", "q196_embedding_covariance", "q197_gini",
     "q198_calibration", "q199_chi_square", "q200_pit_features",
-    "q201_compact_vacuum", "q202_mrr_eval", "q204_cusum")
+    "q201_compact_vacuum", "q202_mrr_eval", "q204_cusum",
+    "q206_langid_eval", "q207_incr_view", "q208_dedup_eval")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

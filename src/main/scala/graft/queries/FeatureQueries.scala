@@ -498,6 +498,86 @@ object FeatureQueries {
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
               (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
             .as("r_r6"))
+    }),
+
+    // Lang-ID evaluation against the labeled lang column: the full
+    // confusion matrix of q61's marker-based classifier — the accuracy
+    // audit every heuristic labeler needs before it gates a corpus.
+    "q206_langid_eval" -> ((s, dir) => {
+      val pred = TextQueries.queries("q61_lang_id")(s, dir)
+      t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy(col("lang").as("true_lang"), col("lang_pred"))
+        .agg(count(lit(1)).cast("int").as("n"))
+        .orderBy(col("true_lang"), col("lang_pred"))
+    }),
+
+    // Incremental materialized-view maintenance: the per-lang aggregate
+    // MV is kept current by applying only the CHANGE FEED between two
+    // snapshots (delete side subtracts v0 rows, insert side adds v1
+    // rows, updates do both) — cost tracks the delta, never the
+    // standing corpus. Graded against the direct aggregate of the
+    // final state (same merged shape as q177's oracle).
+    "q207_incr_view" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val root = java.nio.file.Files.createTempDirectory("graft_mv").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      Versioned.commit(root, docs.filter(col("doc_id") < 400))
+      val changes =
+        docs.filter(col("doc_id") < 50).select(lit("delete").as("op"), col("doc_id"), col("lang"), col("n_chars"))
+          .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+            .select(lit("update").as("op"), col("doc_id"), col("lang"),
+              (col("n_chars") + 1000000L).as("n_chars")))
+          .unionByName(docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+            .select(lit("insert").as("op"), col("doc_id"), col("lang"), col("n_chars")))
+      def agg(df: org.apache.spark.sql.DataFrame, sign: Int) =
+        df.groupBy(col("lang")).agg((count(lit(1)) * sign).as("dn"),
+          (sum(col("n_chars")) * sign).as("dchars"))
+      val mv0 = agg(Versioned.read(s, root, Some(0L)), 1)
+      Versioned.applyChanges(s, root, changes, "doc_id")
+      val d = Versioned.diff(s, root, 0L, 1L, "doc_id")
+      val minus = agg(Versioned.read(s, root, Some(0L)).join(
+        d.filter(col("op").isin("delete", "update")).select(col("doc_id")), "doc_id"), -1)
+      val plus = agg(Versioned.read(s, root, Some(1L)).join(
+        d.filter(col("op").isin("insert", "update")).select(col("doc_id")), "doc_id"), 1)
+      mv0.unionByName(minus).unionByName(plus)
+        .groupBy(col("lang"))
+        .agg(sum(col("dn")).cast("int").as("n_docs"),
+          sum(col("dchars")).as("sum_chars"))
+        .filter(col("n_docs") > 0)
+        .orderBy(col("lang"))
+    }),
+
+    // Dedup-pipeline evaluation on a fixed 300-doc sample: exact
+    // all-pairs shingle-set Jaccard >= 0.6 as ground truth (the
+    // sample stays 300 docs at ANY corpus size — sample-eval
+    // semantics), q51's MinHash+LSH verified pairs as the system
+    // under test. Precision must be 1.0 (candidates are
+    // exact-verified); recall reads what the banding misses.
+    "q208_dedup_eval" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val sample = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val sets = Dedup.shingleHashes(sample, "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("h"))).as("hs"))
+      val truth = sets.as("a").crossJoin(broadcast(sets.as("b")))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          graft.plans.SortedIntersectCount.sorted_intersect_count(
+            col("a.hs"), col("b.hs")).as("inter"),
+          size(col("a.hs")).as("na"), size(col("b.hs")).as("nb"))
+        .filter(round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6) >= 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      val cand = Dedup.minhashPairs(sample, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"))
+      val hit = cand.join(truth, Seq("doc_a", "doc_b"))
+      truth.agg(count(lit(1)).as("n_truth")).crossJoin(
+          cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          expr("(n_hit * 1000000) div greatest(1, n_cand)").as("precision_micro"),
+          expr("(n_hit * 1000000) div greatest(1, n_truth)").as("recall_micro"))
     })
   )
 
@@ -968,6 +1048,50 @@ object FeatureQueries {
             round((n * sxy - sx * sy)::DOUBLE /
               sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
               AS r_r6
-          FROM a"""
+          FROM a""",
+
+    "q206_langid_eval" ->
+      s"""WITH pred AS (${TextQueries.oracleSql("q61_lang_id")})
+          SELECT d.lang AS true_lang, p.lang_pred, CAST(count(*) AS INT) AS n
+          FROM $DocsPq d JOIN pred p ON d.doc_id = p.doc_id
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the incrementally-maintained MV must equal the direct aggregate
+    // of the final state — same merged shape as q177's oracle
+    "q207_incr_view" ->
+      s"""WITH merged AS (
+            SELECT doc_id, lang, n_chars FROM $DocsPq
+              WHERE doc_id >= 50 AND doc_id < 300
+            UNION ALL
+            SELECT doc_id, lang, n_chars + 1000000 FROM $DocsPq
+              WHERE doc_id >= 300 AND doc_id < 350
+            UNION ALL
+            SELECT doc_id, lang, n_chars FROM $DocsPq
+              WHERE doc_id >= 350 AND doc_id < 450)
+          SELECT lang, CAST(count(*) AS INT) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM merged GROUP BY 1 ORDER BY 1""",
+
+    "q208_dedup_eval" -> {
+      val sampleSrc = s"SELECT doc_id, text FROM $DocsPq WHERE doc_id < 300"
+      s"""WITH ${DedupQueries.sqlPairsCtesFor(sampleSrc, 0.6)},
+          truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+              (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE,
+              6) >= 0.6),
+          hit AS (SELECT pairs.doc_a FROM pairs
+            JOIN truth ON pairs.doc_a = truth.doc_a AND pairs.doc_b = truth.doc_b),
+          c AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+            (SELECT count(*) FROM pairs) AS n_cand,
+            (SELECT count(*) FROM hit) AS n_hit)
+          SELECT CAST(n_truth AS BIGINT) AS n_truth,
+            CAST(n_cand AS BIGINT) AS n_cand, CAST(n_hit AS BIGINT) AS n_hit,
+            CAST((n_hit * 1000000) // greatest(1, n_cand) AS BIGINT)
+              AS precision_micro,
+            CAST((n_hit * 1000000) // greatest(1, n_truth) AS BIGINT)
+              AS recall_micro
+          FROM c"""
+    }
   )
 }
