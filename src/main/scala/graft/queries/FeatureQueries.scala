@@ -578,6 +578,40 @@ object FeatureQueries {
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
           expr("(n_hit * 1000000) div greatest(1, n_cand)").as("precision_micro"),
           expr("(n_hit * 1000000) div greatest(1, n_truth)").as("recall_micro"))
+    }),
+
+    // nDCG@10 of the LSH bucket search vs the exact ideal ranking —
+    // q202's reciprocal-rank eval upgraded to graded relevance. DCG
+    // terms are INTEGER (micro relevance × micro-rounded log2
+    // discount), so per-query sums are order-free and the oracle hash
+    // can't drift on float addition order.
+    "q209_ndcg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val b = emb.select(col("vec_id"),
+        Similarity.lshBucket(Similarity.toDoubleVec(col("embedding")), 8, 64).as("bucket"),
+        Similarity.toDoubleVec(col("embedding")).as("e"))
+      val qs = b.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("bucket"), col("e").as("qe"))
+      val approx = b.join(broadcast(qs), "bucket")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"),
+          round(Similarity.cosine(col("e"), col("qe")), 6).as("cos_sim"), col("vec_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+      val ideal = Similarity.knnJoin(emb, col("vec_id") < 20, 10)
+      def dcg(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.select(col("query_id"),
+            expr("(greatest(0, cast(round(cos_sim * 1000000) as bigint)) * 1000000)" +
+              " div cast(round(log2(rn + 1) * 1000000) as bigint)").as("term"))
+          .groupBy(col("query_id")).agg(sum(col("term")).as(name))
+      dcg(ideal, "idcg").join(dcg(approx, "dcg"), Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("dcg"), lit(0L)).as("dcg"), col("idcg"))
+        .select(col("query_id"), col("dcg"), col("idcg"),
+          expr("(dcg * 1000000) div greatest(1, idcg)").as("ndcg_micro"))
+        .orderBy(col("query_id"))
     })
   )
 
@@ -1092,6 +1126,46 @@ object FeatureQueries {
             CAST((n_hit * 1000000) // greatest(1, n_truth) AS BIGINT)
               AS recall_micro
           FROM c"""
-    }
+    },
+
+    "q209_ndcg" ->
+      s"""WITH pw AS (SELECT p, d,
+            (((('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0 AS w
+            FROM unnest(generate_series(0, 7)) AS tp(p), unnest(generate_series(0, 63)) AS td(d)),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
+          proj AS (SELECT vec_id, p, sum(e.e[d + 1] * pw.w) AS proj
+            FROM e CROSS JOIN pw GROUP BY 1, 2),
+          bk AS (SELECT vec_id,
+              CAST(sum(CASE WHEN round(proj, 9) > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id),
+          be AS (SELECT bk.vec_id, bucket, e FROM bk JOIN e USING (vec_id)),
+          qb AS (SELECT vec_id AS query_id, bucket, e AS qe FROM be WHERE vec_id < 20),
+          r10 AS (SELECT query_id, cos_sim, rn FROM (
+              SELECT query_id, round(list_cosine_similarity(be.e, qe), 6) AS cos_sim,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY round(list_cosine_similarity(be.e, qe), 6) DESC, be.vec_id) AS rn
+              FROM be JOIN qb USING (bucket) WHERE be.vec_id <> query_id)
+            WHERE rn <= 10),
+          qt AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 20),
+          it AS (SELECT query_id, cs AS cos_sim, rn FROM (
+              SELECT query_id, round(list_cosine_similarity(e.e, qe), 6) AS cs,
+                row_number() OVER (PARTITION BY query_id ORDER BY
+                  round(list_cosine_similarity(e.e, qe), 6) DESC, e.vec_id) AS rn
+              FROM e CROSS JOIN qt WHERE e.vec_id <> query_id)
+            WHERE rn <= 10),
+          dg AS (SELECT query_id, sum(
+              (greatest(0, CAST(round(cos_sim * 1000000) AS BIGINT)) * 1000000)
+                // CAST(round(log2(rn + 1) * 1000000) AS BIGINT)) AS dcg
+            FROM r10 GROUP BY 1),
+          ig AS (SELECT query_id, sum(
+              (greatest(0, CAST(round(cos_sim * 1000000) AS BIGINT)) * 1000000)
+                // CAST(round(log2(rn + 1) * 1000000) AS BIGINT)) AS idcg
+            FROM it GROUP BY 1)
+          SELECT ig.query_id, CAST(coalesce(dcg, 0) AS BIGINT) AS dcg,
+            CAST(idcg AS BIGINT) AS idcg,
+            CAST((coalesce(dcg, 0) * 1000000) // greatest(1, idcg) AS BIGINT)
+              AS ndcg_micro
+          FROM ig LEFT JOIN dg ON ig.query_id = dg.query_id
+          ORDER BY ig.query_id"""
   )
 }
