@@ -26,7 +26,7 @@ object Sequence {
     * sorting: the frontier join prunes before any ordering work.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, stages: Seq[String]): DataFrame = {
+      typeCol: String, stages: Seq[String], maxGapSec: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val byUser = Seq(col(userCol))
     var frontier = events.filter(col(typeCol) === stages.head)
@@ -34,9 +34,15 @@ object Sequence {
     var out = frontier.agg(count(lit(1)).cast("int").as("n_users"))
       .select(lit(0).as("stage_idx"), lit(stages.head).as("stage"), col("n_users"))
     for ((s, i) <- stages.tail.zipWithIndex) {
+      // windowed variant: the next stage must land within maxGapSec of
+      // the frontier instant (strict-from-first semantics — the clock
+      // starts at the user's FIRST stage-k completion, the standard
+      // product-analytics windowed funnel)
+      val gapOk = maxGapSec.fold(lit(true))(g =>
+        col(tsCol) <= col("prev_t") + expr(s"INTERVAL $g SECONDS"))
       frontier = events.filter(col(typeCol) === s)
         .join(frontier.select(col(userCol), col("t").as("prev_t")), userCol)
-        .filter(col(tsCol) > col("prev_t"))
+        .filter(col(tsCol) > col("prev_t") && gapOk)
         .groupBy(byUser: _*).agg(min(col(tsCol)).as("t"))
       out = out.union(
         frontier.agg(count(lit(1)).cast("int").as("n_users"))

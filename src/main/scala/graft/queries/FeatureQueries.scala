@@ -612,7 +612,17 @@ object FeatureQueries {
         .select(col("query_id"), col("dcg"), col("idcg"),
           expr("(dcg * 1000000) div greatest(1, idcg)").as("ndcg_micro"))
         .orderBy(col("query_id"))
-    })
+    }),
+
+    // Windowed funnel: view -> click -> purchase where each stage must
+    // land within ONE HOUR of the previous stage's first completion —
+    // the time-boxed conversion semantics product analytics actually
+    // uses (q146 is the unbounded twin). Same shrinking-frontier
+    // min-aggregate shape, one extra residual predicate per stage.
+    "q210_windowed_funnel" -> ((s, dir) =>
+      graft.operators.Sequence.funnel(Q.events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), maxGapSec = Some(3600L))
+        .orderBy(col("stage_idx")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1166,6 +1176,23 @@ object FeatureQueries {
             CAST((coalesce(dcg, 0) * 1000000) // greatest(1, idcg) AS BIGINT)
               AS ndcg_micro
           FROM ig LEFT JOIN dg ON ig.query_id = dg.query_id
-          ORDER BY ig.query_id"""
+          ORDER BY ig.query_id""",
+
+    "q210_windowed_funnel" ->
+      s"""WITH v AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+            JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t
+              AND e.ts <= v.t + INTERVAL 3600 SECONDS GROUP BY 1),
+          p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+            JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t
+              AND e.ts <= c.t + INTERVAL 3600 SECONDS GROUP BY 1)
+          SELECT 0 AS stage_idx, 'view' AS stage,
+            CAST((SELECT count(*) FROM v) AS INT) AS n_users
+          UNION ALL SELECT 1, 'click', CAST((SELECT count(*) FROM c) AS INT)
+          UNION ALL SELECT 2, 'purchase', CAST((SELECT count(*) FROM p) AS INT)
+          ORDER BY stage_idx"""
   )
 }

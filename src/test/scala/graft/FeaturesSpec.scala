@@ -236,6 +236,44 @@ class FeaturesSpec extends SparkSpec {
     assert(inclV === Some(999L))
   }
 
+  test("CUSUM prefix-min identity equals the sequential recurrence on random series") {
+    // the q204 kernel: S_t = P_t - min(0, min_{j<=t} P_j) must equal
+    // the textbook S_t = max(0, S_{t-1} + d_t) for any drift sequence
+    val rnd = new scala.util.Random(59)
+    for (_ <- 1 to 20) {
+      val d = Seq.fill(40)(rnd.nextInt(2001).toLong - 1000)
+      val seq = d.scanLeft(0L)((s, x) => math.max(0L, s + x)).tail
+      val prefix = d.scanLeft(0L)(_ + _).tail
+      val viaIdentity = prefix.zipWithIndex.map { case (p, i) =>
+        p - math.min(0L, prefix.take(i + 1).min)
+      }
+      assert(viaIdentity === seq)
+    }
+  }
+
+  test("windowed funnel drops stages that land outside the gap; unbounded twin keeps them") {
+    import graft.operators.Sequence
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    // u1: view@0, click@30, purchase@50 (all inside a 60s window)
+    // u2: view@0, click@100 (click outside the 60s window)
+    // u3: view@0, click@30, purchase@200 (purchase outside)
+    val ev = Seq(
+      (1L, ts(0), "view"), (1L, ts(30), "click"), (1L, ts(50), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(100), "click"),
+      (3L, ts(0), "view"), (3L, ts(30), "click"), (3L, ts(200), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val stages = Seq("view", "click", "purchase")
+    def counts(gap: Option[Long]) =
+      Sequence.funnel(ev, "user_id", "ts", "event_type", stages, gap)
+        .orderBy("stage_idx").select("n_users").as[Int].collect().toSeq
+    assert(counts(Some(60L)) === Seq(3, 2, 1))
+    assert(counts(None) === Seq(3, 3, 2))
+    // boundary: exactly at the gap is IN (<=)
+    val edge = Seq((9L, ts(0), "view"), (9L, ts(60), "click")).toDF("user_id", "ts", "event_type")
+    assert(Sequence.funnel(edge, "user_id", "ts", "event_type", Seq("view", "click"), Some(60L))
+      .orderBy("stage_idx").select("n_users").as[Int].collect().toSeq === Seq(1, 1))
+  }
+
   test("no FeatureQueries plan contains an unbounded CartesianProduct") {
     // broadcast-1-row crossJoins plan as BroadcastNestedLoopJoin — fine;
     // a CartesianProduct means a real unbounded quadratic slipped in.
