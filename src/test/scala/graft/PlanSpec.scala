@@ -569,4 +569,48 @@ class PlanSpec extends SparkSpec {
     // the typed bounded-heap buffer plans as an object hash aggregate
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
   }
+
+  test("pitJoin plans exactly ONE key shuffle — never a labels x features candidate set") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val feats = Seq((1L, ts(0), 1L, 5L)).toDF("k", "t", "seq", "v")
+    val labels = Seq((1L, ts(1), 9L)).toDF("k", "t", "lid")
+    val p = graft.operators.Features.pitJoin(labels, feats, Seq("k"), "t", "seq", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Join"), p) // the union+window form has NO join operator at all
+  }
+
+  test("aucExact: one corpus shuffle (group by score); the window runs on the distinct-score frame only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val p = graft.operators.Features.aucExact(
+        Seq((1L, true), (2L, false)).toDF("s", "y"), col("y"), col("s"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    // the single-partition exchange carries distinct scores, not rows
+    assert("Exchange SinglePartition".r.findAllIn(p).length === 1, p)
+  }
+
+  test("maxConcurrency: two window shuffles ((grp,day) sweep + per-grp carry), no global sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val p = graft.operators.Features.maxConcurrency(
+        Seq(("a", ts(0))).toDF("g", "t"), col("g"), col("t"), 60)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("psiDrift joins only broadcast 1-row frames — no sort-merge join anywhere") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val p = graft.operators.Features.psiDrift(
+        Seq(1L).toDF("vm"), Seq(2L).toDF("vm"), col("vm"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }
