@@ -614,6 +614,52 @@ object FeatureQueries {
         .orderBy(col("query_id"))
     }),
 
+    // Benford first-digit audit of order totals: observed first-
+    // significant-digit shares vs Benford's log10(1 + 1/d) expectation
+    // — the classic fabricated-data / unit-mixing smoke test. The
+    // digit extraction is pure string (engine-exact on positive
+    // integers); only the 9 expectation constants touch a float, each
+    // micro-rounded identically by both engines.
+    "q211_benford" -> ((s, dir) => {
+      val c = t(s, dir, "orders")
+        .select(Q.cents(col("o_totalprice")).as("c"))
+        .filter(col("c") > 0)
+        .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+      val per = c.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = per.agg(sum(col("n")).as("nt"))
+      per.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000) div nt").as("obs_micro"),
+          round(log(10.0, lit(1.0) + lit(1.0) / col("digit")) * 1000000)
+            .cast("long").as("exp_micro"))
+        .select(col("digit"), col("n"), col("obs_micro"), col("exp_micro"),
+          (col("obs_micro") - col("exp_micro")).as("dev_micro"))
+        .orderBy(col("digit"))
+    }),
+
+    // Pareto concentration curve: the revenue share of the top
+    // 10/20/50 percent of users — the "how top-heavy is this corpus"
+    // readout beside q197's single-number Gini. One ranked window over
+    // per-user aggregates + a 3-row percent spine join.
+    "q212_pareto" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Q.events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(sum(Q.cents(col("value"))).as("x"))
+      val ranked = per.select(col("x"),
+        row_number().over(Window.orderBy(col("x").desc, col("user_id"))).as("rk"))
+        .withColumn("cum", sum(col("x")).over(
+          Window.orderBy(col("rk")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = broadcast(per.agg(count(lit(1)).as("nu"), sum(col("x")).as("tx")))
+      val spine = s.range(1).select(explode(array(lit(10), lit(20), lit(50))).as("pct"))
+      spine.crossJoin(tot)
+        .select(col("pct"), expr("greatest(1, (nu * pct) div 100)").as("k"),
+          col("nu"), col("tx"))
+        .join(ranked.select(col("rk"), col("cum")), col("k") === col("rk"))
+        .select(col("pct"), col("k").as("k_users"), col("cum").as("cum_cents"),
+          expr("(cum * 1000000) div tx").as("share_micro"))
+        .orderBy(col("pct"))
+    }),
+
     // Windowed funnel: view -> click -> purchase where each stage must
     // land within ONE HOUR of the previous stage's first completion —
     // the time-boxed conversion semantics product analytics actually
@@ -1177,6 +1223,41 @@ object FeatureQueries {
               AS ndcg_micro
           FROM ig LEFT JOIN dg ON ig.query_id = dg.query_id
           ORDER BY ig.query_id""",
+
+    "q211_benford" ->
+      s"""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders WHERE round(o_totalprice * 100) > 0),
+          d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM c),
+          per AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+          t AS (SELECT sum(n) AS nt FROM per)
+          SELECT digit, CAST(n AS BIGINT) AS n,
+            CAST((n * 1000000) // nt AS BIGINT) AS obs_micro,
+            CAST(round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+              AS exp_micro,
+            CAST((n * 1000000) // nt -
+              CAST(round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+              AS BIGINT) AS dev_micro
+          FROM per CROSS JOIN t ORDER BY digit""",
+
+    "q212_pareto" ->
+      s"""WITH per AS (SELECT user_id,
+              sum(CAST(round(value * 100) AS BIGINT)) AS x
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          ranked AS (SELECT x,
+              row_number() OVER (ORDER BY x DESC, user_id) AS rk FROM per),
+          cumr AS (SELECT rk, sum(x) OVER (ORDER BY rk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM ranked),
+          t AS (SELECT count(*) AS nu, sum(x) AS tx FROM per),
+          spine AS (SELECT unnest([10, 20, 50]) AS pct)
+          SELECT CAST(pct AS INT) AS pct,
+            CAST(greatest(1, (nu * pct) // 100) AS BIGINT) AS k_users,
+            CAST(cum AS BIGINT) AS cum_cents,
+            CAST((cum * 1000000) // tx AS BIGINT) AS share_micro
+          FROM spine CROSS JOIN t
+            JOIN cumr ON cumr.rk = greatest(1, (nu * pct) // 100)
+          ORDER BY pct""",
 
     "q210_windowed_funnel" ->
       s"""WITH v AS (SELECT user_id, min(ts) AS t FROM events
