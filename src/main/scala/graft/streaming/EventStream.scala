@@ -130,10 +130,15 @@ object EventStream {
     * rewind a completed stage).
     */
   def funnelStream(spark: SparkSession, events: DataFrame,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String], maxGapSec: Option[Long] = None): DataFrame = {
     import spark.implicits._
     def micros(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    // windowed variant (q210's semantics): greedy-first-eligible under
+    // (frontier, frontier + gap] equals the batch nested-min-within-
+    // window — the first in-time event satisfying the window IS the
+    // min; if none exists in the window, neither side ever advances.
+    val gapMicros = maxGapSec.map(_ * 1000000L)
     events.select(col("user_id"), col("ts"), col("event_type")).as[UserEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
@@ -141,7 +146,9 @@ object EventStream {
           var (s, frontier) = state.getOption.getOrElse((0, Long.MinValue))
           val sorted = evs.toArray.sortBy(e => (micros(e.ts), e.event_type))
           for (e <- sorted if s < stages.length)
-            if (e.event_type == stages(s) && (s == 0 || micros(e.ts) > frontier)) {
+            if (e.event_type == stages(s) &&
+                (s == 0 || (micros(e.ts) > frontier &&
+                  gapMicros.forall(g => micros(e.ts) <= frontier + g)))) {
               frontier = micros(e.ts); s += 1
             }
           state.update((s, frontier))

@@ -63,6 +63,31 @@ class StreamingSpec extends SparkSpec {
         s"stage $i: stream=${streamed.values.count(_ > i)} batch=${batch(i)}")
   }
 
+  test("WINDOWED streaming funnel equals the windowed batch funnel (and differs from unbounded)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_streamwf").toString
+    Q.events(spark, sf001).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val stages = Seq("view", "click", "purchase")
+    val gap = Some(3600L)
+    val q = EventStream.runToMemory(spark, tmp, "wfunnelout",
+      df => EventStream.funnelStream(spark, df, stages, gap), OutputMode.Update())
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("wfunnelout")
+      .groupBy(col("user_id")).agg(max(col("stage_reached")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.operators.Sequence.funnel(
+        Q.events(spark, sf001), "user_id", "ts", "event_type", stages, gap)
+      .collect().map(r => r.getAs[Int]("stage_idx") -> r.getAs[Int]("n_users")).toMap
+    for (i <- stages.indices)
+      assert(streamed.values.count(_ > i) === batch(i),
+        s"stage $i: stream=${streamed.values.count(_ > i)} batch=${batch(i)}")
+    // the gap must actually bite: unbounded batch funnel completes more users
+    val unbounded = graft.operators.Sequence.funnel(
+        Q.events(spark, sf001), "user_id", "ts", "event_type", stages)
+      .collect().map(r => r.getAs[Int]("stage_idx") -> r.getAs[Int]("n_users")).toMap
+    assert(unbounded(2) > batch(2),
+      s"gap never bit: unbounded=${unbounded(2)} windowed=${batch(2)}")
+  }
+
   test("streaming funnel carries frontier state across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
