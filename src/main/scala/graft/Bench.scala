@@ -130,6 +130,19 @@ object Bench {
     }
     chaosOn = false
     burners.foreach(_.join(1000))
+    // Quiesce the post-sweep JVM before ANY drift re-measure: a sweep
+    // under heavy interference (the chaos harness, a noisy co-tenant)
+    // leaves cached frames, cleaner backlogs and heap debris that
+    // inflate even isolated re-measures — measured 2026-08-14: after a
+    // 64-burner 205-query sweep, 98 drifted queries re-measured
+    // 1.5-3.8x above their clean snapshot while the HOST calibration
+    // stayed flat (377 vs 380 ms single-thread) — the degradation was
+    // all JVM state, not machine speed. Drop every cached frame and
+    // give the cleaner + GC a beat to drain before trusting any
+    // re-measured number.
+    GraftCache.releaseAll()
+    spark.sharedState.cacheManager.clearCache()
+    (1 to 3).foreach { _ => System.gc(); Thread.sleep(500) }
     // Drift pass: any query whose warm run landed >2x the committed
     // snapshot (with a 0.5s absolute floor so millisecond noise never
     // triggers) is re-measured — isolated, after a GC — and the MINIMUM

@@ -98,7 +98,8 @@ object ScaleSoak {
     "q198_calibration", "q199_chi_square", "q200_pit_features",
     "q201_compact_vacuum", "q202_mrr_eval", "q204_cusum",
     "q206_langid_eval", "q207_incr_view", "q208_dedup_eval", "q209_ndcg",
-    "q210_windowed_funnel", "q212_pareto")
+    "q210_windowed_funnel", "q212_pareto", "q213_embedding_audit",
+    "q214_session_stats", "q215_hour_heatmap")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     // per-table existence checks: a crashed build must repair the

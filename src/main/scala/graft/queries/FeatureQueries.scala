@@ -614,6 +614,68 @@ object FeatureQueries {
         .orderBy(col("query_id"))
     }),
 
+    // Embedding QA audit: the checks a vector pipeline runs before
+    // indexing — dimension consistency, zero vectors, norm (sum-of-
+    // squares) spread — all in exact milli-unit integers, one scan.
+    "q213_embedding_audit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          aggregate(
+            transform(col("embedding"), v => {
+              val m = round(v.cast("double") * 1000).cast("long"); m * m
+            }),
+            lit(0L), (acc, x) => acc + x).as("q"))
+      e.agg(count(lit(1)).as("n_vecs"),
+          min(col("dim")).cast("int").as("dim_min"),
+          max(col("dim")).cast("int").as("dim_max"),
+          sum(when(col("q") === 0, 1L).otherwise(0L)).as("n_zero"),
+          min(col("q")).as("min_q2"), max(col("q")).as("max_q2"),
+          sum(col("q")).as("sum_q2"))
+        .select(col("n_vecs"), col("dim_min"), col("dim_max"), col("n_zero"),
+          col("min_q2"), col("max_q2"),
+          expr("sum_q2 div n_vecs").as("avg_q2"))
+    }),
+
+    // Session-level stats over 30-minute gap sessionization: session
+    // count, events-per-session, and exact p50/p95 duration in the
+    // hundredth-rank integer percentile discipline (q174's) — the
+    // "what does a typical session look like" readout.
+    "q214_session_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Q.events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = e.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("new_s",
+          when(unix_micros(col("ts")) - unix_micros(coalesce(lag(col("ts"), 1).over(w), col("ts")))
+            > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sess = flagged.groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_ev"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_ev")).as("n_events"),
+          round(expr("percentile(n_ev, 0.5)") * 100).cast("long").as("p50_events_100"),
+          round(expr("percentile(dur, 0.5)") * 100).cast("long").as("p50_dur_100"),
+          round(expr("percentile(dur, 0.95)") * 100).cast("long").as("p95_dur_100"))
+    }),
+
+    // Day-of-week x hour activity heatmap with per-cell traffic share
+    // in exact micro — the ops/BI density readout (dow derived
+    // calendar-function-free, as in q195).
+    "q215_hour_heatmap" -> ((s, dir) => {
+      val e = Q.events(s, dir).select(
+        pmod(datediff(col("ts").cast("date"), lit("2023-12-31").cast("date")), lit(7))
+          .cast("int").as("dow"),
+        hour(col("ts")).as("hr"))
+      val per = e.groupBy(col("dow"), col("hr")).agg(count(lit(1)).as("n"))
+      val tot = per.agg(sum(col("n")).as("nt"))
+      per.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hr"), col("n"),
+          expr("(n * 1000000) div nt").as("share_micro"))
+        .orderBy(col("dow"), col("hr"))
+    }),
+
     // Benford first-digit audit of order totals: observed first-
     // significant-digit shares vs Benford's log10(1 + 1/d) expectation
     // — the classic fabricated-data / unit-mixing smoke test. The
@@ -1223,6 +1285,51 @@ object FeatureQueries {
               AS ndcg_micro
           FROM ig LEFT JOIN dg ON ig.query_id = dg.query_id
           ORDER BY ig.query_id""",
+
+    "q213_embedding_audit" ->
+      s"""WITH e AS (SELECT vec_id, len(embedding) AS dim,
+            list_sum(list_transform(embedding,
+              x -> CAST(round(x::DOUBLE * 1000) AS BIGINT) *
+                   CAST(round(x::DOUBLE * 1000) AS BIGINT))) AS q
+          FROM $EmbPq)
+          SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+            CAST(min(dim) AS INT) AS dim_min, CAST(max(dim) AS INT) AS dim_max,
+            CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+            CAST(min(q) AS BIGINT) AS min_q2, CAST(max(q) AS BIGINT) AS max_q2,
+            CAST(sum(q) // count(*) AS BIGINT) AS avg_q2
+          FROM e""",
+
+    "q214_session_stats" ->
+      s"""WITH f AS (SELECT user_id, ts, event_id,
+            CASE WHEN datediff('microseconds',
+                coalesce(lag(ts) OVER w, ts), ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          g AS (SELECT user_id, ts,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM f),
+          sess AS (SELECT user_id, sid, count(*) AS n_ev,
+            datediff('microseconds', min(ts), max(ts)) AS dur
+          FROM g GROUP BY 1, 2)
+          SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+            CAST(sum(n_ev) AS BIGINT) AS n_events,
+            CAST(round(quantile_cont(n_ev, 0.5) * 100) AS BIGINT) AS p50_events_100,
+            CAST(round(quantile_cont(dur, 0.5) * 100) AS BIGINT) AS p50_dur_100,
+            CAST(round(quantile_cont(dur, 0.95) * 100) AS BIGINT) AS p95_dur_100
+          FROM sess""",
+
+    "q215_hour_heatmap" ->
+      s"""WITH e AS (SELECT
+            CAST(datediff('day', DATE '2023-12-31', CAST(ts AS DATE)) % 7 AS INT) AS dow,
+            CAST(hour(ts) AS INT) AS hr
+          FROM events),
+          per AS (SELECT dow, hr, count(*) AS n FROM e GROUP BY 1, 2),
+          t AS (SELECT sum(n) AS nt FROM per)
+          SELECT dow, hr, CAST(n AS BIGINT) AS n,
+            CAST((n * 1000000) // nt AS BIGINT) AS share_micro
+          FROM per CROSS JOIN t ORDER BY dow, hr""",
 
     "q211_benford" ->
       s"""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
