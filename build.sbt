@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // a 200+ query bench sweep generates thousands of codegen classes;
+  // the JDK17 default 240m code cache overflows near the end of the
+  // sweep and JIT flushing inflates every measurement taken there
+  // (chaos-harness re-measures read 1.5-4x high with flat host
+  // calibration until this was raised)
+  "-XX:ReservedCodeCacheSize=512m",
 )

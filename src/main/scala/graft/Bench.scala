@@ -142,6 +142,7 @@ object Bench {
     // re-measured number.
     GraftCache.releaseAll()
     spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     (1 to 3).foreach { _ => System.gc(); Thread.sleep(500) }
     // Drift pass: any query whose warm run landed >2x the committed
     // snapshot (with a 0.5s absolute floor so millisecond noise never
