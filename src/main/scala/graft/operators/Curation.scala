@@ -564,6 +564,13 @@ object Curation {
           Window.partitionBy(col("id")).orderBy(col("item"))))
         .filter(col("rn") <= maxPerBasket)
         .select(col("id"), col("item")))
+    // the universe frame IS the basket-id column — a multi-column frame
+    // would silently countDistinct whatever happens to be first, skewing
+    // every lift value with no error
+    require(universe.columns.length == 1,
+      s"liftPairs: universe must be exactly the basket-id column, got " +
+        s"${universe.columns.length} columns (${universe.columns.mkString(", ")}) — " +
+        "select the basket column before passing it")
     val nBaskets = broadcast(universe.agg(
       countDistinct(universe.columns.head).as("n_docs")))
     val pairs = kept.as("a")

@@ -501,12 +501,7 @@ object Dedup {
     // `.checkpoint()` — each round's edge set persists to storage, so
     // a 1000-executor run survives preemption mid-iteration. Same
     // algorithm, same result (OperatorsSpec pins both modes).
-    val pin: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(eager = true)
-      case None => df => df.localCheckpoint(eager = true)
-    }
+    val pin = Iterative.pin(pairs.sparkSession, checkpointDir)
     // canonical undirected edges (a < b), deduped
     val edges0 = pairs
       .select(col("doc_a").cast("long").as("x"), col("doc_b").cast("long").as("y"))

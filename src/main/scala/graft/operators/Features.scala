@@ -78,11 +78,17 @@ object Features {
     val bounds = ref.select(vm.as("vm")).agg(min(col("vm")).as("mn"), max(col("vm")).as("mx"))
     // clamp first: Spark `div` truncates toward zero while DuckDB `//`
     // floors, but every below-range quotient is <= 0 in both and the
-    // greatest(0, _) clamp erases the difference.
+    // greatest(0, _) clamp erases the difference. The clamp runs in
+    // LONG and the int cast comes after — with a degenerate reference
+    // range (mx == mn, denominator 1) a current value > ~2^31 micro
+    // units above mn would wrap Int negative if cast first, landing in
+    // bucket 0 instead of 9 and inverting the drift signal (and DuckDB
+    // would error on the same overflowing CAST, so the engines would
+    // diverge instead of agreeing).
     def side(df: DataFrame, name: String): DataFrame =
       df.select(vm.as("vm")).crossJoin(broadcast(bounds))
-        .select(greatest(lit(0), least(lit(buckets - 1),
-          expr(s"((vm - mn) * $buckets) div (mx - mn + 1)").cast("int"))).as("bucket"))
+        .select(greatest(lit(0L), least(lit((buckets - 1).toLong),
+          expr(s"((vm - mn) * $buckets) div (mx - mn + 1)"))).cast("int").as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as(name))
     val spine = sp.range(buckets).select(col("id").cast("int").as("bucket"))
     val joined = spine
@@ -139,6 +145,38 @@ object Features {
         countDistinct(col("id")).as("n_docs"))
   }
 
+  /** Fail fast when a distinct-value frame is large enough to make the
+    * unpartitioned rank/CDF window a one-task sort. [[aucExact]] and
+    * [[ksTest]] contractually window over DISTINCT scores/values —
+    * bounded by metric cardinality, not corpus size — which is fine
+    * for quantized model scores (the stated contract) but silently
+    * degenerates to a single-task corpus sort if a caller hands them a
+    * high-cardinality raw metric. Same refusal posture as
+    * [[Dedup.requireBoundedBlocks]]: one count aggregate (parallel,
+    * corpus-scan-cheap) before the window is planned, a clear error
+    * pointing at pre-quantization, and a session-conf escape hatch
+    * (`graft.window.maxDistinct`, default 2,000,000 — a 2M-row
+    * single-task sort is sub-second; past that the task is the job).
+    */
+  private[graft] def requireBoundedDistinct(g: DataFrame, what: String): Unit = {
+    val spark = g.sparkSession
+    val key = "graft.window.maxDistinct"
+    val limit = spark.conf.getOption(key).map { raw =>
+      val n = try raw.trim.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$key must be a positive integer, got '$raw'")
+      }
+      if (n <= 0) throw new IllegalArgumentException(s"$key must be a positive integer, got '$raw'")
+      n
+    }.getOrElse(2000000L)
+    val n = g.count()
+    if (n > limit) throw new IllegalArgumentException(
+      s"$what carries $n distinct values > $key=$limit: the unpartitioned " +
+        "rank/CDF window would sort them all in ONE task. Pre-quantize the " +
+        "metric (e.g. integer units div a bucket width) so cardinality is " +
+        s"bounded, or raise $key.")
+  }
+
   /** Exact ROC AUC of an integer score against a boolean label via the
     * tie-aware rank-sum (Mann-Whitney U) identity, entirely in integer
     * arithmetic: group rows by distinct score (one corpus-sized
@@ -154,6 +192,7 @@ object Features {
   def aucExact(df: DataFrame, label: Column, score: Column): DataFrame = {
     val g = df.select(score.cast("long").as("s"), label.cast("int").cast("long").as("y"))
       .groupBy(col("s")).agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    requireBoundedDistinct(g, "aucExact's distinct-score frame")
     val w = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
     g.withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)))
       .agg(sum(col("p") * (col("cum") * 2 + col("n") + 1)).as("r2"),
@@ -179,6 +218,7 @@ object Features {
     val g = ga.join(gb, Seq("v"), "full")
       .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
+    requireBoundedDistinct(g, "ksTest's distinct-value frame")
     val totals = broadcast(g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b")))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -45,14 +45,16 @@ object Graph {
     * shuffles with map-side partial sums on (b). The edge frame is
     * cached and re-read per superstep; on a real cluster persist it
     * partitioned by src so the rank⋈edges join co-locates. Lineage is
-    * cut every `checkpointEvery` supersteps (eager localCheckpoint,
-    * same discipline as [[Dedup.connectedComponents]]) so deep
+    * cut every `checkpointEvery` supersteps ([[Iterative.pin]] — eager
+    * localCheckpoint by default, reliable `.checkpoint()` into
+    * `checkpointDir` for preemption-survivable cluster runs) so deep
     * iteration counts do not accumulate a plan of unbounded depth.
     */
   def pageRankInt(edges: DataFrame, iters: Int,
       initMass: Long = 1000000L, dampNum: Int = 85, dampDen: Int = 100,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5, checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    val pin = Iterative.pin(edges.sparkSession, checkpointDir)
     val e = graft.GraftCache.registered(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")))
@@ -70,7 +72,7 @@ object Graph {
         .select(col("node"),
           (lit(baseMass) + expr(s"($dampNum * in_mass) div $dampDen")).as("rank"))
       if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint(true)
+        ranks = pin(ranks)
     }
     ranks
   }
@@ -101,8 +103,9 @@ object Graph {
     */
   def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame, iters: Int,
       initMass: Long = 1000000L, dampNum: Int = 85, dampDen: Int = 100,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5, checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    val pin = Iterative.pin(edges.sparkSession, checkpointDir)
     val e = graft.GraftCache.registered(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")))
@@ -128,7 +131,7 @@ object Graph {
           (col("walked") +
             when(col("seed").isNotNull, lit(baseMass)).otherwise(lit(0L))).as("rank"))
       if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint(true)
+        ranks = pin(ranks)
     }
     ranks.filter(col("rank") > 0)
   }
@@ -166,22 +169,23 @@ object Graph {
     * through one keyed join and subtracts already-visited nodes with
     * a left-anti join — the textbook iterative-frontier shape whose
     * per-round cost tracks the FRONTIER, not the graph. Lineage is
-    * cut per round (visited feeds every later round).
+    * cut per round ([[Iterative.pin]]; visited feeds every later
+    * round), reliably into `checkpointDir` when given.
     */
-  def bfsLevels(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pin = Iterative.pin(edges.sparkSession, checkpointDir)
     val e = graft.GraftCache.registered(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")))
-    var visited = seeds.select(col("node").cast("long").as("node"),
-      lit(0).as("dist")).distinct().localCheckpoint(true)
+    var visited = pin(seeds.select(col("node").cast("long").as("node"),
+      lit(0).as("dist")).distinct())
     var frontier = visited.select(col("node"))
     for (h <- 1 to maxHops) {
-      frontier = e.join(frontier, e("src") === frontier("node"))
+      frontier = pin(e.join(frontier, e("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      visited = visited.union(frontier.select(col("node"), lit(h).as("dist")))
-        .localCheckpoint(true)
+        .join(visited.select(col("node")), Seq("node"), "left_anti"))
+      visited = pin(visited.union(frontier.select(col("node"), lit(h).as("dist"))))
     }
     visited
   }

@@ -183,13 +183,25 @@ object Relational {
     * values equal to the null sentinel) canonicalize ambiguously, and
     * colliding row multisets exist — the verdict is probabilistic the
     * way every content hash is.
+    *
+    * Wrap behavior is part of the contract: the per-row 32-bit values
+    * accumulate in DECIMAL(38,0) (exact past any row count — a plain
+    * long sum would silently wrap mod 2^64 past ~2^31 rows while an
+    * ANSI/HUGEINT engine raises, so the two replicas being compared
+    * could diverge on the very verdict this computes) and the
+    * published checksum is that exact sum mod 2^63-25 (the largest
+    * prime below 2^63 — fits BIGINT in every engine). Below ~2^31
+    * rows the modulus is inert and the checksum equals the plain sum.
     */
+  val ChecksumModulus = 9223372036854775783L // largest prime < 2^63
+
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "tableChecksum: at least one column")
     val canon = concat_ws("|",
       cols.map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*)
     df.agg(count(lit(1)).cast("long").as("n_rows"),
-      sum(graft.plans.Md5Prefix32.md5prefix32(canon)).as("checksum"))
+      pmod(sum(graft.plans.Md5Prefix32.md5prefix32(canon).cast("decimal(38,0)")),
+        lit(new java.math.BigDecimal(ChecksumModulus))).cast("long").as("checksum"))
   }
 
   /** Inner-equi-join output size WITHOUT executing the join:

@@ -219,15 +219,6 @@ object Sequence {
         (col("valid_to").isNull || col(factTsCol) < col("valid_to")))
   }
 
-  /** `rounds` iterations of k-core peeling over a SYMMETRIZED edge
-    * list: drop nodes with degree < k, drop edges touching them,
-    * repeat — after enough rounds the fixpoint is the k-core
-    * (community kernel / spam-farm detector). Returns per-round
-    * `(round, n_nodes, n_edges)` — n_edges counts directed arcs.
-    * Each round is one degree aggregate + two semi-joins, all keyed
-    * on node ids; lineage is cut per round ([[Dedup.connectedComponents]]
-    * discipline) so deep peels don't accrete plan depth.
-    */
   /** First-order transition matrix over each user's event sequence:
     * counts of (previous type → type) adjacencies, ordered by
     * `(ts, tieCol)` — the tie column makes same-timestamp ordering
@@ -247,22 +238,116 @@ object Sequence {
       .agg(count(lit(1)).cast("long").as("n"))
   }
 
-  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** Refuse an edge list that is not symmetrized. k-core degree is
+    * computed on `src` alone, which is only the true undirected degree
+    * when every edge carries its reverse — a caller handing a
+    * one-directional list would get silently wrong cores. The check is
+    * the [[Dedup.requireBoundedBlocks]] posture applied to input
+    * contracts: one aggregate comparing the order-free hash-sums of
+    * (src,dst) and (dst,src) — equal iff (probabilistically, same
+    * confidence class as CC's convergence signature) the edge multiset
+    * equals its own reverse. One scan, two decimal sums.
+    */
+  private[graft] def requireSymmetrized(e: DataFrame): Unit = {
+    val r = e.agg(
+      sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("fwd"),
+      sum(xxhash64(col("dst"), col("src")).cast("decimal(38,0)")).as("rev"))
+      .collect().head
+    if (!java.util.Objects.equals(r.get(0), r.get(1)))
+      throw new IllegalArgumentException(
+        "k-core requires a SYMMETRIZED edge list (every edge with its " +
+          "reverse): the (src,dst) and (dst,src) hash-sums differ. Run the " +
+          "input through Graph.symmetrize first.")
+  }
+
+  /** `rounds` iterations of k-core peeling over a SYMMETRIZED edge
+    * list (checked — see [[requireSymmetrized]]): drop nodes with
+    * degree < k, drop edges touching them, repeat — after enough
+    * rounds the fixpoint is the k-core (community kernel / spam-farm
+    * detector); [[kcoreFixpoint]] peels to convergence instead of a
+    * guessed round count. Returns per-round `(round, n_nodes,
+    * n_edges)` — n_edges counts directed arcs. Each round is one
+    * degree aggregate + two semi-joins, all keyed on node ids;
+    * lineage is cut per round via [[Iterative.pin]] (reliable into
+    * `checkpointDir` on a real cluster).
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     val sp = edges.sparkSession
     import sp.implicits._
-    var e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
+    val pin = Iterative.pin(sp, checkpointDir)
+    // pin the input FIRST: the symmetry guard, round-1 degree aggregate
+    // and round-1 joins all read it — unpinned, the upstream pipeline
+    // (symmetrize's union+distinct) would execute once per consumer
+    var e = pin(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
+    requireSymmetrized(e)
     val stats = (1 to rounds).map { r =>
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("node"))
-      e = e.join(keep.withColumnRenamed("node", "src"), "src")
+      val next = pin(e.join(keep.withColumnRenamed("node", "src"), "src")
         .join(keep.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true)
+        .select(col("src"), col("dst")))
+      e.unpersist(blocking = false)
+      e = next
       val nNodes = e.select(col("src")).distinct().count()
       val nEdges = e.count()
       (r, nNodes, nEdges)
     }
+    e.unpersist(blocking = false)
     stats.toDF("round", "n_nodes", "n_edges")
+  }
+
+  /** k-core peeling to the FIXPOINT — [[kcorePeel]] without the guessed
+    * round count: peel until a round removes nothing (the k-core) or
+    * empties the graph. Returns the full cascade, one row per round
+    * with surviving edges, starting at round 0 (the input): the
+    * shape an analyst reads to see how fast the periphery sheds.
+    * Convergence detection is count-based and EXACT (not a hash
+    * signature): survivors are always a subset of the current set, so
+    * equal counts imply equal sets. Rounds that would be empty emit no
+    * row — the cascade ends at the last non-empty edge set either way,
+    * which keeps the frame identical to the recursive-CTE oracle
+    * rendering (q216). Per round: one degree aggregate + two
+    * semi-join-shaped filters, lineage cut via [[Iterative.pin]]
+    * (reliable into `checkpointDir` on a real cluster).
+    */
+  def kcoreFixpoint(edges: DataFrame, k: Int, maxRounds: Int = 100,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sp = edges.sparkSession
+    import sp.implicits._
+    val pin = Iterative.pin(sp, checkpointDir)
+    var e = pin(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
+    requireSymmetrized(e)
+    var prevEdges = e.count()
+    val rows = scala.collection.mutable.ArrayBuffer(
+      (0, e.select(col("src")).distinct().count(), prevEdges))
+    var r = 1
+    var done = prevEdges == 0L
+    while (!done) {
+      if (r > maxRounds) {
+        e.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"kcoreFixpoint did not converge within maxRounds=$maxRounds " +
+            "(peeling always converges within the node count — raise maxRounds)")
+      }
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+      val next = pin(e.join(keep.withColumnRenamed("node", "src"), "src")
+        .join(keep.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src"), col("dst")))
+      val nEdges = next.count()
+      if (nEdges == prevEdges || nEdges == 0L) {
+        done = true
+        next.unpersist(blocking = false)
+        e.unpersist(blocking = false)
+      } else {
+        rows += ((r, next.select(col("src")).distinct().count(), nEdges))
+        e.unpersist(blocking = false)
+        e = next; prevEdges = nEdges; r += 1
+      }
+    }
+    rows.toSeq.toDF("round", "n_nodes", "n_edges")
   }
 }

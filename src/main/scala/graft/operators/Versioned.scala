@@ -105,16 +105,19 @@ object Versioned {
   /** Merge `updates` into the table by `key`: matching-key rows are
     * replaced, new keys appended, everything else carried over —
     * committed as one new snapshot. An uninitialized table commits the
-    * batch as v0.
+    * batch as v0. A partitioned table must pass the same `partitionBy`
+    * on every mutation (same contract as [[commit]]/[[applyChanges]]) —
+    * otherwise the new snapshot would silently lose the Hive layout and
+    * with it planning-time partition pruning.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame, key: String,
-      statsCols: Seq[String] = Nil): Long =
+      statsCols: Seq[String] = Nil, partitionBy: Seq[String] = Nil): Long =
     latestVersion(path) match {
-      case None => commit(path, updates, statsCols)
+      case None => commit(path, updates, statsCols, partitionBy)
       case Some(v) =>
         val cur = read(spark, path, Some(v))
         commit(path, cur.join(updates.select(col(key)), Seq(key), "left_anti")
-          .unionByName(updates), statsCols)
+          .unionByName(updates), statsCols, partitionBy)
     }
 
   /** Manifest-pruned scan of a committed snapshot (latest by default):
@@ -144,12 +147,18 @@ object Versioned {
   def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
       key: String, opCol: String = "op", statsCols: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil): Long = {
-    val cur = read(spark, path)
     val upserts = changes.filter(col(opCol) =!= "delete").drop(opCol)
-    commit(path,
-      cur.join(changes.select(col(key)), Seq(key), "left_anti")
-        .unionByName(upserts),
-      statsCols, partitionBy)
+    latestVersion(path) match {
+      // uninitialized table: bootstrap from the batch's non-delete rows,
+      // matching upsert's contract (deletes against nothing are no-ops)
+      case None => commit(path, upserts, statsCols, partitionBy)
+      case Some(v) =>
+        val cur = read(spark, path, Some(v))
+        commit(path,
+          cur.join(changes.select(col(key)), Seq(key), "left_anti")
+            .unionByName(upserts),
+          statsCols, partitionBy)
+    }
   }
 
   /** Rewrite the latest snapshot as a new version with `files` output

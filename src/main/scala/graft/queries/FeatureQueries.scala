@@ -754,11 +754,11 @@ object FeatureQueries {
           r AS (SELECT vm FROM e CROSS JOIN m WHERE day < mid),
           c AS (SELECT vm FROM e CROSS JOIN m WHERE day >= mid),
           b AS (SELECT min(vm) AS mn, max(vm) AS mx FROM r),
-          rb AS (SELECT greatest(0, least(9,
-              CAST(((vm - mn) * 10) // (mx - mn + 1) AS INT))) AS bucket
+          rb AS (SELECT CAST(greatest(0, least(9,
+              ((vm - mn) * 10) // (mx - mn + 1))) AS INT) AS bucket
             FROM r CROSS JOIN b),
-          cb AS (SELECT greatest(0, least(9,
-              CAST(((vm - mn) * 10) // (mx - mn + 1) AS INT))) AS bucket
+          cb AS (SELECT CAST(greatest(0, least(9,
+              ((vm - mn) * 10) // (mx - mn + 1))) AS INT) AS bucket
             FROM c CROSS JOIN b),
           spine AS (SELECT unnest(generate_series(0, 9)) AS bucket),
           rn AS (SELECT bucket, count(*) AS ref_n FROM rb GROUP BY 1),

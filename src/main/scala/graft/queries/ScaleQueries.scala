@@ -169,6 +169,21 @@ object ScaleQueries {
         .orderBy(col("round"))
     }),
 
+    // k-core peeled to the FIXPOINT (k=48, chosen so the sf0.01 trade
+    // graph cascades through multiple rounds before converging): the
+    // full cascade from round 0 (input) until a round removes nothing
+    // or empties the graph — no guessed round count. The oracle is a
+    // genuine recursive CTE with the same count-based progress test.
+    "q216_kcore_fixpoint" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey").cast("long") + 1)).as("dst"))
+      Sequence.kcoreFixpoint(Graph.symmetrize(pairs), k = 48)
+        .orderBy(col("round"))
+    }),
+
     // Change-data feed between two versioned snapshots: commit v0,
     // upsert a batch (100 modified + 100 new keys), read the diff —
     // the incremental-consumer contract graded at rest.
@@ -900,6 +915,32 @@ object ScaleQueries {
           ORDER BY round"""
     },
 
+    // True recursive peel: the working table is the previous round's
+    // edge set; survivors emit with round+1 only while the count still
+    // shrinks (survivors ⊆ current, so equal counts ⇔ fixpoint), and an
+    // emptied graph emits no rows — both match kcoreFixpoint's cascade.
+    "q216_kcore_fixpoint" ->
+      s"""WITH RECURSIVE $sqlTradeGraph,
+          peel AS (
+            SELECT src, dst, 0 AS round FROM e
+            UNION ALL
+            SELECT s.src, s.dst, s.round + 1
+            FROM (
+              WITH cur AS (SELECT * FROM peel),
+              keep AS (SELECT src AS node FROM cur
+                GROUP BY src HAVING count(*) >= 48),
+              surv AS (SELECT cur.src, cur.dst, cur.round FROM cur
+                JOIN keep ka ON cur.src = ka.node
+                JOIN keep kb ON cur.dst = kb.node)
+              SELECT src, dst, round FROM surv
+              WHERE (SELECT count(*) FROM surv) < (SELECT count(*) FROM cur)
+            ) s
+          )
+          SELECT CAST(round AS INT) AS round,
+            CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+            CAST(count(*) AS BIGINT) AS n_edges
+          FROM peel GROUP BY 1 ORDER BY 1""",
+
     // replay: v0 = docs<400, v1 = v0 upserted with (>=300 modified,
     // >=400 inserted); deletes are impossible under upsert. n_chars
     // +1e6 guarantees every overlapped key differs.
@@ -1133,10 +1174,11 @@ object ScaleQueries {
 
     "q169_table_checksum" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
-            CAST(sum(${Q.sqlTokenHash(
+            CAST(sum(CAST(${Q.sqlTokenHash(
               "concat_ws('|', coalesce(CAST(doc_id AS VARCHAR), '<NULL>'), " +
               "coalesce(lang, '<NULL>'), coalesce(source, '<NULL>'), " +
-              "coalesce(CAST(n_chars AS VARCHAR), '<NULL>'))")}) AS BIGINT)
+              "coalesce(CAST(n_chars AS VARCHAR), '<NULL>'))")} AS HUGEINT))
+              % 9223372036854775783 AS BIGINT)
               AS checksum
           FROM $DocsPq""",
 

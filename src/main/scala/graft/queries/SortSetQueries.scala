@@ -68,16 +68,21 @@ object SortSetQueries {
     // (benchmarks/tf-idf-dampr.py:9-21), idf = ln(1 + N/df). ONE
     // tokenize+explode pass: df (docs per token) is derived from the tf
     // frame — tf rows are distinct (doc, token) pairs, so counting them
-    // per token equals countDistinct(doc_id) over the raw token stream,
-    // without re-exploding the corpus. The tf aggregation exchange is
-    // shared by both consumers.
+    // per token (count OVER partition by token) equals
+    // countDistinct(doc_id) over the raw token stream, without
+    // re-exploding the corpus. The window form costs exactly the one
+    // hash(token) exchange the old groupBy-df + join needed, but the
+    // vocabulary frame never exists as a join build side — nothing
+    // corpus-sized is ever broadcast (the old forced broadcast(df) was
+    // the board's one scale-killer: vocabulary grows with the corpus).
+    // The only broadcast left is the 1-row n_docs frame.
     "q37_tfidf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tok = explodedTokens(docs, "doc_id", "text")
       val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
           r6(col("tf") * log(lit(1.0) + col("n_docs") / col("df"))).as("tfidf"))
         .orderBy(col("doc_id"), col("token"))

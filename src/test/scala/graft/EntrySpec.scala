@@ -14,6 +14,18 @@ class EntrySpec extends SparkSpec {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
+  // VERDICT r9 item 9: README's generated query index is the one-hop
+  // operator -> query -> file map for new consumers; regenerate with
+  // scripts/gen_query_index.py whenever a query pack gains an entry.
+  test("README query index covers every SparkEntry.queries key") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")))
+    val missing = SparkEntry.queries.keySet.filterNot(k => readme.contains(s"| $k |"))
+    assert(missing.isEmpty,
+      s"queries missing from README.md Query index (run " +
+        s"scripts/gen_query_index.py): ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every query executes at sf0.001") {
     // toRdd.count() forces EVERY output column: a plain count() lets
     // Catalyst prune projections, which would hide expressions that

@@ -283,6 +283,57 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  // VERDICT r9 item 6: the unpartitioned window contract is "distinct
+  // scores/values only" — a high-cardinality metric must REFUSE with a
+  // pointer at pre-quantization, not silently run a one-task sort.
+  test("aucExact and ksTest refuse high-cardinality inputs under the window cap") {
+    val df = Seq.tabulate(50)(i => (i.toLong, i % 2 == 0)).toDF("s", "y")
+    spark.conf.set("graft.window.maxDistinct", "10")
+    try {
+      val exA = intercept[IllegalArgumentException] {
+        Features.aucExact(df, col("y"), col("s"))
+      }
+      assert(exA.getMessage.contains("graft.window.maxDistinct") &&
+        exA.getMessage.contains("quantize"), exA.getMessage)
+      val exK = intercept[IllegalArgumentException] {
+        Features.ksTest(df.select(col("s")), df.select((col("s") + 100).as("s")), col("s"))
+      }
+      assert(exK.getMessage.contains("graft.window.maxDistinct"), exK.getMessage)
+      // a pre-quantized (bounded) score passes under the same cap
+      val ok = Features.aucExact(df.select((col("s") % 5).as("s"), col("y")),
+        col("y"), col("s")).collect()
+      assert(ok.length === 1)
+    } finally spark.conf.unset("graft.window.maxDistinct")
+  }
+
+  // ADVICE r9: with a degenerate reference range (mx == mn) a current
+  // value more than 2^31 micro-units above mn used to wrap Int
+  // negative BEFORE the clamp and land in bucket 0, inverting the
+  // drift signal. The clamp now runs in long; far-above-range drift
+  // must land in the TOP bucket.
+  test("psiDrift: degenerate reference range with far-out current values lands in bucket 9") {
+    val ref = Seq.fill(20)(5L).toDF("vm")          // mx == mn == 5
+    val cur = Seq.fill(20)(5L + 3000000000L).toDF("vm") // +3e9 > 2^31
+    val rows = Features.psiDrift(ref, cur, col("vm")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(0)._1 === 20L && rows(0)._2 === 0L) // all ref mass in 0
+    assert(rows(9)._1 === 0L && rows(9)._2 === 20L) // all cur mass in 9
+  }
+
+  // ADVICE r9: a multi-column universe frame would silently take
+  // countDistinct of whatever column is first — refuse instead.
+  test("liftPairs refuses a multi-column universe frame") {
+    import graft.operators.Curation
+    val inc = Seq((1L, "x"), (1L, "y")).toDF("b", "i")
+    val badUniverse = Seq((1L, "z")).toDF("b", "extra")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.liftPairs(inc, col("b"), col("i"), badUniverse,
+        minSupport = 1, minPair = 1, maxPerBasket = 10, k = 10)
+    }
+    assert(ex.getMessage.contains("basket-id column"))
+    graft.GraftCache.releaseAll()
+  }
+
   test("featureHashStats: bucket loads sum to the corpus token count") {
     val df = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "e f")).toDF("id", "text")
     val got = Features.featureHashStats(df, col("id"), col("text"), 8).collect()

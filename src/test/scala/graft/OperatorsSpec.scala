@@ -1080,6 +1080,69 @@ class OperatorsSpec extends SparkSpec {
     assert(mutated._1 === base._1 && mutated._2 != base._2)
   }
 
+  // ADVICE r9: wrap behavior is part of the contract — the checksum is
+  // the exact decimal sum of the 32-bit row hashes mod 2^63-25, NOT a
+  // silently-wrapping long sum (which would diverge from an
+  // ANSI/HUGEINT engine past ~2^31 rows).
+  test("tableChecksum equals the driver-side BigInt sum of row hashes mod the modulus") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"row$i")).toDF("k", "s")
+    val canon = concat_ws("|",
+      org.apache.spark.sql.functions.coalesce(col("k").cast("string"), lit("<NULL>")),
+      org.apache.spark.sql.functions.coalesce(col("s").cast("string"), lit("<NULL>")))
+    val hashes = df.select(graft.plans.Md5Prefix32.md5prefix32(canon).as("h"))
+      .as[Long].collect()
+    val want = (hashes.map(BigInt(_)).sum
+      mod BigInt(Relational.ChecksumModulus)).toLong
+    val got = Relational.tableChecksum(df, Seq("k", "s")).head().getAs[Long]("checksum")
+    assert(got === want)
+    assert(got >= 0L && got < Relational.ChecksumModulus)
+  }
+
+  // ADVICE r9: upsert of a partitioned table must keep the Hive layout
+  // (same partitionBy contract as commit/applyChanges) — it used to
+  // silently rewrite the snapshot unpartitioned.
+  test("Versioned.upsert with partitionBy keeps the Hive partition layout") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    val path = java.nio.file.Files.createTempDirectory("graft_vpup").toString + "/t"
+    try {
+      val v0 = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "v", "p")
+      Versioned.commit(path, v0, partitionBy = Seq("p"))
+      val up = Seq((2L, "B", "y"), (3L, "c", "z")).toDF("k", "v", "p")
+      val v1 = Versioned.upsert(spark, path, up, "k", partitionBy = Seq("p"))
+      // the new snapshot still carries partition directories
+      val dirs = new java.io.File(s"$path/v=$v1").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(dirs.toSeq === Seq("p=x", "p=y", "p=z"), dirs.mkString(","))
+      // and a partition-filtered read prunes at planning time
+      val scan = Versioned.read(spark, path).filter(col("p") === "y")
+      assert(scan.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
+        .toSet === Set((2L, "B")))
+      val p = scan.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [isnotnull(p"), p.take(1500))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path).getParentFile)
+  }
+
+  // ADVICE r9: applyChanges against an uninitialized table bootstraps
+  // from the batch's non-delete rows, matching upsert's contract.
+  test("Versioned.applyChanges bootstraps an uninitialized table as v0") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    val path = java.nio.file.Files.createTempDirectory("graft_vboot").toString + "/t"
+    try {
+      val changes = Seq(("insert", 1L, "a"), ("insert", 2L, "b"), ("delete", 9L, null))
+        .toDF("op", "k", "v")
+      val v = Versioned.applyChanges(spark, path, changes, "k")
+      assert(v === 0L)
+      val rows = Versioned.read(spark, path).collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+      assert(rows === Map(1L -> "a", 2L -> "b")) // delete of nothing is a no-op
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path).getParentFile)
+  }
+
   test("joinSize equals the materialized join's row count and flags the hot key") {
     import spark.implicits._
     // skewed: key 7 has 300 left x 40 right rows = 12000 of the total

@@ -54,9 +54,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), p)
   }
 
-  test("q37 tf-idf broadcasts the df/count sides") {
+  // VERDICT r9 item 1: the vocabulary (token -> df) frame grows with
+  // the corpus — it must NEVER be a driver-side broadcast build side.
+  // df now rides a count-over-token window on the tf frame (same one
+  // hash(token) exchange the join needed, no join at all); the only
+  // broadcast left is the 1-row corpus count.
+  test("q37 tf-idf: df via window, no broadcast of an unbounded frame") {
     val p = plan(q("q37_tfidf"))
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+    // the old shape: tf JOIN broadcast(df) on token — must be gone
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // the surviving broadcast is the single-row n_docs aggregate
+    // (BroadcastNestedLoopJoin of a global agg), nothing else
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("AQE finalizes plans adaptively (coalesced shuffle read)") {

@@ -329,4 +329,92 @@ class ScaleOpsSpec extends SparkSpec {
     val sums = out.map(_.getAs[Long]("centroid_sum"))
     assert(sums.exists(_ > 3000000L) && sums.exists(_ < -3000000L))
   }
+
+  // VERDICT r9 item 4: degree is computed on src alone, so an
+  // unsymmetrized list silently yields wrong cores — it must REFUSE.
+  test("kcorePeel refuses a one-directional edge list") {
+    val oneWay = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Sequence.kcorePeel(oneWay, k = 2, rounds = 1)
+    }
+    assert(ex.getMessage.contains("SYMMETRIZED"))
+    // the symmetrized form of the same graph passes
+    val ok = graft.operators.Sequence.kcorePeel(Graph.symmetrize(oneWay),
+      k = 2, rounds = 1).collect()
+    assert(ok.length === 1)
+  }
+
+  // VERDICT r9 item 5: peel to convergence, no guessed round count.
+  test("kcoreFixpoint matches brute-force peeling and stops at the fixpoint") {
+    // K4 + node 4 on {0, 1, 5} + pendant 5: at k=3, round 1 peels only
+    // 5 (degree 1; 4 still holds degree 3), round 2 peels 4 (now
+    // degree 2), round 3 changes nothing — a genuine cascade where
+    // each removal triggers the next.
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (0L, 4L), (1L, 4L), (4L, 5L)).toDF("src", "dst")
+    val sym = Graph.symmetrize(pairs)
+    val got = graft.operators.Sequence.kcoreFixpoint(sym, k = 3)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+    // brute force on the driver
+    var es = sym.as[(Long, Long)].collect().toSet
+    var want = Vector((0, es.map(_._1).size.toLong, es.size.toLong))
+    var r = 1
+    var advancing = true
+    while (advancing) {
+      val deg = es.groupBy(_._1).map { case (n, g) => n -> g.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val ns = es.filter(e => keep(e._1) && keep(e._2))
+      if (ns.size == es.size || ns.isEmpty) advancing = false
+      else { want :+= ((r, ns.map(_._1).size.toLong, ns.size.toLong)); es = ns; r += 1 }
+    }
+    assert(got.toVector === want)
+    assert(got.head._1 === 0 && got.length >= 3) // round 0 + >= 2 peel rounds
+    // an already-k-core input converges immediately: only round 0
+    val clique = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    val stable = graft.operators.Sequence.kcoreFixpoint(Graph.symmetrize(clique), k = 3)
+      .collect()
+    assert(stable.length === 1 && stable.head.getInt(0) === 0)
+    // a graph whose core is EMPTY emits only the non-empty rounds
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val gone = graft.operators.Sequence.kcoreFixpoint(Graph.symmetrize(path), k = 2)
+      .collect().map(_.getInt(0)).sorted
+    // path: round 0 (input), round 1 peels endpoints -> 1-2 edge
+    // survives with degree 1 each, round 2 empties -> not emitted
+    assert(gone.head === 0 && gone.forall(_ <= 1))
+    graft.GraftCache.releaseAll()
+  }
+
+  // VERDICT r9 item 3: reliable checkpointing for the remaining
+  // iterative ops — same contract as connectedComponents' option.
+  test("pageRankInt and bfsLevels with a reliable checkpoint dir match local mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-it-ckpt").toString
+    try {
+      val rnd = new scala.util.Random(11)
+      val pairs = (0 until 120).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2).toDF("src", "dst")
+      val sym = Graph.symmetrize(pairs).cache()
+      // checkpointEvery=2 so the 5-iteration run actually cuts lineage
+      val prLocal = Graph.pageRankInt(sym, iters = 5, checkpointEvery = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prDurable = Graph.pageRankInt(sym, iters = 5, checkpointEvery = 2,
+          checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prDurable === prLocal)
+      val seeds = Seq(Tuple1(0L)).toDF("node")
+      val bfsLocal = Graph.bfsLevels(sym, seeds, maxHops = 4)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val bfsDurable = Graph.bfsLevels(sym, seeds, maxHops = 4,
+          checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(bfsDurable === bfsLocal)
+      // the reliable mode actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable mode should persist checkpoint files")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.GraftCache.releaseAll()
+    }
+  }
 }
