@@ -137,7 +137,16 @@ object Bench {
       }, s"graft-chaos-$i")
       t.setDaemon(true); t.start(); t
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2,...: adjudication mode — measure
+    // only the named queries (isolated, same path as the full sweep)
+    // and DO NOT overwrite BENCH.json, so a subset run can re-measure
+    // suspected regressions against the committed full snapshot
+    // without destroying it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .filter(_.nonEmpty).map(_.split(",").toSet)
+    val board = only.fold(SparkEntry.queries.toSeq)(sel =>
+      SparkEntry.queries.filter(q => sel(q._1)).toSeq)
+    val firstPass = board.sortBy(_._1).map { case (name, _) =>
       val (cold, warm, err) = measure(name)
       (name, cold, warm, err)
     }
@@ -225,8 +234,11 @@ object Bench {
     // ~half the bytes) printed as the very last thing after spark.stop(),
     // so sbt/Spark shutdown noise can't interleave and the driver's tail
     // window has the best chance of holding the whole line.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (only.isEmpty) // a subset run never overwrites the full snapshot
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else // adjudication runs still need calib for cross-round compares
+      println("[bench-only] " + json)
     spark.stop()
     val warmTotal3 = math.rint(warmTotal * 1000) / 1000
     val suspects3 = ok.collect { case (n, c, w, _) if w > 1.5 * c => "\"" + short(n) + "\"" }

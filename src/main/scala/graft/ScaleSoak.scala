@@ -73,10 +73,16 @@ object ScaleSoak {
     "q123_pipe_wordcount", "q124_index_union", "q126_sink_roundtrip",
     "q127_zorder_layout", "q129_versioned_upsert", "q130_semantic_dedup_lsh",
     "q131_bpe_train", "q132_bpe_segment", "q133_zorder3", "q134_corpus_refresh",
-    // round-9 additions (q135/q143 are star-schema → bench ladder)
+    // round-9 additions (q143 ppr is star-schema → bench ladder)
     "q136_pmi_pairs", "q137_weighted_sample", "q138_train_shards",
     "q139_gopher_rep", "q140_ccnet_buckets", "q141_kmeans",
     "q142_triangles", "q144_hll_overlap", "q145_containment",
+    // graph pack over the replicated trade graph (VERDICT r9 item 7):
+    // orders/lineitem replicate as DISJOINT per-replica copies, so
+    // edge count and component structure scale linearly
+    "q135_pagerank", "q148_kcore", "q152_bfs", "q205_assortativity",
+    "q216_kcore_fixpoint", "q217_weighted_pagerank", "q218_stats_drift",
+    "q219_common_neighbors",
     // event-sequence family (events replicated as disjoint user
     // populations on the same calendar)
     "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",
@@ -173,6 +179,31 @@ object ScaleSoak {
           col("event_type"), col("value"), col("props"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
+
+    if (missing("orders") || missing("lineitem")) {
+      // Trade-graph replication for the graph pack (q135/q148/q152/
+      // q205/q216): every key offsets by rep·IdOff, so the
+      // customer–supplier graph becomes `factor` DISJOINT copies —
+      // edges, degrees, cores and components all scale exactly
+      // linearly, and each replica's structure is byte-identical to
+      // the source (how a growing marketplace actually grows). Only
+      // the graph columns are replicated; the full star schema scales
+      // with the TPC-H-ish bench ladder instead.
+      val o = spark.read.parquet(s"$srcDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      o.crossJoin(reps)
+        .select((col("o_orderkey") + col("rep").cast("long") * IdOff).as("o_orderkey"),
+          (col("o_custkey") + col("rep").cast("long") * IdOff).as("o_custkey"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      val l = spark.read.parquet(s"$srcDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      l.crossJoin(reps)
+        .select((col("l_orderkey") + col("rep").cast("long") * IdOff).as("l_orderkey"),
+          (col("l_suppkey") + col("rep").cast("long") * IdOff).as("l_suppkey"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     }
 
     if (missing("supplier")) {

@@ -77,6 +77,84 @@ object Graph {
     ranks
   }
 
+  /** Weighted integer-mass PageRank: [[pageRankInt]] where node u's
+    * contribution to neighbor v is `rank(u)·w(u,v) div W(u)` with
+    * `W(u) = Σ_v w(u,v)` — edge strength (trade volume, link count,
+    * co-occurrence weight) steers the mass instead of splitting it
+    * evenly. `edges` must be symmetrized with positive integer
+    * weights (weights symmetric per undirected link). Same Pregel
+    * shape and shuffle profile as the unweighted form: the weighted
+    * degree joins in once, each superstep is one keyed join + one
+    * map-side-combined sum.
+    *
+    * Integer bound (documented, not checked — it is corpus math, not
+    * row math): `rank·w` must stay below 2^63. Total injected mass is
+    * `n_nodes·initMass`, so at 1e9 nodes with the default 1e6 µ and
+    * weights up to ~1e3 the worst-case product sits near 1e18 — pick
+    * a smaller `initMass` for larger graphs or heavier weights.
+    */
+  def pageRankWeightedInt(edges: DataFrame, iters: Int,
+      initMass: Long = 1000000L, dampNum: Int = 85, dampDen: Int = 100,
+      checkpointEvery: Int = 5, checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val pin = Iterative.pin(edges.sparkSession, checkpointDir)
+    val e = graft.GraftCache.registered(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w")))
+    val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("ws"))
+    val baseMass = initMass * (dampDen - dampNum) / dampDen
+    var ranks = wdeg.select(col("src").as("node"), lit(initMass).as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(ranks.join(wdeg, ranks("node") === wdeg("src"))
+          .select(col("node"), col("rank"), col("ws")),
+          e("src") === col("node"))
+        .select(col("dst").as("node"), expr("(rank * w) div ws").as("share"))
+      ranks = contrib.groupBy(col("node"))
+        .agg(sum(col("share")).as("in_mass"))
+        .select(col("node"),
+          (lit(baseMass) + expr(s"($dampNum * in_mass) div $dampDen")).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = pin(ranks)
+    }
+    ranks
+  }
+
+  /** Common-neighbor counts between nodes at graph distance 2 — the
+    * classic link-prediction / similar-entity primitive ("customers
+    * sharing suppliers"). One wedge self-join keyed on the MIDDLE
+    * node, minus the directly-connected pairs (left-anti on the edge
+    * list), canonical `u < v`.
+    *
+    * Scale: wedge volume is Σ deg(m)² over middle nodes — the same
+    * quadratic-in-hub-degree cliff as [[projectBipartite]], guarded
+    * the same way: any middle node with degree > `maxPerKey` REFUSES
+    * with the count, pointing the caller at capping or sampling hot
+    * hubs (at 100 TB a celebrity hub would otherwise materialize
+    * billions of wedges). Both join legs are keyed hash joins.
+    */
+  def commonNeighbors(edges: DataFrame, maxPerKey: Int = 10000,
+      minCommon: Int = 2): DataFrame = {
+    val e = graft.GraftCache.registered(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct())
+    val hot = e.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxPerKey).limit(1).collect()
+    require(hot.isEmpty,
+      s"commonNeighbors: node ${hot.headOption.map(_.get(0))} has degree " +
+        s"${hot.headOption.map(_.get(1))} > maxPerKey=$maxPerKey — the wedge join " +
+        "through it is quadratic in that degree; cap or sample hot hubs first")
+    // wedge (a -m- b), a < b, counted per pair; m ranges over the
+    // middle node's OUT view which, symmetrized, is the neighbor set
+    e.select(col("src").as("m"), col("dst").as("a")).as("l")
+      .join(e.select(col("src").as("m"), col("dst").as("b")).as("r"), "m")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      // drop pairs already directly linked — prediction wants NEW links
+      .join(e.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"), "left_anti")
+  }
+
   /** Both directions of each distinct undirected link. The canonical
     * frame feeds both union legs, so it persists through the call
     * (released with [[graft.GraftCache.releaseAll]]).

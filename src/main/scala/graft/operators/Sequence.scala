@@ -290,9 +290,11 @@ object Sequence {
         .select(col("src"), col("dst")))
       e.unpersist(blocking = false)
       e = next
-      val nNodes = e.select(col("src")).distinct().count()
-      val nEdges = e.count()
-      (r, nNodes, nEdges)
+      // ONE aggregate for both cascade stats — the x100 soak measured
+      // the separate distinct().count() + count() pair as two full
+      // passes over a 140M-arc frame per round
+      val st = e.agg(countDistinct(col("src")).as("n"), count(lit(1)).as("m")).head()
+      (r, st.getLong(0), st.getLong(1))
     }
     e.unpersist(blocking = false)
     stats.toDF("round", "n_nodes", "n_edges")
@@ -320,9 +322,14 @@ object Sequence {
     var e = pin(edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")))
     requireSymmetrized(e)
-    var prevEdges = e.count()
-    val rows = scala.collection.mutable.ArrayBuffer(
-      (0, e.select(col("src")).distinct().count(), prevEdges))
+    // one aggregate per round for (n_nodes, n_edges) — see kcorePeel
+    def stats(d: DataFrame): (Long, Long) = {
+      val st = d.agg(countDistinct(col("src")).as("n"), count(lit(1)).as("m")).head()
+      (st.getLong(0), st.getLong(1))
+    }
+    val (n0, m0) = stats(e)
+    var prevEdges = m0
+    val rows = scala.collection.mutable.ArrayBuffer((0, n0, m0))
     var r = 1
     var done = prevEdges == 0L
     while (!done) {
@@ -337,13 +344,13 @@ object Sequence {
       val next = pin(e.join(keep.withColumnRenamed("node", "src"), "src")
         .join(keep.withColumnRenamed("node", "dst"), "dst")
         .select(col("src"), col("dst")))
-      val nEdges = next.count()
+      val (nNodes, nEdges) = stats(next)
       if (nEdges == prevEdges || nEdges == 0L) {
         done = true
         next.unpersist(blocking = false)
         e.unpersist(blocking = false)
       } else {
-        rows += ((r, next.select(col("src")).distinct().count(), nEdges))
+        rows += ((r, nNodes, nEdges))
         e.unpersist(blocking = false)
         e = next; prevEdges = nEdges; r += 1
       }

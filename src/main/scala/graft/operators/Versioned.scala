@@ -209,4 +209,45 @@ object Versioned {
       .filter(col("op").isNotNull)
       .select(col("op"), col(key))
   }
+
+  /** Per-column profile drift between two committed snapshots: row
+    * count, null count, exact distinct count, and min/max (rendered as
+    * strings so heterogeneous columns share one schema) for each named
+    * column, from-vs-to side by side — the schema/stats half of change
+    * review, complementing [[diff]]'s row-level feed. The check a
+    * pipeline runs BEFORE promoting a new snapshot: a lang column
+    * whose distinct count doubled, or an n_chars max that jumped 1000x,
+    * is a generator bug caught at commit review instead of by a
+    * downstream model.
+    *
+    * Cost: ONE aggregate pass per snapshot (all columns' stats in a
+    * single job — multiple distinct aggregates plan via Expand, still
+    * one scan of the version's files), then a join of two
+    * #cols-row frames. Nothing grows with table size but the scans.
+    */
+  def statsDiff(spark: SparkSession, path: String, vFrom: Long, vTo: Long,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "statsDiff: at least one column")
+    def profile(v: Long, tag: String): DataFrame = {
+      val df = read(spark, path, Some(v))
+      val aggs = Seq(count(lit(1)).as(s"rows_$tag")) ++ cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(col(s"rows_$tag"), explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col(s"nn_$c").as(s"nulls_$tag"),
+            col(s"nd_$c").as(s"distinct_$tag"), col(s"mn_$c").as(s"min_$tag"),
+            col(s"mx_$c").as(s"max_$tag"))): _*)).as("s"))
+        .select(col("s.*"), col(s"rows_$tag"))
+    }
+    profile(vFrom, "from").join(profile(vTo, "to"), "col_name")
+      .select(col("col_name"), col("rows_from"), col("rows_to"),
+        col("nulls_from"), col("nulls_to"),
+        col("distinct_from"), col("distinct_to"),
+        col("min_from"), col("min_to"), col("max_from"), col("max_to"))
+  }
 }

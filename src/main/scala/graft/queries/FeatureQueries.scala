@@ -490,13 +490,23 @@ object FeatureQueries {
       val xy = edges
         .join(deg.select(col("src"), col("deg").as("dx")), "src")
         .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+      // The per-arc moment SUMS are exact longs, but the Pearson
+      // products of two corpus-sized sums (n·sxy, sx·sy, ...) pass
+      // 2^63 at the x100 soak tier (measured: ARITHMETIC_OVERFLOW
+      // under ANSI, while DuckDB's HUGEINT sailed on — the engines
+      // diverged exactly where it matters). Promote each exact sum to
+      // double BEFORE the products: one IEEE rounding per operand,
+      // identical in both engines, and the result is r6-rounded anyway.
       xy.agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
           sum(col("dx") * col("dy")).as("sxy"), sum(col("dx") * col("dx")).as("sxx"),
           sum(col("dy") * col("dy")).as("syy"))
         .select(col("n"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          round((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
             .as("r_r6"))
     }),
 
@@ -1197,8 +1207,9 @@ object FeatureQueries {
               sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
             FROM xy)
           SELECT CAST(n AS BIGINT) AS n,
-            round((n * sxy - sx * sy)::DOUBLE /
-              sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+            round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+              sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+                (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
               AS r_r6
           FROM a""",
 

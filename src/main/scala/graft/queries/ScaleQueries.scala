@@ -184,6 +184,57 @@ object ScaleQueries {
         .orderBy(col("round"))
     }),
 
+    // Weighted PageRank: edge weight = order-line multiplicity of the
+    // (customer, supplier) link, so mass follows trade VOLUME, not
+    // mere connectivity. Same integer-mass Pregel shape as q135; the
+    // weighted degree joins in once.
+    "q217_weighted_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey").cast("long") + 1)).as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val sym = pw.unionAll(
+        pw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      Graph.pageRankWeightedInt(sym, iters = 3)
+        .select(col("node"), col("rank").as("mass"))
+        .orderBy(col("mass").desc, col("node")).limit(20)
+    }),
+
+    // Snapshot promotion review: per-column stats drift (rows, nulls,
+    // exact distinct, min/max) between a committed v0 and its
+    // upserted v1 — the schema/stats check a pipeline runs BEFORE
+    // promoting a new snapshot, graded at rest like q149/q201.
+    "q218_stats_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_sdrift")
+        .toString + "/table"
+      graft.operators.Versioned.commit(path, docs.filter(col("doc_id") < 400))
+      val batch = docs.filter(col("doc_id") >= 300 && col("doc_id") < 500)
+        .select(col("doc_id"), lit("xx").as("lang"),
+          (col("n_chars") + 1000000L).as("n_chars"))
+      graft.operators.Versioned.upsert(s, path, batch, "doc_id")
+      graft.operators.Versioned.statsDiff(s, path, 0L, 1L, Seq("lang", "n_chars"))
+        .orderBy(col("col_name"))
+    }),
+
+    // Common-neighbor link prediction: node pairs at distance 2 on
+    // the trade graph ranked by shared-partner count (customers
+    // sharing suppliers and vice versa); direct links anti-joined
+    // away, hot hubs refuse via the wedge guard.
+    "q219_common_neighbors" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey").cast("long") + 1)).as("dst"))
+      Graph.commonNeighbors(Graph.symmetrize(pairs), maxPerKey = 10000,
+          minCommon = 2)
+        .orderBy(col("n_common").desc, col("a"), col("b")).limit(50)
+    }),
+
     // Change-data feed between two versioned snapshots: commit v0,
     // upsert a batch (100 modified + 100 new keys), read the diff —
     // the incremental-consumer contract graded at rest.
@@ -940,6 +991,87 @@ object ScaleQueries {
             CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
             CAST(count(*) AS BIGINT) AS n_edges
           FROM peel GROUP BY 1 ORDER BY 1""",
+
+    "q217_weighted_pagerank" -> {
+      def step(prev: String) =
+        s"""SELECT e.dst AS node,
+              CAST(150000 + (85 * sum((r.mass * e.w) // d.ws)) // 100 AS BIGINT)
+                AS mass
+            FROM e JOIN $prev r ON e.src = r.node JOIN wdeg d ON e.src = d.src
+            GROUP BY e.dst"""
+      s"""WITH pw AS (SELECT CAST(o_custkey AS BIGINT) AS src,
+              CAST(-(l_suppkey + 1) AS BIGINT) AS dst, count(*) AS w
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+          e AS (SELECT src, dst, w FROM pw
+            UNION ALL SELECT dst, src, w FROM pw),
+          wdeg AS (SELECT src, sum(w) AS ws FROM e GROUP BY 1),
+          r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS mass FROM wdeg),
+          r1 AS (${step("r0")}),
+          r2 AS (${step("r1")}),
+          r3 AS (${step("r2")})
+          SELECT node, mass FROM r3 ORDER BY mass DESC, node LIMIT 20"""
+    },
+
+    // replay: v0 = docs<400; v1 = v0 upserted with keys [300,500)
+    // (lang forced to 'xx', n_chars shifted +1e6)
+    "q218_stats_drift" ->
+      s"""WITH v0 AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM $DocsPq WHERE doc_id < 400),
+          up AS (SELECT doc_id, 'xx' AS lang,
+              CAST(n_chars + 1000000 AS BIGINT) AS n_chars
+            FROM $DocsPq WHERE doc_id >= 300 AND doc_id < 500),
+          v1 AS (SELECT * FROM v0
+              WHERE doc_id NOT IN (SELECT doc_id FROM up)
+            UNION ALL SELECT * FROM up),
+          pf AS (
+            SELECT 'lang' AS col_name, count(*) AS rows_from,
+              sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nulls_from,
+              count(DISTINCT lang) AS distinct_from,
+              CAST(min(lang) AS VARCHAR) AS min_from,
+              CAST(max(lang) AS VARCHAR) AS max_from
+            FROM v0
+            UNION ALL
+            SELECT 'n_chars', count(*),
+              sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+              count(DISTINCT n_chars),
+              CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM v0),
+          pt AS (
+            SELECT 'lang' AS col_name, count(*) AS rows_to,
+              sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nulls_to,
+              count(DISTINCT lang) AS distinct_to,
+              CAST(min(lang) AS VARCHAR) AS min_to,
+              CAST(max(lang) AS VARCHAR) AS max_to
+            FROM v1
+            UNION ALL
+            SELECT 'n_chars', count(*),
+              sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+              count(DISTINCT n_chars),
+              CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM v1)
+          SELECT col_name,
+            CAST(rows_from AS BIGINT) AS rows_from,
+            CAST(rows_to AS BIGINT) AS rows_to,
+            CAST(nulls_from AS BIGINT) AS nulls_from,
+            CAST(nulls_to AS BIGINT) AS nulls_to,
+            CAST(distinct_from AS BIGINT) AS distinct_from,
+            CAST(distinct_to AS BIGINT) AS distinct_to,
+            min_from, min_to, max_from, max_to
+          FROM pf JOIN pt USING (col_name) ORDER BY col_name""",
+
+    "q219_common_neighbors" ->
+      s"""WITH p AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+              CAST(-(l_suppkey + 1) AS BIGINT) AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+          w AS (SELECT l.dst AS a, r.dst AS b, count(*) AS n_common
+            FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          nw AS (SELECT a, b, n_common FROM w
+            WHERE NOT EXISTS (SELECT 1 FROM e
+              WHERE e.src = w.a AND e.dst = w.b))
+          SELECT a, b, CAST(n_common AS BIGINT) AS n_common
+          FROM nw ORDER BY n_common DESC, a, b LIMIT 50""",
 
     // replay: v0 = docs<400, v1 = v0 upserted with (>=300 modified,
     // >=400 inserted); deletes are impossible under upsert. n_chars

@@ -330,6 +330,76 @@ class ScaleOpsSpec extends SparkSpec {
     assert(sums.exists(_ > 3000000L) && sums.exists(_ < -3000000L))
   }
 
+  test("pageRankWeightedInt: uniform weights reduce to the unweighted form") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)).toDF("src", "dst")
+    val sym = Graph.symmetrize(pairs).cache()
+    val unw = Graph.pageRankInt(sym, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = Graph.pageRankWeightedInt(sym.withColumn("w", lit(7L)), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // EXACT reduction: floor(rank·w / (w·deg)) = floor(rank / deg) for
+    // any constant w, so every share, every round, is bit-identical
+    assert(w1 === unw)
+    graft.GraftCache.releaseAll()
+  }
+
+  test("pageRankWeightedInt: mass follows the heavier edge") {
+    // star center 0 with leaves 1 (weight 9) and 2 (weight 1): after
+    // one superstep the heavy leaf holds ~9x the walked-in mass
+    val e = Seq((0L, 1L, 9L), (1L, 0L, 9L), (0L, 2L, 1L), (2L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.pageRankWeightedInt(e, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // shares from 0: 1e6·9/10 = 900000 to node 1, 1e6·1/10 = 100000 to 2
+    assert(r(1L) === 150000L + 85L * 900000L / 100L)
+    assert(r(2L) === 150000L + 85L * 100000L / 100L)
+    graft.GraftCache.releaseAll()
+  }
+
+  test("commonNeighbors counts shared partners, excludes direct links, refuses hot hubs") {
+    // path 1-0-2, 1-3-2: nodes 1,2 share partners {0,3}; 0,3 share {1,2};
+    // and 1-2 are NOT directly linked, 0-3 neither
+    val pairs = Seq((0L, 1L), (0L, 2L), (3L, 1L), (3L, 2L)).toDF("src", "dst")
+    val sym = Graph.symmetrize(pairs)
+    val got = Graph.commonNeighbors(sym, minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 2L) -> 2L, (0L, 3L) -> 2L))
+    // direct-link exclusion: close the 1-2 edge and the pair disappears
+    val sym2 = Graph.symmetrize(pairs.unionAll(Seq((1L, 2L)).toDF("src", "dst")))
+    val got2 = Graph.commonNeighbors(sym2, minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got2.contains((1L, 2L)) && got2.contains((0L, 3L)))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.commonNeighbors(sym, maxPerKey = 1)
+    }
+    assert(ex.getMessage.contains("maxPerKey"))
+    graft.GraftCache.releaseAll()
+  }
+
+  test("Versioned.statsDiff reports per-column drift between snapshots") {
+    import graft.operators.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("sdiff_").toString + "/t"
+    try {
+      Versioned.commit(dir,
+        Seq((1L, "en", 10L), (2L, "es", 20L), (3L, null, 30L))
+          .toDF("k", "lang", "n"))
+      Versioned.commit(dir,
+        Seq((1L, "en", 10L), (2L, "en", 999L), (4L, "de", 5L), (5L, "de", 6L))
+          .toDF("k", "lang", "n"))
+      val d = Versioned.statsDiff(spark, dir, 0L, 1L, Seq("lang", "n"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      val lang = d("lang")
+      assert(lang.getAs[Long]("rows_from") === 3L && lang.getAs[Long]("rows_to") === 4L)
+      assert(lang.getAs[Long]("nulls_from") === 1L && lang.getAs[Long]("nulls_to") === 0L)
+      assert(lang.getAs[Long]("distinct_from") === 2L && lang.getAs[Long]("distinct_to") === 2L)
+      assert(lang.getAs[String]("min_from") === "en" && lang.getAs[String]("max_to") === "en")
+      val n = d("n")
+      assert(n.getAs[String]("max_from") === "30" && n.getAs[String]("max_to") === "999")
+      assert(n.getAs[Long]("distinct_to") === 4L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir).getParentFile)
+  }
+
   // VERDICT r9 item 4: degree is computed on src alone, so an
   // unsymmetrized list silently yields wrong cores — it must REFUSE.
   test("kcorePeel refuses a one-directional edge list") {
