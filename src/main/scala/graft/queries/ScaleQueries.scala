@@ -220,17 +220,18 @@ object ScaleQueries {
         .orderBy(col("col_name"))
     }),
 
-    // Common-neighbor link prediction: node pairs at distance 2 on
-    // the trade graph ranked by shared-partner count (customers
-    // sharing suppliers and vice versa); direct links anti-joined
-    // away, hot hubs refuse via the wedge guard.
+    // Common-RARE-neighbor link prediction: node pairs at distance 2
+    // on the trade graph ranked by shared-partner count, where only
+    // partners of degree <= 20 define similarity (rare-partner
+    // blocking — the idf insight that also bounds wedge volume
+    // linearly); direct links anti-joined away.
     "q219_common_neighbors" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").cast("long").as("src"),
           (-(col("l_suppkey").cast("long") + 1)).as("dst"))
-      Graph.commonNeighbors(Graph.symmetrize(pairs), maxPerKey = 10000,
+      Graph.commonNeighbors(Graph.symmetrize(pairs), maxMidDegree = 20,
           minCommon = 2)
         .orderBy(col("n_common").desc, col("a"), col("b")).limit(50)
     }),
@@ -1064,8 +1065,11 @@ object ScaleQueries {
               CAST(-(l_suppkey + 1) AS BIGINT) AS dst
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
           e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+          d AS (SELECT src, count(*) AS n FROM e GROUP BY 1),
+          em AS (SELECT e.src, e.dst FROM e JOIN d ON e.src = d.src
+            WHERE d.n <= 20),
           w AS (SELECT l.dst AS a, r.dst AS b, count(*) AS n_common
-            FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst
+            FROM em l JOIN em r ON l.src = r.src AND l.dst < r.dst
             GROUP BY 1, 2 HAVING count(*) >= 2),
           nw AS (SELECT a, b, n_common FROM w
             WHERE NOT EXISTS (SELECT 1 FROM e

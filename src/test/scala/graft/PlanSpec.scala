@@ -511,12 +511,21 @@ class PlanSpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
-  test("q135/q143 PageRank supersteps never plan a nested loop or cartesian") {
-    for (name <- Seq("q135_pagerank", "q143_ppr")) {
+  test("q135/q143/q217 PageRank supersteps never plan a nested loop or cartesian") {
+    for (name <- Seq("q135_pagerank", "q143_ppr", "q217_weighted_pagerank")) {
       val p = plan(q(name))
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
     }
+    graft.GraftCache.releaseAll()
+  }
+
+  test("q219 wedge join is keyed (hash/sort-merge), never nested-loop, and top-k bounded") {
+    val p = plan(q("q219_common_neighbors"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // only the 50 winners move to the driver
+    assert(p.contains("TakeOrderedAndProject"), p)
     graft.GraftCache.releaseAll()
   }
 

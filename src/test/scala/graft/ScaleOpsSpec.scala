@@ -356,7 +356,7 @@ class ScaleOpsSpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
-  test("commonNeighbors counts shared partners, excludes direct links, refuses hot hubs") {
+  test("commonNeighbors counts shared rare partners, excludes direct links and hub middles") {
     // path 1-0-2, 1-3-2: nodes 1,2 share partners {0,3}; 0,3 share {1,2};
     // and 1-2 are NOT directly linked, 0-3 neither
     val pairs = Seq((0L, 1L), (0L, 2L), (3L, 1L), (3L, 2L)).toDF("src", "dst")
@@ -369,10 +369,18 @@ class ScaleOpsSpec extends SparkSpec {
     val got2 = Graph.commonNeighbors(sym2, minCommon = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!got2.contains((1L, 2L)) && got2.contains((0L, 3L)))
-    val ex = intercept[IllegalArgumentException] {
-      Graph.commonNeighbors(sym, maxPerKey = 1)
-    }
-    assert(ex.getMessage.contains("maxPerKey"))
+    // rare-partner blocking: a middle above maxMidDegree defines NO
+    // similarity (every node here has degree 2, so cap 1 kills all)
+    assert(Graph.commonNeighbors(sym, maxMidDegree = 1, minCommon = 1).count() === 0L)
+    // a hub middle is excluded but rare middles still count: star hub
+    // h connects everyone; only the rare middle 0 links (1,2)
+    val hub = Graph.symmetrize(Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L),
+      (0L, 1L), (0L, 2L)).toDF("src", "dst"))
+    val viaRare = Graph.commonNeighbors(hub, maxMidDegree = 3, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // hub 9 (degree 4) is no middle; (1,2) share only rare middle 0
+    assert(viaRare.get((1L, 2L)) === Some(1L))
+    assert(!viaRare.keySet.exists { case (a, b) => (a, b) == (3L, 4L) })
     graft.GraftCache.releaseAll()
   }
 
