@@ -282,6 +282,122 @@ object Graph {
       .select((length(bin(col("degree"))) - 1).cast("int").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).cast("long").as("n_nodes"))
 
+  /** Local clustering coefficient per node over a canonical
+    * (`u < v`, distinct) undirected edge list:
+    * `cc = 2·tri(v) / (deg(v)·(deg(v)−1))` in exact micro-units —
+    * how close each node's neighborhood is to a clique, the
+    * per-node community-density / spam-farm signal that global
+    * triangle counts ([[triangleCounts]]) average away.
+    *
+    * Scale: one degree aggregate over the edge list (each canonical
+    * edge credits both endpoints) + the [[triangleCounts]] wedge
+    * join — the wedge is the dominant term and carries the same
+    * Σ deg² bound and hot-node-capping posture. The division is
+    * integer (`2e6·tri div deg·(deg−1)`), order-free and
+    * engine-exact; degree-1 nodes (undefined coefficient) return
+    * null rather than a fake 0.
+    */
+  def localClustering(canonEdges: DataFrame): DataFrame = {
+    val e = graft.GraftCache.registered(
+      canonEdges.select(col("u").cast("long").as("u"),
+        col("v").cast("long").as("v")).distinct())
+    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(e), Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_micro",
+        when(col("degree") >= 2,
+          expr("(n_tri * 2000000) div (degree * (degree - 1))")))
+  }
+
+  /** Adamic-Adar link prediction over a SYMMETRIZED edge list:
+    * [[commonNeighbors]] where each shared partner m contributes
+    * `1/ln(deg(m))` instead of 1 — rarer partners carry more signal,
+    * the graph form of idf. Integer discipline: the one transcendental
+    * is micro-rounded ONCE per distinct degree
+    * (`ln_micro = round(ln(d)·1e6)`), the per-mid term is the exact
+    * integer division `1e12 div ln_micro`, and pair scores are
+    * order-free integer sums — hash-stable across engines.
+    *
+    * Same linear wedge bound as [[commonNeighbors]]: only mids with
+    * `2 <= deg <= maxMidDegree` define similarity (degree-1 nodes
+    * cannot form a wedge; `ln(1) = 0` would divide by zero — the
+    * floor is structural, not a guard), so wedge volume is
+    * `<= maxMidDegree · Σ deg(m)`, linear in edges for a fixed cap.
+    */
+  def adamicAdar(edges: DataFrame, maxMidDegree: Int = 64,
+      minCommon: Int = 2): DataFrame = {
+    val e = graft.GraftCache.registered(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct())
+    val mids = e.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxMidDegree)
+      .select(col("src").as("m"),
+        expr("1000000000000 div cast(round(ln(n) * 1000000) as bigint)")
+          .as("term_micro"))
+    val em = e.join(mids, e("src") === mids("m"))
+      .select(col("m"), col("dst"), col("term_micro"))
+    em.select(col("m"), col("dst").as("a"), col("term_micro")).as("l")
+      .join(em.select(col("m"), col("dst").as("b")).as("r"), "m")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("term_micro")).as("aa_micro"))
+      .filter(col("n_common") >= minCommon)
+      .join(e.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"), "left_anti")
+  }
+
+  /** Single-source shortest paths with strictly positive integer edge
+    * weights over a symmetrized weighted edge list (`src, dst, w`) —
+    * the weighted generalization of [[bfsLevels]]. Frontier-driven
+    * Bellman-Ford: each round relaxes only edges out of nodes whose
+    * distance IMPROVED last round, so per-round cost tracks the
+    * frontier, not the graph; convergence is exact (no frontier node
+    * improved — with positive weights that is the fixpoint, reached
+    * within the max edge-count of any shortest path). Distances are
+    * exact integer weight sums, order-free under the min-merge.
+    *
+    * Non-positive weights are REFUSED (one bounded scan): zero-weight
+    * cycles would make "no improvement" unreachable and negative
+    * weights break the frontier invariant — the caller should shift
+    * the weight scale instead.
+    */
+  def ssspWeighted(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pin = Iterative.pin(edges.sparkSession, checkpointDir)
+    val e = graft.GraftCache.registered(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w")))
+    val bad = e.filter(col("w") <= 0).limit(1).collect()
+    require(bad.isEmpty,
+      s"ssspWeighted requires strictly positive integer weights; found w=" +
+        s"${bad.headOption.map(_.get(2))} — shift/rescale the weight column first")
+    var dist = pin(seeds.select(col("node").cast("long").as("node"),
+      lit(0L).as("dist")).distinct())
+    var frontier = dist
+    var r = 0
+    var n = frontier.count()
+    while (n > 0) {
+      r += 1
+      if (r > maxRounds) throw new IllegalStateException(
+        s"ssspWeighted did not settle within maxRounds=$maxRounds rounds; " +
+          "the bound is the max edge-count of any shortest path — raise maxRounds")
+      val cand = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+      val improved = pin(cand.join(dist, Seq("node"), "left_outer")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("node"), col("nd").as("dist")))
+      n = improved.count()
+      if (n > 0) {
+        dist = pin(dist.unionAll(improved)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+        frontier = improved
+      }
+    }
+    dist
+  }
+
   /** Per-node triangle counts over a canonical (`u < v`, distinct)
     * undirected edge list: the local clustering signal (community
     * density, spam-farm detection). Each triangle `a < b < c` is

@@ -236,6 +236,53 @@ object ScaleQueries {
         .orderBy(col("n_common").desc, col("a"), col("b")).limit(50)
     }),
 
+    // Local clustering coefficient on the simhash near-dup graph
+    // (q142's triangle input): per-node neighborhood density in exact
+    // micro-units — spam-farm clusters score near 1e6, chance
+    // co-occurrences near 0. Degree-1 nodes (undefined cc) excluded.
+    "q220_clustering_coeff" -> ((s, dir) =>
+      Graph.localClustering(
+          Dedup.simhashPairsAuto(t(s, dir, "documents"), "doc_id", "text")
+            .select(col("doc_a").as("u"), col("doc_b").as("v")))
+        .filter(col("cc_micro").isNotNull)
+        .orderBy(col("cc_micro").desc, col("n_tri").desc, col("node")).limit(50)),
+
+    // Adamic-Adar link prediction on the trade graph: q219's wedge
+    // with idf-weighted partners — each shared rare partner m counts
+    // 1/ln(deg(m)) in exact micro terms. Same maxMidDegree=20 linear
+    // wedge bound.
+    "q221_adamic_adar" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey").cast("long") + 1)).as("dst"))
+      Graph.adamicAdar(Graph.symmetrize(pairs), maxMidDegree = 20, minCommon = 2)
+        .orderBy(col("aa_micro").desc, col("a"), col("b")).limit(50)
+    }),
+
+    // Weighted single-source shortest paths from customers 0-4 over
+    // the trade graph where well-traded links (2+ order lines) cost 1
+    // and thin links cost 3 — "prefer strong trade routes". Exact
+    // integer distances; result = reachability histogram by distance.
+    "q222_weighted_sssp" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey").cast("long") + 1)).as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(when(count(lit(1)) >= 2, 1L).otherwise(3L).as("w"))
+      val sym = pw.unionAll(
+        pw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = s.range(0, 5).toDF("node")
+      Graph.ssspWeighted(sym, seeds)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .orderBy(col("dist"))
+    }),
+
     // Change-data feed between two versioned snapshots: commit v0,
     // upsert a batch (100 modified + 100 new keys), read the diff —
     // the incremental-consumer contract graded at rest.
@@ -1076,6 +1123,84 @@ object ScaleQueries {
               WHERE e.src = w.a AND e.dst = w.b))
           SELECT a, b, CAST(n_common AS BIGINT) AS n_common
           FROM nw ORDER BY n_common DESC, a, b LIMIT 50""",
+
+    // `//` vs Spark's `div` agree because every operand is
+    // nonnegative; the one transcendental (ln) is micro-rounded once
+    // per distinct degree in both engines.
+    "q220_clustering_coeff" ->
+      s"""WITH pr AS (SELECT doc_a AS u, doc_b AS v
+            FROM (${DedupQueries.sqlSimhashPairsAuto})),
+          deg AS (SELECT node, count(*) AS degree FROM (
+              SELECT u AS node FROM pr UNION ALL SELECT v AS node FROM pr)
+            GROUP BY 1),
+          tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM pr e1 JOIN pr e2 ON e1.v = e2.u
+            JOIN pr e3 ON e3.u = e1.u AND e3.v = e2.v),
+          tc AS (SELECT node, count(*) AS n_tri
+            FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1),
+          cc AS (SELECT deg.node, CAST(degree AS BIGINT) AS degree,
+              CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+              CAST((coalesce(n_tri, 0) * 2000000) // (degree * (degree - 1))
+                AS BIGINT) AS cc_micro
+            FROM deg LEFT JOIN tc USING (node) WHERE degree >= 2)
+          SELECT node, degree, n_tri, cc_micro FROM cc
+          ORDER BY cc_micro DESC, n_tri DESC, node LIMIT 50""",
+
+    "q221_adamic_adar" ->
+      s"""WITH $sqlTradeGraph,
+          mids AS (SELECT src AS m,
+              1000000000000 // CAST(round(ln(d) * 1000000) AS BIGINT)
+                AS term_micro
+            FROM deg WHERE d >= 2 AND d <= 20),
+          em AS (SELECT e.src AS m, e.dst, term_micro
+            FROM e JOIN mids ON e.src = mids.m),
+          w AS (SELECT l.dst AS a, r.dst AS b, count(*) AS n_common,
+              sum(l.term_micro) AS aa_micro
+            FROM em l JOIN em r ON l.m = r.m AND l.dst < r.dst
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          nw AS (SELECT a, b, n_common, aa_micro FROM w
+            WHERE NOT EXISTS (SELECT 1 FROM e
+              WHERE e.src = w.a AND e.dst = w.b))
+          SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+            CAST(aa_micro AS BIGINT) AS aa_micro
+          FROM nw ORDER BY aa_micro DESC, a, b LIMIT 50""",
+
+    // Genuine recursive Bellman-Ford: the working table is last
+    // round's full distance map; a round emits only while the
+    // (count, sum) signature still moves — per-node distances are
+    // monotone non-increasing and nodes only get added, so an
+    // unchanged signature IS the fixpoint. Final answer = min per
+    // node over the accumulated rounds.
+    "q222_weighted_sssp" ->
+      s"""WITH RECURSIVE
+          pw AS (SELECT CAST(o_custkey AS BIGINT) AS src,
+              CAST(-(l_suppkey + 1) AS BIGINT) AS dst,
+              CASE WHEN count(*) >= 2 THEN 1 ELSE 3 END AS w
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1, 2),
+          e AS (SELECT src, dst, w FROM pw
+            UNION ALL SELECT dst, src, w FROM pw),
+          d AS (
+            SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS node,
+              CAST(0 AS BIGINT) AS dist
+            UNION ALL
+            (WITH relaxed AS (
+               SELECT node, min(dist) AS dist FROM (
+                 SELECT node, dist FROM d
+                 UNION ALL
+                 SELECT e.dst AS node, d.dist + e.w AS dist
+                 FROM d JOIN e ON e.src = d.node
+               ) GROUP BY node)
+             SELECT node, dist FROM relaxed
+             WHERE (SELECT count(*) FROM relaxed) <> (SELECT count(*) FROM d)
+                OR (SELECT sum(dist) FROM relaxed) <> (SELECT sum(dist) FROM d))
+          ),
+          best AS (SELECT node, min(dist) AS dist FROM d GROUP BY node)
+          SELECT CAST(dist AS BIGINT) AS dist,
+            CAST(count(*) AS BIGINT) AS n_nodes,
+            CAST(min(node) AS BIGINT) AS min_node,
+            CAST(max(node) AS BIGINT) AS max_node
+          FROM best GROUP BY dist ORDER BY dist""",
 
     // replay: v0 = docs<400, v1 = v0 upserted with (>=300 modified,
     // >=400 inserted); deletes are impossible under upsert. n_chars
