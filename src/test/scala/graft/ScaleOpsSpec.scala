@@ -384,6 +384,57 @@ class ScaleOpsSpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
+  test("localClustering: exact micro coefficients, null for degree-1 nodes") {
+    // triangle 0-1-2 plus pendant 3 hanging off 0
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L)).toDF("u", "v")
+    val got = Graph.localClustering(e).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // node 0: deg 3, 1 triangle -> 2e6/(3*2); nodes 1,2: deg 2 -> 1e6 (clique)
+    assert(got === Map(0L -> Some(2000000L / 6), 1L -> Some(1000000L),
+      2L -> Some(1000000L), 3L -> None))
+    graft.GraftCache.releaseAll()
+  }
+
+  test("adamicAdar: per-mid term is 1e12 div micro-rounded ln(degree)") {
+    // mids: 10 (degree 2) and 20 (degree 3) both connect 1 and 2;
+    // 20 also reaches 5 — so (1,2) scores both terms, (1,5)/(2,5) one
+    val pairs = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (20L, 5L))
+      .toDF("src", "dst")
+    val sym = Graph.symmetrize(pairs)
+    def term(d: Long) = 1000000000000L / Math.round(Math.log(d.toDouble) * 1e6)
+    val got = Graph.adamicAdar(sym, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got((1L, 2L)) === term(2) + term(3))
+    assert(got((1L, 5L)) === term(3) && got((2L, 5L)) === term(3))
+    // direct links are excluded: close (1,2) and the pair disappears
+    val sym2 = Graph.symmetrize(pairs.unionAll(Seq((1L, 2L)).toDF("src", "dst")))
+    val keys2 = Graph.adamicAdar(sym2, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!keys2.contains((1L, 2L)))
+    // hub blocking: cap below 3 removes mid 20's wedges entirely
+    val capped = Graph.adamicAdar(sym, maxMidDegree = 2, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // symmetrized mids 1,2 (degree 2 each) also link the pair (10,20)
+    assert(capped === Map((1L, 2L) -> term(2), (10L, 20L) -> 2 * term(2)))
+    graft.GraftCache.releaseAll()
+  }
+
+  test("ssspWeighted: exact weighted distances, refuses non-positive weights") {
+    val e = Seq((0L, 1L, 5L), (1L, 2L, 1L), (0L, 2L, 10L), (2L, 3L, 2L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("node")
+    val got = Graph.ssspWeighted(e, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0->2 goes via 1 (5+1=6 < 10); 3 rides the improved route (6+2)
+    assert(got === Map(0L -> 0L, 1L -> 5L, 2L -> 6L, 3L -> 8L))
+    val bad = Seq((0L, 1L, 0L)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.ssspWeighted(bad, seeds)
+    }
+    assert(ex.getMessage.contains("positive"))
+    graft.GraftCache.releaseAll()
+  }
+
   test("Versioned.statsDiff reports per-column drift between snapshots") {
     import graft.operators.Versioned
     val dir = java.nio.file.Files.createTempDirectory("sdiff_").toString + "/t"
