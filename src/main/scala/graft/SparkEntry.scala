@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ SortSetQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++ AnalyticsQueries.queries ++
-      CurationQueries.queries ++ ScaleQueries.queries ++ FeatureQueries.queries
+      CurationQueries.queries ++ ScaleQueries.queries ++ FeatureQueries.queries ++ QualityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops)
@@ -32,5 +32,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ JoinQueries.oracleSql ++ SortSetQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
-      CurationQueries.oracleSql ++ ScaleQueries.oracleSql ++ FeatureQueries.oracleSql
+      CurationQueries.oracleSql ++ ScaleQueries.oracleSql ++ FeatureQueries.oracleSql ++ QualityQueries.oracleSql
 }

@@ -552,6 +552,34 @@ object Curation {
   def liftPairs(incidence: DataFrame, basket: Column, item: Column,
       universe: DataFrame, minSupport: Int, minPair: Int,
       maxPerBasket: Int, k: Int): DataFrame = {
+    // the universe frame IS the basket-id column — a multi-column frame
+    // would silently countDistinct whatever happens to be first, skewing
+    // every lift value with no error
+    require(universe.columns.length == 1,
+      s"liftPairs: universe must be exactly the basket-id column, got " +
+        s"${universe.columns.length} columns (${universe.columns.mkString(", ")}) — " +
+        "select the basket column before passing it")
+    val nBaskets = broadcast(universe.agg(
+      countDistinct(universe.columns.head).as("n_docs")))
+    pairCounts(incidence, basket, item, minSupport, minPair, maxPerBasket)
+      .crossJoin(nBaskets)
+      .select(col("item_a"), col("item_b"),
+        col("npair").cast("int").as("npair"),
+        col("na").cast("int").as("na"), col("nb").cast("int").as("nb"),
+        expr("(npair * n_docs * 1000000) div (na * nb)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("npair").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  /** The shared bounded-quadratic co-occurrence kernel under
+    * [[liftPairs]]/[[pmiPairs]]/[[cosinePairs]]: distinct (basket,
+    * item) incidence, support floor, per-basket item cap, basket-keyed
+    * self-join — returns every surviving pair with its co-count and
+    * both item frequencies, UNORDERED and UNLIMITED (the callers rank
+    * by their own score).
+    */
+  private def pairCounts(incidence: DataFrame, basket: Column, item: Column,
+      minSupport: Int, minPair: Int, maxPerBasket: Int): DataFrame = {
     val tok = graft.GraftCache.registered(
       incidence.select(basket.as("id"), item.as("item")).distinct())
     val dfreq = tok.groupBy(col("item")).agg(count(lit(1)).as("dfreq"))
@@ -564,32 +592,40 @@ object Curation {
           Window.partitionBy(col("id")).orderBy(col("item"))))
         .filter(col("rn") <= maxPerBasket)
         .select(col("id"), col("item")))
-    // the universe frame IS the basket-id column — a multi-column frame
-    // would silently countDistinct whatever happens to be first, skewing
-    // every lift value with no error
-    require(universe.columns.length == 1,
-      s"liftPairs: universe must be exactly the basket-id column, got " +
-        s"${universe.columns.length} columns (${universe.columns.mkString(", ")}) — " +
-        "select the basket column before passing it")
-    val nBaskets = broadcast(universe.agg(
-      countDistinct(universe.columns.head).as("n_docs")))
-    val pairs = kept.as("a")
+    kept.as("a")
       .join(kept.as("b"), col("a.id") === col("b.id") &&
         col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
       .agg(count(lit(1)).as("npair"))
       .filter(col("npair") >= minPair)
-    pairs
       .join(dfreq.select(col("item").as("item_a"), col("dfreq").as("na")), "item_a")
       .join(dfreq.select(col("item").as("item_b"), col("dfreq").as("nb")), "item_b")
-      .crossJoin(nBaskets)
+  }
+
+  /** Item-item cosine similarity over binary (basket, item) incidence:
+    * `cos(a,b) = co(a,b) / sqrt(n_a · n_b)` — the
+    * collaborative-filtering neighbor score ("customers who bought a
+    * also bought b"), normalized so ubiquitous items don't dominate
+    * the way raw co-counts do. [[liftPairs]] answers "together more
+    * than chance?"; cosine ranks "most similar", which is what a
+    * recommender consumes.
+    *
+    * Same bounded-quadratic kernel as [[liftPairs]] (support floor,
+    * per-basket cap, basket-keyed self-join — never all-pairs). The
+    * one float: co/sqrt(na·nb) from exact integers — IEEE sqrt and
+    * divide are correctly rounded, identical across engines — then
+    * round-6.
+    */
+  def cosinePairs(incidence: DataFrame, basket: Column, item: Column,
+      minSupport: Int, minPair: Int, maxPerBasket: Int, k: Int): DataFrame =
+    pairCounts(incidence, basket, item, minSupport, minPair, maxPerBasket)
       .select(col("item_a"), col("item_b"),
         col("npair").cast("int").as("npair"),
         col("na").cast("int").as("na"), col("nb").cast("int").as("nb"),
-        expr("(npair * n_docs * 1000000) div (na * nb)").as("lift_micro"))
-      .orderBy(col("lift_micro").desc, col("npair").desc, col("item_a"), col("item_b"))
+        round(col("npair") / sqrt(col("na").cast("double") * col("nb")), 6)
+          .as("cos_r6"))
+      .orderBy(col("cos_r6").desc, col("npair").desc, col("item_a"), col("item_b"))
       .limit(k)
-  }
 
   /** Deterministic weighted priority sample (A-ES family, integerized):
     * each row's priority is a fixed 60-bit hash of its id divided

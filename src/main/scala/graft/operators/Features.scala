@@ -377,4 +377,50 @@ object Features {
               (col("qb") - col("sum_b_cents").cast("double") * col("sum_b_cents") / col("n_b")) / (col("n_b") - 1) / col("n_b")),
           6).as("z_r6"))
   }
+
+  /** Autocorrelation function of a regular series: Pearson r of
+    * `(v_t, v_{t+lag})` for every lag in `1..maxLag`, over an
+    * already-aggregated `(t, v)` frame (integer time index, integer
+    * value units). Gaps are skipped, not imputed: a lag pair exists
+    * only when both points do, and each lag reports its own pair
+    * count. The autocorrelation fingerprint — weekly seasonality
+    * shows as a spike at lag 7 — is the first thing a forecast or
+    * anomaly monitor reads off a metric series.
+    *
+    * Scale: the input is POST-aggregation (days/hours), bounded by
+    * the calendar, not the corpus — the heavy reduce happened
+    * upstream with map-side combine. The lag spine broadcasts
+    * (maxLag rows) and the shifted self-join is one hash join on the
+    * offset index. Cross moments (`x·y` of two daily sums) pass 2^63
+    * long before the series does, so they accumulate in
+    * DECIMAL(38,0) — exact and order-free, the
+    * [[Relational.tableChecksum]] precedent — and promote to double
+    * only inside the final Pearson products; r arrives round-6.
+    */
+  def autocorr(series: DataFrame, t: Column, v: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"autocorr: maxLag must be >= 1, got $maxLag")
+    val s = graft.GraftCache.registered(
+      series.select(t.cast("long").as("t"), v.cast("long").as("v")))
+    val lags = broadcast(series.sparkSession.range(1, maxLag + 1).toDF("lag"))
+    val pairs = s.crossJoin(lags)
+      .select(col("lag"), (col("t") + col("lag")).as("t2"), col("v").as("x"))
+      .join(s.select(col("t").as("t2"), col("v").as("y")), Seq("t2"))
+    val xd = col("x").cast("decimal(18,0)")
+    val yd = col("y").cast("decimal(18,0)")
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(xd * yd).as("sxy"),
+        sum(xd * xd).as("sxx"),
+        sum(yd * yd).as("syy"))
+      .select(col("lag"), col("n"),
+        round((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("r_r6"))
+      .orderBy(col("lag"))
+  }
 }

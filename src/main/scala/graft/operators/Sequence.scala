@@ -357,4 +357,34 @@ object Sequence {
     }
     rows.toSeq.toDF("round", "n_nodes", "n_edges")
   }
+
+  /** Top event-type n-grams: the most common length-`n` runs of
+    * consecutive event types per entity — the path-mining face of the
+    * transition matrix (q147 reads where users go NEXT; this reads
+    * the whole corridor). `orderCols` must be a TOTAL order within an
+    * entity (e.g. `(ts, event_id)`) or the run sequence — and the
+    * hash — is engine-dependent.
+    *
+    * Scale: one hash exchange on the entity key + an in-partition
+    * sort (the sessionization shape), `n-1` `lead`s over that single
+    * window (one pass, no self-joins), then a map-side-combined count
+    * over the n-gram strings. Only the k winners leave via
+    * `TakeOrderedAndProject`. State per entity is the window frame,
+    * not the history.
+    */
+  def eventNgrams(events: DataFrame, entity: Column, orderCols: Seq[Column],
+      etype: Column, n: Int, k: Int): DataFrame = {
+    require(n >= 2, s"eventNgrams: n must be >= 2, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(entity).orderBy(orderCols: _*)
+    val steps = (0 until n).map { i =>
+      if (i == 0) etype else lead(etype, i).over(w)
+    }
+    events
+      .select(concat_ws(">", steps: _*).as("path"),
+        steps.last.isNotNull.as("complete"))
+      .filter(col("complete"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path")).limit(k)
+  }
 }

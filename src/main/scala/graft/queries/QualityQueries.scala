@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Features, Quality, Sequence, Versioned}
+import Q._
+
+/** Data-quality / governance pack (q223-q230): the audits a corpus
+  * passes before anyone trains on it or releases it — one-pass column
+  * profiling, referential-integrity orphan checks, k-anonymity risk,
+  * join-key skew, path mining, item-item cosine recommendations,
+  * series autocorrelation, and a cascading right-to-be-forgotten
+  * erasure proved at rest. All integer-unit deterministic ([[Q]]
+  * rules); sqrt/Pearson are the only floats and arrive round-6.
+  */
+object QualityQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // One-pass profile of five lineitem columns: row/non-null/exact
+    // distinct counts and min/max rendered as strings (aggregated in
+    // the native type, cast after). The per-ingest-batch health check.
+    "q223_profile_lineitem" -> ((s, dir) =>
+      Quality.profileColumns(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").cast("date").as("l_shipdate")),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+          "l_shipdate"))
+        .orderBy(col("col_name"))),
+
+    // Referential-integrity audit of the whole star schema: one
+    // anti-join-shaped pass per FK relation; a healthy snapshot reads
+    // zero orphans, a broken loader shows up as nonzero before any
+    // downstream join silently drops the rows.
+    "q224_fk_orphans" -> ((s, dir) => {
+      import Quality.FkRel
+      Quality.fkOrphans(Seq(
+        FkRel("customer->nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        FkRel("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        FkRel("lineitem->part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        FkRel("lineitem->supplier", t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"),
+        FkRel("orders->customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        FkRel("supplier->nation", t(s, dir, "supplier"), "s_nationkey",
+          t(s, dir, "nation"), "n_nationkey")))
+        .orderBy(col("relation"))
+    }),
+
+    // k-anonymity risk histogram of customers under the quasi
+    // identifiers (nation, segment, balance-in-thousands): how many
+    // identity groups exist at each group size — everything below the
+    // release policy's k is the violation mass, size-1 groups are
+    // fully re-identifiable.
+    "q225_k_anonymity" -> ((s, dir) =>
+      Quality.kAnonymityProfile(t(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_k")))
+        .orderBy(col("group_size"))),
+
+    // Join-key skew profile of lineitem's part key: top-25 heaviest
+    // keys with exact micro share and cumulative share — the
+    // diagnostic you read BEFORE picking a salt factor or trusting
+    // AQE's skew split.
+    "q226_key_skew" -> ((s, dir) =>
+      Quality.keySkewProfile(t(s, dir, "lineitem"), col("l_partkey"), 25)
+        .orderBy(col("n_rows").desc, col("key"))),
+
+    // Top event-type 3-grams per user journey (total order ts,
+    // event_id): the corridor view of q147's one-step transition
+    // matrix — which three-step paths actually dominate.
+    "q227_event_paths" -> ((s, dir) =>
+      Sequence.eventNgrams(Q.events(s, dir), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"), n = 3, k = 25)),
+
+    // Item-item cosine similarity over co-purchased parts: q187's
+    // bounded co-occurrence kernel ranked by co/sqrt(na*nb) — the
+    // neighbor score a recommender consumes, normalized so ubiquitous
+    // parts don't dominate raw co-counts.
+    "q228_item_cosine" -> ((s, dir) =>
+      Curation.cosinePairs(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey"), col("l_partkey"),
+        minSupport = 3, minPair = 2, maxPerBasket = 64, k = 50)),
+
+    // Autocorrelation of daily order revenue at lags 1..14: the
+    // seasonality fingerprint (weekly cadence spikes at lag 7) every
+    // forecast/anomaly monitor reads first. Gaps skip, each lag
+    // reports its own pair count.
+    "q229_acf_daily_revenue" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(Q.cents(col("o_totalprice"))).as("rev_cents"))
+        .select(
+          datediff(col("day"), to_date(lit("1970-01-01"))).as("t"),
+          col("rev_cents"))
+      Features.autocorr(daily, col("t"), col("rev_cents"), maxLag = 14)
+    }),
+
+    // Right-to-be-forgotten, cascaded and proved at rest: commit
+    // customer+orders snapshots, erase the subject customers (keys
+    // ending 00-04) via a CDC delete batch, cascade the delete to
+    // their orders, then read BOTH new snapshots back and prove zero
+    // subject rows remain. The result is the erasure certificate:
+    // per table v0/v1 row counts and the at-rest residue (must be 0).
+    "q230_gdpr_erasure" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("gdpr_").toString
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"), col("c_nationkey"),
+        Q.cents(col("c_acctbal")).as("acct_cents"))
+      val ords = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        Q.cents(col("o_totalprice")).as("total_cents"))
+      Versioned.commit(base + "/customer", cust)
+      Versioned.commit(base + "/orders", ords)
+      val subjects = cust.filter(col("c_custkey") % 100 < 5)
+        .select(col("c_custkey"))
+      Versioned.applyChanges(s, base + "/customer",
+        cust.join(subjects, "c_custkey").withColumn("op", lit("delete")),
+        "c_custkey")
+      Versioned.applyChanges(s, base + "/orders",
+        ords.join(subjects, ords("o_custkey") === subjects("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("total_cents"))
+          .withColumn("op", lit("delete")),
+        "o_orderkey")
+      val c0 = Versioned.read(s, base + "/customer", Some(0L)).count()
+      val o0 = Versioned.read(s, base + "/orders", Some(0L)).count()
+      val c1f = Versioned.read(s, base + "/customer")
+      val o1f = Versioned.read(s, base + "/orders")
+      val c1 = c1f.count()
+      val o1 = o1f.count()
+      val cres = c1f.filter(col("c_custkey") % 100 < 5).count()
+      val ores = o1f.join(subjects, o1f("o_custkey") === subjects("c_custkey"))
+        .count()
+      Seq(("customer", c0, c1, cres), ("orders", o0, o1, ores))
+        .toDF("tbl", "rows_v0", "rows_v1", "subject_rows_left")
+        .orderBy(col("tbl"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q223_profile_lineitem" -> {
+      def one(c: String, e: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count($e) AS BIGINT) AS n_nonnull,
+            CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+            CAST(min($e) AS VARCHAR) AS min_str,
+            CAST(max($e) AS VARCHAR) AS max_str FROM lineitem"""
+      Seq(one("l_orderkey", "l_orderkey"),
+        one("l_linenumber", "l_linenumber"),
+        one("l_returnflag", "l_returnflag"),
+        one("l_linestatus", "l_linestatus"),
+        one("l_shipdate", "CAST(l_shipdate AS DATE)"))
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+
+    "q224_fk_orphans" -> {
+      def one(name: String, child: String, ck: String, parent: String,
+          pk: String) =
+        s"""SELECT '$name' AS relation, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(DISTINCT $ck) AS BIGINT) AS n_keys,
+            CAST(sum(CASE WHEN $ck IS NOT NULL AND hit IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+            CAST(count(DISTINCT CASE WHEN hit IS NULL THEN $ck END)
+              AS BIGINT) AS n_orphan_keys
+          FROM $child LEFT JOIN
+            (SELECT DISTINCT $pk AS pkey, 1 AS hit FROM $parent) p
+            ON $ck = p.pkey"""
+      Seq(one("customer->nation", "customer", "c_nationkey", "nation",
+          "n_nationkey"),
+        one("lineitem->orders", "lineitem", "l_orderkey", "orders",
+          "o_orderkey"),
+        one("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        one("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+          "s_suppkey"),
+        one("orders->customer", "orders", "o_custkey", "customer",
+          "c_custkey"),
+        one("supplier->nation", "supplier", "s_nationkey", "nation",
+          "n_nationkey"))
+        .mkString("", " UNION ALL ", " ORDER BY relation")
+    },
+
+    "q225_k_anonymity" ->
+      s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+            CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+            count(*) AS group_size
+          FROM customer GROUP BY 1, 2, 3)
+          SELECT CAST(group_size AS BIGINT) AS group_size,
+            CAST(count(*) AS BIGINT) AS n_groups,
+            CAST(sum(group_size) AS BIGINT) AS n_rows
+          FROM g GROUP BY 1 ORDER BY 1""",
+
+    // `//` ≡ Spark `div` here: every operand nonnegative
+    "q226_key_skew" ->
+      s"""WITH c AS (SELECT l_partkey AS key, count(*) AS n_rows
+            FROM lineitem GROUP BY 1),
+          t AS (SELECT sum(n_rows) AS n_total FROM c),
+          top AS (SELECT key, n_rows FROM c ORDER BY n_rows DESC, key LIMIT 25),
+          w AS (SELECT key, n_rows,
+              sum(n_rows) OVER (ORDER BY n_rows DESC, key
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM top)
+          SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+            CAST(n_rows * 1000000 // n_total AS BIGINT) AS share_micro,
+            CAST(cum * 1000000 // n_total AS BIGINT) AS cum_micro
+          FROM w CROSS JOIN t ORDER BY n_rows DESC, key""",
+
+    "q227_event_paths" ->
+      s"""WITH s AS (SELECT event_type,
+            lead(event_type, 1) OVER w AS e2,
+            lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          SELECT event_type || '>' || e2 || '>' || e3 AS path,
+            CAST(count(*) AS BIGINT) AS n_paths
+          FROM s WHERE e3 IS NOT NULL
+          GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 25""",
+
+    "q228_item_cosine" ->
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS id, l_partkey AS item
+            FROM lineitem),
+          dfreq AS (SELECT item, count(*) AS dfreq FROM inc
+            GROUP BY 1 HAVING count(*) >= 3),
+          kept AS (SELECT id, item FROM (
+              SELECT i.id, i.item,
+                row_number() OVER (PARTITION BY i.id ORDER BY i.item) AS rn
+              FROM inc i JOIN dfreq USING (item)) WHERE rn <= 64),
+          pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+              count(*) AS npair
+            FROM kept a JOIN kept b ON a.id = b.id AND a.item < b.item
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+          SELECT item_a, item_b, CAST(npair AS INT) AS npair,
+            CAST(da.dfreq AS INT) AS na, CAST(db.dfreq AS INT) AS nb,
+            round(npair / sqrt(CAST(da.dfreq AS DOUBLE) * db.dfreq), 6)
+              AS cos_r6
+          FROM pairs JOIN dfreq da ON pairs.item_a = da.item
+            JOIN dfreq db ON pairs.item_b = db.item
+          ORDER BY cos_r6 DESC, npair DESC, item_a, item_b LIMIT 50""",
+
+    // exact HUGEINT moments cast to double ONCE each — mirrors the
+    // Spark side's DECIMAL(38,0) accumulation + final double promote
+    "q229_acf_daily_revenue" ->
+      s"""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+            FROM orders GROUP BY 1),
+          s AS (SELECT date_diff('day', DATE '1970-01-01', day) AS t, v
+            FROM d),
+          lags AS (SELECT unnest(generate_series(1, 14)) AS lag),
+          p AS (SELECT lag, a.v AS x, b.v AS y
+            FROM s a CROSS JOIN lags JOIN s b ON b.t = a.t + lag),
+          m AS (SELECT lag, count(*) AS n,
+              sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+              sum(CAST(x AS HUGEINT) * y) AS sxy,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM p GROUP BY 1)
+          SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+            round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                  CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r_r6
+          FROM m ORDER BY lag""",
+
+    "q230_gdpr_erasure" ->
+      s"""SELECT 'customer' AS tbl,
+            CAST((SELECT count(*) FROM customer) AS BIGINT) AS rows_v0,
+            CAST((SELECT count(*) FROM customer WHERE c_custkey % 100 >= 5)
+              AS BIGINT) AS rows_v1,
+            CAST(0 AS BIGINT) AS subject_rows_left
+          UNION ALL
+          SELECT 'orders',
+            CAST((SELECT count(*) FROM orders) AS BIGINT),
+            CAST((SELECT count(*) FROM orders WHERE o_custkey % 100 >= 5)
+              AS BIGINT),
+            CAST(0 AS BIGINT)
+          ORDER BY tbl""")
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Features, Quality, Sequence}
+
+/** Laws for the data-quality/governance operators — each checked
+  * against a hand-computed truth on small fixtures that exercise the
+  * edge the operator exists for (nulls, orphans, skew, gaps).
+  */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profileColumns: nulls, exact distincts, native-type min/max") {
+    val df = Seq[(java.lang.Long, String)]((1L, "b"), (2L, null),
+      (10L, "a"), (null, "a")).toDF("k", "s")
+    val p = Quality.profileColumns(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = p("k")
+    assert(k.getLong(1) === 4L && k.getLong(2) === 3L && k.getLong(3) === 3L)
+    // min/max computed in the NATIVE type then rendered: 2 < 10
+    // numerically (a string min would put "10" first)
+    assert(k.getString(4) === "1" && k.getString(5) === "10")
+    val s = p("s")
+    assert(s.getLong(2) === 3L && s.getLong(3) === 2L)
+    assert(s.getString(4) === "a" && s.getString(5) === "b")
+  }
+
+  test("fkOrphans: counts orphan rows/keys, null child keys are not orphans") {
+    val child = Seq[(java.lang.Long, String)]((1L, "x"), (1L, "y"),
+      (2L, "z"), (9L, "p"), (9L, "q"), (null, "n")).toDF("ck", "pay")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Quality.fkOrphans(Seq(
+      Quality.FkRel("c->p", child, "ck", parent, "pk"))).collect().head
+    assert(r.getString(0) === "c->p")
+    assert(r.getLong(1) === 6L)  // all child rows
+    assert(r.getLong(2) === 3L)  // distinct non-null child keys
+    assert(r.getLong(3) === 2L)  // the two key-9 rows; the null row is NOT
+    assert(r.getLong(4) === 1L)  // orphan key set = {9}
+  }
+
+  test("kAnonymityProfile: group-size histogram over quasi identifiers") {
+    val df = Seq((1, "A"), (1, "A"), (1, "A"), (2, "A"), (2, "A"), (3, "B"))
+      .toDF("nation", "seg")
+    val h = Quality.kAnonymityProfile(df, Seq(col("nation"), col("seg")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h === Map(3L -> (1L, 3L), 2L -> (1L, 2L), 1L -> (1L, 1L)))
+  }
+
+  test("keySkewProfile: exact micro shares and cumulative share") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val top = Quality.keySkewProfile(df, col("k"), topN = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(top.toSeq === Seq(("hot", 6L, 600000L, 600000L),
+      ("warm", 3L, 300000L, 900000L)))
+    graft.GraftCache.releaseAll()
+  }
+
+  test("autocorr: alternating series flips sign by lag parity, gaps skip") {
+    // v alternates 10,20 over t=0..9: lag 1 is perfectly anti-correlated,
+    // lag 2 perfectly correlated
+    val s = (0 until 10).map(i => (i.toLong, if (i % 2 == 0) 10L else 20L))
+      .toDF("t", "v")
+    val r = Features.autocorr(s, col("t"), col("v"), maxLag = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) === ((9L, -1.0)) && r(2L) === ((8L, 1.0)))
+    // a gap at t=5 removes the pairs (4,5) and (5,6), nothing else
+    val g = s.filter(col("t") =!= 5)
+    val rg = Features.autocorr(g, col("t"), col("v"), maxLag = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rg(1L) === 7L)
+    graft.GraftCache.releaseAll()
+  }
+
+  test("eventNgrams: counts complete runs only, total order respected") {
+    // user 1: a,b,a,b -> 3-grams a>b>a, b>a>b ; user 2: a,b (too short)
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b")).toDF("u", "eid", "et")
+    val got = Sequence.eventNgrams(ev, col("u"), Seq(col("eid")), col("et"),
+      n = 3, k = 10).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a>b>a" -> 1L, "b>a>b" -> 1L))
+  }
+
+  test("cosinePairs: co/sqrt(na*nb), support and pair floors hold") {
+    // items x,y co-occur in 2 of x's 3 / y's 2 baskets -> cos = 2/sqrt(6)
+    val inc = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
+      (1L, "z"), (2L, "z"), (3L, "z"), (4L, "z")).toDF("b", "i")
+    val got = Curation.cosinePairs(inc, col("b"), col("i"),
+      minSupport = 2, minPair = 2, maxPerBasket = 8, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5))
+      .toMap
+    assert(got(("x", "y")) ===
+      BigDecimal(2.0 / math.sqrt(6.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // z co-occurs with x,y in baskets 1-3 as well
+    assert(got(("x", "z")) ===
+      BigDecimal(3.0 / math.sqrt(12.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    graft.GraftCache.releaseAll()
+  }
+}
