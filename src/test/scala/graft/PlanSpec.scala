@@ -632,4 +632,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q226 key skew: only the N winners leave — TakeOrderedAndProject, no range exchange") {
+    val p = plan(q("q226_key_skew"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    graft.GraftCache.releaseAll()
+  }
+
+  test("q223 profile is ONE scan of lineitem — Expand pays for the exact distincts") {
+    val p = plan(q("q223_profile_lineitem"))
+    // formatted explain names each node once in the detail section
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length === 1, p)
+    assert(p.contains("Expand"), p)
+  }
+
+  test("q229 ACF: the lag spine broadcasts, the shifted self-join is keyed") {
+    val p = plan(q("q229_acf_daily_revenue"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    graft.GraftCache.releaseAll()
+  }
 }
