@@ -83,6 +83,12 @@ object ScaleSoak {
     "q135_pagerank", "q148_kcore", "q152_bfs", "q205_assortativity",
     "q216_kcore_fixpoint", "q217_weighted_pagerank", "q218_stats_drift",
     "q219_common_neighbors",
+    // round-10 additions: clustering coefficient rides the simhash
+    // doc graph; adamic-adar/sssp ride the replicated trade graph;
+    // event paths ride the disjoint user populations. The rest of the
+    // quality pack (q223-q226, q228-q230) is star-schema → bench ladder.
+    "q220_clustering_coeff", "q221_adamic_adar", "q222_weighted_sssp",
+    "q227_event_paths",
     // event-sequence family (events replicated as disjoint user
     // populations on the same calendar)
     "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",
