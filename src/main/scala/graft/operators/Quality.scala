@@ -132,4 +132,84 @@ object Quality {
         expr("n_rows * 1000000 div n_total").as("share_micro"),
         expr("cum_rows * 1000000 div n_total").as("cum_micro"))
   }
+
+  /** Expectation-suite runner: evaluate every named predicate in ONE
+    * scan and report per rule how many rows pass. A NULL predicate
+    * (e.g. a range check on a null value) counts as a FAILURE — an
+    * expectation that cannot be confirmed is not met, which is the
+    * contract that catches the silently-nulled column instead of
+    * waving it through.
+    *
+    * Scale: one pass, one conditional sum per rule, no Expand (unlike
+    * [[profileColumns]]' exact distincts) — rules are cheap enough to
+    * run per ingest batch on the full feed.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectations: need at least one rule")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"${name}__p")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col("n_rows"),
+        col(s"${name}__p").as("n_pass"),
+        (col("n_rows") - col(s"${name}__p")).as("n_fail"),
+        expr(s"`${name}__p` * 1000000 div n_rows").as("pass_micro"))
+    }
+    one.select(explode(array(stacked: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Calendar completeness of a dated feed: against the day spine
+    * spanning the data's own [min, max], report how many days are
+    * present, missing, and the longest consecutive missing run — the
+    * freshness/gap audit that catches a loader that silently skipped
+    * a partition. A value-anomaly monitor (q175) can't see a day that
+    * produced NO rows; this is the operator that can.
+    *
+    * Scale: the heavy part is the per-day count (map-side combined);
+    * the spine is `sequence()` over the calendar — bounded by the
+    * span in DAYS, not the corpus — so the gap-run window runs on at
+    * most a few thousand rows by construction.
+    */
+  def completeness(df: DataFrame, day: Column): DataFrame = {
+    // daily feeds the spine bounds, the gap-run pass AND the summary —
+    // persist the per-day counts or the corpus scans three times
+    val daily = graft.GraftCache.registered(
+      df.select(day.cast("date").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n")))
+    val spine = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val flagged = spine.join(daily, Seq("day"), "left_outer")
+      .select(col("day"), col("n").isNull.as("gap"))
+    // run-length of consecutive gap days: day-index minus rank within
+    // the gap set is constant per run (the islands trick); the window
+    // input is the calendar spine — bounded, single partition by design
+    val w = Window.orderBy(col("day"))
+    val runs = flagged.filter(col("gap"))
+      .withColumn("grp", datediff(col("day"), to_date(lit("1970-01-01"))) -
+        row_number().over(w))
+      .groupBy(col("grp")).agg(count(lit(1)).as("run"))
+    val maxRun = broadcast(runs.agg(
+      coalesce(max(col("run")), lit(0L)).as("max_gap_days")))
+    flagged.agg(count(lit(1)).as("n_span_days"),
+        sum(when(col("gap"), 0L).otherwise(1L)).as("n_present_days"),
+        sum(when(col("gap"), 1L).otherwise(0L)).as("n_missing_days"))
+      .crossJoin(maxRun)
+  }
+
+  /** Functional-dependency audit: does `lhs -> rhs` hold? Reports the
+    * group count, how many lhs groups map to MORE than one rhs value
+    * (the violations), and the worst group's variant count. An FD the
+    * schema claims but the data breaks is how a "dimension" silently
+    * fans out a join.
+    *
+    * Scale: one keyed aggregate over lhs (map-side combined
+    * countDistinct of rhs per group) + one tiny reduce over group
+    * stats.
+    */
+  def fdViolations(df: DataFrame, lhs: Seq[Column], rhs: Column): DataFrame =
+    df.groupBy(lhs: _*).agg(countDistinct(rhs).as("variants"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("variants") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("variants")).as("max_variants"))
 }

@@ -139,6 +139,42 @@ object QualityQueries {
       Seq(("customer", c0, c1, cres), ("orders", o0, o1, ores))
         .toDF("tbl", "rows_v0", "rows_v1", "subject_rows_left")
         .orderBy(col("tbl"))
+    }),
+
+    // Expectation suite over lineitem in ONE scan: domain/range rules
+    // with exact pass rates in micro — null predicates count as
+    // failures, so a silently-nulled column trips the rule instead of
+    // passing through.
+    "q231_expectations" -> ((s, dir) =>
+      Quality.expectations(t(s, dir, "lineitem"), Seq(
+        "qty_in_1_50" -> col("l_quantity").between(1, 50),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "discount_in_0_01" -> col("l_discount").between(0, 0.1),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "tax_lt_price" -> (col("l_tax") < col("l_extendedprice"))))
+        .orderBy(col("rule"))),
+
+    // Calendar completeness of the jumbo-order feed (daily SLA: at
+    // least one order above 450k): span vs present vs missing days and
+    // the longest dry run — the gap a value-anomaly monitor (q175)
+    // cannot see because the missing day produced no rows at all.
+    "q232_completeness" -> ((s, dir) =>
+      Quality.completeness(
+        t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+        col("o_orderdate"))),
+
+    // Functional-dependency audit: c_custkey -> c_nationkey must hold
+    // (a customer lives in one nation); l_partkey -> l_suppkey must
+    // NOT (TPC-H supplies each part from several suppliers) — the
+    // audit that catches a "dimension" silently fanning out a join.
+    "q233_fd_check" -> ((s, dir) => {
+      val holds = Quality.fdViolations(t(s, dir, "customer"),
+          Seq(col("c_custkey")), col("c_nationkey"))
+        .select(lit("customer: custkey->nationkey").as("fd"), col("*"))
+      val breaks = Quality.fdViolations(t(s, dir, "lineitem"),
+          Seq(col("l_partkey")), col("l_suppkey"))
+        .select(lit("lineitem: partkey->suppkey").as("fd"), col("*"))
+      holds.unionAll(breaks).orderBy(col("fd"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -278,5 +314,62 @@ object QualityQueries {
             CAST((SELECT count(*) FROM orders WHERE o_custkey % 100 >= 5)
               AS BIGINT),
             CAST(0 AS BIGINT)
-          ORDER BY tbl""")
+          ORDER BY tbl""",
+
+    "q231_expectations" -> {
+      def one(name: String, pred: String) =
+        s"""SELECT '$name' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CASE WHEN coalesce($pred, false) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pass,
+            CAST(count(*) - sum(CASE WHEN coalesce($pred, false)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+            CAST(sum(CASE WHEN coalesce($pred, false) THEN 1 ELSE 0 END)
+              * 1000000 // count(*) AS BIGINT) AS pass_micro
+          FROM lineitem"""
+      Seq(one("qty_in_1_50", "l_quantity BETWEEN 1 AND 50"),
+        one("price_positive", "l_extendedprice > 0"),
+        one("discount_in_0_01", "l_discount BETWEEN 0 AND 0.1"),
+        one("flag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+        one("tax_lt_price", "l_tax < l_extendedprice"))
+        .mkString("", " UNION ALL ", " ORDER BY rule")
+    },
+
+    "q232_completeness" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              count(*) AS n
+            FROM orders WHERE o_totalprice > 450000 GROUP BY 1),
+          b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+          spine AS (SELECT CAST(unnest(generate_series(mn, mx,
+              INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+          f AS (SELECT spine.day, daily.n IS NULL AS gap
+            FROM spine LEFT JOIN daily ON spine.day = daily.day),
+          gd AS (SELECT date_diff('day', DATE '1970-01-01', day) -
+                row_number() OVER (ORDER BY day) AS grp
+            FROM f WHERE gap),
+          runs AS (SELECT grp, count(*) AS run FROM gd GROUP BY 1),
+          mr AS (SELECT coalesce(max(run), 0) AS max_gap_days FROM runs)
+          SELECT CAST(count(*) AS BIGINT) AS n_span_days,
+            CAST(sum(CASE WHEN gap THEN 0 ELSE 1 END) AS BIGINT)
+              AS n_present_days,
+            CAST(sum(CASE WHEN gap THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_missing_days,
+            CAST(max(max_gap_days) AS BIGINT) AS max_gap_days
+          FROM f CROSS JOIN mr""",
+
+    "q233_fd_check" ->
+      s"""WITH c AS (SELECT count(DISTINCT c_nationkey) AS variants
+            FROM customer GROUP BY c_custkey),
+          l AS (SELECT count(DISTINCT l_suppkey) AS variants
+            FROM lineitem GROUP BY l_partkey)
+          SELECT 'customer: custkey->nationkey' AS fd,
+            CAST(count(*) AS BIGINT) AS n_groups,
+            CAST(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_violating,
+            CAST(max(variants) AS BIGINT) AS max_variants FROM c
+          UNION ALL
+          SELECT 'lineitem: partkey->suppkey',
+            CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(max(variants) AS BIGINT) FROM l
+          ORDER BY fd""")
 }

@@ -81,6 +81,41 @@ class QualitySpec extends SparkSpec {
     assert(got === Map("a>b>a" -> 1L, "b>a>b" -> 1L))
   }
 
+  test("expectations: one scan, null predicate counts as failure") {
+    val df = Seq[(java.lang.Long, java.lang.Long)]((5L, 1L), (50L, 2L),
+      (200L, 3L), (null, 4L)).toDF("qty", "id")
+    val r = Quality.expectations(df, Seq(
+      "qty_in_range" -> col("qty").between(1, 100),
+      "id_positive" -> (col("id") > 0)))
+      .collect().map(x => x.getString(0) -> (x.getLong(2), x.getLong(3),
+        x.getLong(4))).toMap
+    // null qty is a FAILURE, not a skip: 2 pass, 2 fail, 500000 micro
+    assert(r("qty_in_range") === ((2L, 2L, 500000L)))
+    assert(r("id_positive") === ((4L, 0L, 1000000L)))
+  }
+
+  test("completeness: span/present/missing and the longest gap run") {
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-05", "2024-01-09",
+      "2024-01-10").map(java.sql.Date.valueOf)
+    val df = days.toDF("d")
+    val r = Quality.completeness(df, col("d")).collect().head
+    // span 10 days, 5 present, 5 missing; longest run = Jan 6-8 (3)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((10L, 5L, 5L, 3L)))
+    // a gapless feed reports max_gap_days = 0, not null
+    val full = (1 to 4).map(i => java.sql.Date.valueOf(s"2024-02-0$i")).toDF("d")
+    val r2 = Quality.completeness(full, col("d")).collect().head
+    assert((r2.getLong(2), r2.getLong(3)) === ((0L, 0L)))
+    graft.GraftCache.releaseAll()
+  }
+
+  test("fdViolations: holds vs breaks with variant counts") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "a"), (3L, "b"),
+      (3L, "c")).toDF("k", "v")
+    val r = Quality.fdViolations(df, Seq(col("k")), col("v")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 1L, 3L)))
+  }
+
   test("cosinePairs: co/sqrt(na*nb), support and pair floors hold") {
     // items x,y co-occur in 2 of x's 3 / y's 2 baskets -> cos = 2/sqrt(6)
     val inc = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
