@@ -156,6 +156,45 @@ object EventStream {
       }.toDF()
   }
 
+  case class PathEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String)
+  case class PathOut(user_id: Long, path: String)
+
+  /** Streaming event-type n-gram miner — the incremental face of
+    * [[graft.operators.Sequence.eventNgrams]]: per-user state holds
+    * only the last `n-1` event types (O(n) per user, never the
+    * history); each batch replays its events in (ts, event_id) order
+    * against that buffer and emits every n-gram the batch completes,
+    * including the ones that SPAN batch boundaries — which is the
+    * whole point of carrying the buffer. Downstream counts the
+    * emitted paths (the batch query's groupBy face). Correct under
+    * in-order-per-user delivery across batches (the same monotone-log
+    * contract as [[funnelStream]]).
+    */
+  def pathStream(spark: SparkSession, events: DataFrame, n: Int): DataFrame = {
+    import spark.implicits._
+    require(n >= 2, s"pathStream: n must be >= 2, got $n")
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[PathEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, evs: Iterator[PathEvent], state: GroupState[List[String]]) => {
+          var buf = state.getOption.getOrElse(Nil) // last n-1 types, oldest first
+          val out = List.newBuilder[PathOut]
+          for (e <- evs.toArray.sortBy(e => (micros(e.ts), e.event_id))) {
+            buf = (buf :+ e.event_type).takeRight(n)
+            if (buf.length == n) {
+              out += PathOut(uid, buf.mkString(">"))
+              buf = buf.tail
+            }
+          }
+          state.update(buf)
+          out.result().iterator
+        }).toDF()
+  }
+
   /** Custom gap-based sessionizer via `flatMapGroupsWithState` — the
     * fully-custom stateful operator path (SURVEY §7.3's "genuinely
     * stateful-hard item"): per-user state holds the open session;

@@ -418,4 +418,30 @@ class StreamingSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$base/state/batch=0")
     assert(EventStream.checksumTotal(spark, s"$base/state") === ((n, sum)))
   }
+
+  test("streaming path miner emits boundary-spanning n-grams, counts equal batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(u: Long, id: Long, t: String) =
+      EventStream.PathEvent(u, new java.sql.Timestamp(id * 1000), id, t)
+    val b1 = Seq(ev(1, 1, "a"), ev(1, 2, "b"), ev(2, 1, "x"))
+    val b2 = Seq(ev(1, 3, "a"), ev(1, 4, "b"), ev(2, 2, "y"), ev(2, 3, "x"))
+    val input = MemoryStream[EventStream.PathEvent]
+    val q = EventStream.pathStream(spark, input.toDF(), n = 3).writeStream
+      .format("memory").queryName("pathout")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("pathout").groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a>b>a and b>a>b both SPAN the batch boundary for user 1
+    assert(streamed === Map("a>b>a" -> 1L, "b>a>b" -> 1L, "x>y>x" -> 1L))
+    val batch = graft.operators.Sequence.eventNgrams(
+      (b1 ++ b2).toDF(), col("user_id"), Seq(col("ts"), col("event_id")),
+      col("event_type"), n = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
 }
