@@ -18,6 +18,13 @@ object Verify {
     // Dev-only subset filter (comma-separated name substrings); the
     // driver never sets it, so the gate always runs the full board.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // Wipe stale query outputs from a reused outDir: check.py grades
+    // every q* subdirectory it finds, so a leftover result from an
+    // OLDER build would be compared against the CURRENT oracle and
+    // report phantom failures (or worse, phantom passes).
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("q"))
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
