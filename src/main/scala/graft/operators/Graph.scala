@@ -426,4 +426,78 @@ object Graph {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Deterministic uniform random walks — the DeepWalk/node2vec
+    * (p = q = 1) training-data generator, with the RNG replaced by
+    * the engine-shared md5 hash: step i of walk (start, w) moves to
+    * neighbor number `md5_32("walk_<start>_<w>_<i>_<cur>") mod
+    * deg(cur)` in the dst-sorted adjacency. The whole corpus of walks
+    * is a pure function of the graph — reproducible across runs,
+    * engines and cluster sizes, replayable by the DuckDB oracle, and
+    * exactly what you want when the walks feed an embedding trainer
+    * that must be re-run bit-identically.
+    *
+    * Scale: the adjacency indexes ONCE (row_number per src — one
+    * sort shuffle); each step is two O(1)-match keyed joins (degree
+    * lookup, then equi-join on BOTH (src, idx) so a hub's fan-out is
+    * never materialized), with the per-round lineage cut. State is
+    * seeds x walksPerNode rows regardless of graph size. Walks from a
+    * node with no out-edges are REFUSED (symmetrize first) — silently
+    * stopping short would bias the window corpus.
+    */
+  def hashWalks(edges: DataFrame, seeds: DataFrame, walkLen: Int,
+      walksPerNode: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(walkLen >= 1 && walksPerNode >= 1,
+      s"hashWalks: walkLen/walksPerNode must be >= 1, got $walkLen/$walksPerNode")
+    val spark = edges.sparkSession
+    val pin = Iterative.pin(spark, checkpointDir)
+    val e = graft.GraftCache.registered(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct())
+    import org.apache.spark.sql.expressions.Window
+    val adj = graft.GraftCache.registered(
+      e.withColumn("idx", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dst"))) - 1))
+    val deg = graft.GraftCache.registered(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("dnode"), col("deg")))
+    val spine = broadcast(
+      spark.range(walksPerNode).select(col("id").cast("long").as("w")))
+    var state = pin(seeds.select(col("node").cast("long").as("start")).distinct()
+      .join(deg, col("start") === col("dnode"), "left_outer")
+      .select(col("start"), col("deg").isNotNull.as("ok"))
+      .crossJoin(spine)
+      .select(col("start"), col("w"), col("ok"),
+        col("start").as("cur"), col("start").cast("string").as("path")))
+    val stranded = state.filter(!col("ok")).select(col("start")).limit(1).collect()
+    require(stranded.isEmpty,
+      s"hashWalks: seed ${stranded.headOption.map(_.getLong(0))} has no " +
+        "out-edges — walk on the symmetrized graph or drop isolated seeds")
+    state = state.drop("ok")
+    val stateCount0 = state.count()
+    for (i <- 1 to walkLen) {
+      val h = graft.plans.Md5Prefix32.md5prefix32(concat_ws("_",
+        lit("walk"), col("start"), col("w"), lit(i), col("cur")))
+      val step = state
+        .join(deg, state("cur") === deg("dnode"))
+        .withColumn("nidx", pmod(h, col("deg")))
+        .join(adj.as("adj"),
+          col("cur") === col("adj.src") && col("nidx") === col("adj.idx"))
+        .select(col("start"), col("w"), col("adj.dst").as("cur"),
+          concat(col("path"), lit(">"),
+            col("adj.dst").cast("string")).as("path"))
+      state = pin(step)
+      // a mid-walk dead end (possible only on a non-symmetrized graph)
+      // would silently DROP the walk at the inner join and bias the
+      // corpus — refuse instead, same posture as the seed check
+      if (i == walkLen) {
+        val expect = stateCount0
+        val got = state.count()
+        require(got == expect,
+          s"hashWalks: $got of $expect walks survived — a walk hit a " +
+            "node with no out-edges mid-path; symmetrize the graph first")
+      }
+    }
+    state.select(col("start"), col("w"), col("cur").as("end_node"), col("path"))
+  }
 }

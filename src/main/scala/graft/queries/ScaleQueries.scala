@@ -283,6 +283,25 @@ object ScaleQueries {
         .orderBy(col("dist"))
     }),
 
+    // Deterministic uniform random walks over the symmetrized trade
+    // graph: DeepWalk's training-data generator with the RNG replaced
+    // by the engine-shared md5 hash — 2 walks of length 3 from each
+    // of 50 customer seeds, reproducible bit-identically by the
+    // oracle. The walk corpus an embedding trainer would consume.
+    "q234_random_walks" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey").cast("long") + 1)).as("dst"))
+      val seeds = t(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey").cast("long").as("node"))
+      Graph.hashWalks(Graph.symmetrize(pairs), seeds,
+          walkLen = 3, walksPerNode = 2)
+        .orderBy(col("start"), col("w"))
+    }),
+
     // Change-data feed between two versioned snapshots: commit v0,
     // upsert a batch (100 modified + 100 new keys), read the diff —
     // the incremental-consumer contract graded at rest.
@@ -1123,6 +1142,33 @@ object ScaleQueries {
               WHERE e.src = w.a AND e.dst = w.b))
           SELECT a, b, CAST(n_common AS BIGINT) AS n_common
           FROM nw ORDER BY n_common DESC, a, b LIMIT 50""",
+
+    // each step replays the same md5 neighbor pick: hash % d is safe
+    // (hash nonneg, d positive, so % ≡ pmod), adjacency indexes by
+    // dst-sorted row_number exactly like the Spark side
+    "q234_random_walks" -> {
+      def h(i: Int) =
+        s"""(('0x' || substr(md5('walk_' || CAST(start AS VARCHAR) || '_' ||
+          CAST(w AS VARCHAR) || '_${i}_' || CAST(cur AS VARCHAR)), 1, 8))::BIGINT)"""
+      def step(prev: String, i: Int) =
+        s"""SELECT start, w, a.dst AS cur,
+            path || '>' || CAST(a.dst AS VARCHAR) AS path
+          FROM $prev s JOIN deg ON s.cur = deg.src
+          JOIN adj a ON a.src = s.cur AND a.idx = ${h(i)} % deg.d"""
+      s"""WITH $sqlTradeGraph,
+          adj AS (SELECT src, dst,
+              row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+            FROM e),
+          sd AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS start
+            FROM orders WHERE o_custkey < 50),
+          s0 AS (SELECT start, w, start AS cur, CAST(start AS VARCHAR) AS path
+            FROM sd CROSS JOIN
+              (SELECT CAST(unnest([0, 1]) AS BIGINT) AS w)),
+          s1 AS (${step("s0", 1)}),
+          s2 AS (${step("s1", 2)}),
+          s3 AS (${step("s2", 3)})
+          SELECT start, w, cur AS end_node, path FROM s3 ORDER BY start, w"""
+    },
 
     // `//` vs Spark's `div` agree because every operand is
     // nonnegative; the one transcendental (ln) is micro-rounded once

@@ -435,6 +435,41 @@ class ScaleOpsSpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
+  test("hashWalks: valid edges, reproducible, refuses dead ends") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L)).toDF("src", "dst")
+    val sym = Graph.symmetrize(pairs)
+    val seeds = Seq(0L, 1L).toDF("node")
+    val edgeSet = sym.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val walks = Graph.hashWalks(sym, seeds, walkLen = 4, walksPerNode = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(walks.length === 2 * 3)
+    // every consecutive hop in every path is a real edge
+    for ((start, _, path) <- walks) {
+      val hops = path.split(">").map(_.toLong)
+      assert(hops.head === start && hops.length === 5)
+      hops.sliding(2).foreach { case Array(a, b) =>
+        assert(edgeSet.contains((a, b)), s"phantom hop $a>$b in $path")
+      }
+    }
+    // pure function of the graph: a second run is bit-identical
+    val again = Graph.hashWalks(sym, seeds, walkLen = 4, walksPerNode = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(walks.sorted.toSeq === again.sorted.toSeq)
+    // a seed with no out-edges refuses
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hashWalks(sym, Seq(99L).toDF("node"), 2, 1)
+    }
+    assert(ex.getMessage.contains("no"))
+    // a mid-walk dead end on a DIRECTED chain refuses, never drops
+    val chain = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val ex2 = intercept[IllegalArgumentException] {
+      Graph.hashWalks(chain, Seq(0L).toDF("node"), walkLen = 3,
+        walksPerNode = 1)
+    }
+    assert(ex2.getMessage.contains("symmetrize"))
+    graft.GraftCache.releaseAll()
+  }
+
   test("Versioned.statsDiff reports per-column drift between snapshots") {
     import graft.operators.Versioned
     val dir = java.nio.file.Files.createTempDirectory("sdiff_").toString + "/t"
