@@ -132,6 +132,67 @@ object Sequence {
           .as("gap_micros"))
   }
 
+  /** Multi-touch position-based (U-shaped) attribution — the credit
+    * model [[lastTouchAttribution]] is the degenerate case of: every
+    * in-window touch of a conversion gets integer micro credit by
+    * position. Contract: 1 touch -> 1e6; 2 -> 500k each; else
+    * first/last 400k and each middle `200000 div (n-2)` (the integer
+    * remainder is dropped — documented, deterministic, and the sum
+    * check is exactly what q-grading replays). Same co-partitioned
+    * user-keyed join + per-conversion window as last-touch; fan-out
+    * is touches-per-user-per-window.
+    */
+  def positionAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, convType: String, touchType: String,
+      windowSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol), col(tsCol).as("conv_ts"), col(tieCol).as("conv_id"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(userCol), col(tsCol).as("touch_ts"), col(tieCol).as("touch_id"))
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_ts"), col("touch_id"))
+    val wn = Window.partitionBy(col("conv_id"))
+    conv.join(touch, userCol)
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") > col("conv_ts") - expr(s"INTERVAL $windowSec SECONDS"))
+      .withColumn("pos", row_number().over(w))
+      .withColumn("n_touches", count(lit(1)).over(wn))
+      .withColumn("credit_micro",
+        when(col("n_touches") === 1, 1000000L)
+          .when(col("n_touches") === 2, 500000L)
+          .when(col("pos") === 1 || col("pos") === col("n_touches"), 400000L)
+          .otherwise(expr("200000 div (n_touches - 2)")))
+      .select(col(userCol), col("conv_id"), col("touch_id"), col("pos"),
+        col("n_touches"), col("credit_micro"))
+  }
+
+  /** Skip-gram pair extraction over ANY token sequence — walk paths
+    * ([[Graph.hashWalks]]), token streams, event corridors: every
+    * ordered (center, context) pair within `window` positions,
+    * counted over the corpus. This IS the training-pair generator
+    * word2vec/DeepWalk consume; downstream negative sampling is the
+    * trainer's job, the engine's job is exact, reproducible pair
+    * counts.
+    *
+    * Shape: posexplode + a sequence-keyed self-join with the position
+    * distance as a residual predicate — co-partitioned by sequence
+    * id, fan-out bounded by 2·window per position, so pair volume is
+    * `<= 2·window · Σ len`, linear in the corpus for a fixed window.
+    */
+  def skipgramPairs(seqs: DataFrame, seqKey: Column, tokens: Column,
+      window: Int): DataFrame = {
+    require(window >= 1, s"skipgramPairs: window must be >= 1, got $window")
+    val ex = graft.GraftCache.registered(
+      seqs.select(seqKey.as("sid"), posexplode(tokens).as(Seq("pos", "tok"))))
+    ex.as("a").join(ex.as("b"),
+        col("a.sid") === col("b.sid") &&
+        col("a.pos") =!= col("b.pos") &&
+        abs(col("a.pos") - col("b.pos")) <= window)
+      .groupBy(col("a.tok").as("center"), col("b.tok").as("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-user conversion gaps: the time from a user's FIRST `fromType`
     * event to the first `toType` event strictly after it (the q146
     * strict-funnel semantics reduced to its two-stage timing). Two

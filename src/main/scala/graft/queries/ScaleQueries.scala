@@ -302,6 +302,37 @@ object ScaleQueries {
         .orderBy(col("start"), col("w"))
     }),
 
+    // Skip-gram (center, context) pairs within window 2 over the q234
+    // walk corpus — the training pairs a node-embedding trainer
+    // consumes, counted exactly and reproducibly.
+    "q235_skipgram_pairs" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey").cast("long") + 1)).as("dst"))
+      val seeds = t(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey").cast("long").as("node"))
+      val walks = Graph.hashWalks(Graph.symmetrize(pairs), seeds,
+        walkLen = 3, walksPerNode = 2)
+      Sequence.skipgramPairs(walks, struct(col("start"), col("w")),
+          split(col("path"), ">"), window = 2)
+        .select(col("center").cast("long").as("center"),
+          col("context").cast("long").as("context"), col("n"))
+        .orderBy(col("n").desc, col("center"), col("context")).limit(50)
+    }),
+
+    // Position-based (U-shaped) multi-touch attribution: every click
+    // in the hour before a purchase is credited 40/20/40 by position
+    // in integer micro — the multi-touch generalization of q151's
+    // last-touch pick.
+    "q236_position_attribution" -> ((s, dir) =>
+      Sequence.positionAttribution(t(s, dir, "events"), "user_id", "ts",
+          "event_type", "event_id", convType = "purchase",
+          touchType = "click", windowSec = 3600)
+        .orderBy(col("conv_id"), col("pos"))),
+
     // Change-data feed between two versioned snapshots: commit v0,
     // upsert a batch (100 modified + 100 new keys), read the diff —
     // the incremental-consumer contract graded at rest.
@@ -802,6 +833,33 @@ object ScaleQueries {
         e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
         deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1)"""
 
+  /** The q234 walk corpus (trade graph, 50 seeds, 2 walks x 3 steps),
+    * shared by the walk and skip-gram oracles: each step replays the
+    * engine-shared md5 neighbor pick against the dst-sorted adjacency.
+    */
+  private val sqlWalks: String = {
+    def h(i: Int) =
+      s"""(('0x' || substr(md5('walk_' || CAST(start AS VARCHAR) || '_' ||
+        CAST(w AS VARCHAR) || '_${i}_' || CAST(cur AS VARCHAR)), 1, 8))::BIGINT)"""
+    def step(prev: String, i: Int) =
+      s"""SELECT start, w, a.dst AS cur,
+          path || '>' || CAST(a.dst AS VARCHAR) AS path
+        FROM $prev s JOIN deg ON s.cur = deg.src
+        JOIN adj a ON a.src = s.cur AND a.idx = ${h(i)} % deg.d"""
+    s"""$sqlTradeGraph,
+        adj AS (SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+          FROM e),
+        sd AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS start
+          FROM orders WHERE o_custkey < 50),
+        s0 AS (SELECT start, w, start AS cur, CAST(start AS VARCHAR) AS path
+          FROM sd CROSS JOIN
+            (SELECT CAST(unnest([0, 1]) AS BIGINT) AS w)),
+        s1 AS (${step("s0", 1)}),
+        s2 AS (${step("s1", 2)}),
+        s3 AS (${step("s2", 3)})"""
+  }
+
   /** One PERSONALIZED superstep: teleport mass lands only on seeds. */
   private def sqlPprStep(prev: String) =
     s"""SELECT e.dst AS node,
@@ -1146,29 +1204,43 @@ object ScaleQueries {
     // each step replays the same md5 neighbor pick: hash % d is safe
     // (hash nonneg, d positive, so % ≡ pmod), adjacency indexes by
     // dst-sorted row_number exactly like the Spark side
-    "q234_random_walks" -> {
-      def h(i: Int) =
-        s"""(('0x' || substr(md5('walk_' || CAST(start AS VARCHAR) || '_' ||
-          CAST(w AS VARCHAR) || '_${i}_' || CAST(cur AS VARCHAR)), 1, 8))::BIGINT)"""
-      def step(prev: String, i: Int) =
-        s"""SELECT start, w, a.dst AS cur,
-            path || '>' || CAST(a.dst AS VARCHAR) AS path
-          FROM $prev s JOIN deg ON s.cur = deg.src
-          JOIN adj a ON a.src = s.cur AND a.idx = ${h(i)} % deg.d"""
-      s"""WITH $sqlTradeGraph,
-          adj AS (SELECT src, dst,
-              row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
-            FROM e),
-          sd AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS start
-            FROM orders WHERE o_custkey < 50),
-          s0 AS (SELECT start, w, start AS cur, CAST(start AS VARCHAR) AS path
-            FROM sd CROSS JOIN
-              (SELECT CAST(unnest([0, 1]) AS BIGINT) AS w)),
-          s1 AS (${step("s0", 1)}),
-          s2 AS (${step("s1", 2)}),
-          s3 AS (${step("s2", 3)})
-          SELECT start, w, cur AS end_node, path FROM s3 ORDER BY start, w"""
-    },
+    "q234_random_walks" ->
+      s"""WITH $sqlWalks
+          SELECT start, w, cur AS end_node, path FROM s3 ORDER BY start, w""",
+
+    "q235_skipgram_pairs" ->
+      s"""WITH $sqlWalks,
+          t AS (SELECT start, w, string_split(path, '>') AS arr FROM s3),
+          tok AS (SELECT start, w, pos, arr[pos] AS tok FROM (
+            SELECT start, w, arr,
+              unnest(generate_series(1, len(arr))) AS pos FROM t)),
+          sg AS (SELECT a.tok AS center, b.tok AS context, count(*) AS n
+            FROM tok a JOIN tok b ON a.start = b.start AND a.w = b.w
+              AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+            GROUP BY 1, 2)
+          SELECT CAST(center AS BIGINT) AS center,
+            CAST(context AS BIGINT) AS context, CAST(n AS BIGINT) AS n
+          FROM sg ORDER BY n DESC, center, context LIMIT 50""",
+
+    "q236_position_attribution" ->
+      s"""WITH conv AS (SELECT user_id, ts AS conv_ts, event_id AS conv_id
+            FROM events WHERE event_type = 'purchase'),
+          touch AS (SELECT user_id, ts AS touch_ts, event_id AS touch_id
+            FROM events WHERE event_type = 'click'),
+          j AS (SELECT conv.user_id, conv_id, touch_id,
+              row_number() OVER (PARTITION BY conv_id
+                ORDER BY touch_ts, touch_id) AS pos,
+              count(*) OVER (PARTITION BY conv_id) AS n_touches
+            FROM conv JOIN touch ON conv.user_id = touch.user_id
+            WHERE touch_ts <= conv_ts
+              AND touch_ts > conv_ts - INTERVAL 3600 SECONDS)
+          SELECT user_id, conv_id, touch_id, CAST(pos AS INT) AS pos,
+            CAST(n_touches AS BIGINT) AS n_touches,
+            CAST(CASE WHEN n_touches = 1 THEN 1000000
+              WHEN n_touches = 2 THEN 500000
+              WHEN pos = 1 OR pos = n_touches THEN 400000
+              ELSE 200000 // (n_touches - 2) END AS BIGINT) AS credit_micro
+          FROM j ORDER BY conv_id, pos""",
 
     // `//` vs Spark's `div` agree because every operand is
     // nonnegative; the one transcendental (ln) is micro-rounded once

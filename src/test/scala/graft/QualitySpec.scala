@@ -116,6 +116,39 @@ class QualitySpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 1L, 3L)))
   }
 
+  test("skipgramPairs: symmetric window pairs, bounded by 2w per position") {
+    val seqs = Seq((1L, Seq("a", "b", "c", "d"))).toDF("sid", "toks")
+    val w1 = graft.operators.Sequence.skipgramPairs(seqs, col("sid"),
+        col("toks"), window = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(w1 === Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("c", "b") -> 1L, ("c", "d") -> 1L, ("d", "c") -> 1L))
+    val w2 = graft.operators.Sequence.skipgramPairs(seqs, col("sid"),
+        col("toks"), window = 2)
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(w2 === 6L + 4L) // window 2 adds (a,c),(c,a),(b,d),(d,b)
+    graft.GraftCache.releaseAll()
+  }
+
+  test("positionAttribution: U-shaped credit, window exclusion, single-touch full") {
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val ev = Seq(
+      (1L, ts(100), 10L, "purchase"), (1L, ts(50), 1L, "click"),
+      (1L, ts(60), 2L, "click"), (1L, ts(70), 3L, "click"),
+      (1L, ts(-7200), 4L, "click"), // outside the 1h window
+      (2L, ts(200), 20L, "purchase"), (2L, ts(150), 5L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.Sequence.positionAttribution(ev, "user_id",
+        "ts", "event_type", "event_id", "purchase", "click", 3600)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) ->
+        (r.getInt(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got === Map(
+      (10L, 1L) -> ((1, 3L, 400000L)),
+      (10L, 2L) -> ((2, 3L, 200000L)),
+      (10L, 3L) -> ((3, 3L, 400000L)),
+      (20L, 5L) -> ((1, 1L, 1000000L))))
+  }
+
   test("cosinePairs: co/sqrt(na*nb), support and pair floors hold") {
     // items x,y co-occur in 2 of x's 3 / y's 2 baskets -> cos = 2/sqrt(6)
     val inc = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
