@@ -378,6 +378,52 @@ object Features {
           6).as("z_r6"))
   }
 
+  /** Deterministic Poisson bootstrap CI of a mean — the at-scale
+    * bootstrap: instead of drawing n rows with replacement B times
+    * (unshardable), each row gets an independent Poisson(1) weight
+    * per resample, which converges to the same bootstrap distribution
+    * and is embarrassingly parallel. The "RNG" is the engine-shared
+    * md5 hash mapped through the micro-rounded Poisson(1) CDF
+    * (constants inlined on both engines), so the whole CI is a pure
+    * function of the data — reproducible across runs, engines and
+    * cluster sizes. CI bounds are nearest-rank percentiles of the B
+    * resample means (2.5% / 97.5%).
+    *
+    * Scale: ONE pass over rows x B (a projected crossJoin with the
+    * broadcast B-row spine — no shuffle until the B-key aggregate,
+    * whose state is B rows); the rank window runs on the B means
+    * only. Weighted sums are exact longs; each mean is one double
+    * division of exact integers.
+    */
+  def bootstrapCI(df: DataFrame, id: Column, cents: Column,
+      b: Int = 100): DataFrame = {
+    require(b >= 40, s"bootstrapCI: need >= 40 resamples for a 2.5% rank, got $b")
+    val spark = df.sparkSession
+    val spine = broadcast(spark.range(b).select(col("id").cast("long").as("bi")))
+    val u = pmod(graft.plans.Md5Prefix32.md5prefix32(
+      concat_ws("_", lit("boot"), col("rid"), col("bi"))), lit(1000000L))
+    // micro-rounded cumulative Poisson(1): P(K <= k) for k = 0..8; the
+    // tail above 0.999999 collapses to k = 9 (one event in a million)
+    val k = when(u < 367879L, 0L).when(u < 735759L, 1L).when(u < 919699L, 2L)
+      .when(u < 981012L, 3L).when(u < 996340L, 4L).when(u < 999406L, 5L)
+      .when(u < 999917L, 6L).when(u < 999990L, 7L).when(u < 999999L, 8L)
+      .otherwise(9L)
+    val means = df.select(id.as("rid"), cents.cast("long").as("c"))
+      .crossJoin(spine)
+      .select(col("bi"), k.as("w"), col("c"))
+      .groupBy(col("bi"))
+      .agg(sum(col("w")).as("nw"), sum(col("w") * col("c")).as("sw"))
+      .select(col("bi"), (col("sw").cast("double") / col("nw")).as("m"))
+    val w = Window.orderBy(col("m"), col("bi"))
+    val lo = math.ceil(0.025 * b).toLong
+    val hi = math.ceil(0.975 * b).toLong
+    val ranked = means.withColumn("rn", row_number().over(w))
+    ranked.agg(count(lit(1)).as("n_resamples"),
+      round(avg(col("m")), 6).as("mean_of_means_r6"),
+      round(max(when(col("rn") === lo, col("m"))), 6).as("ci_lo_r6"),
+      round(max(when(col("rn") === hi, col("m"))), 6).as("ci_hi_r6"))
+  }
+
   /** Autocorrelation function of a regular series: Pearson r of
     * `(v_t, v_{t+lag})` for every lag in `1..maxLag`, over an
     * already-aggregated `(t, v)` frame (integer time index, integer

@@ -120,6 +120,27 @@ object Versioned {
           .unionByName(updates), statsCols, partitionBy)
     }
 
+  /** [[upsert]] with EXPLICIT schema evolution: the batch may ADD
+    * columns (carried-over rows backfill null) or omit existing ones
+    * (batch rows backfill null). Evolution is a separate entry point
+    * on purpose — plain [[upsert]] refuses a drifted batch loudly,
+    * because silent widening is how a typo'd column name becomes a
+    * permanently null "feature"; calling this method IS the sign-off.
+    * The key column must exist on both sides.
+    */
+  def upsertEvolve(spark: SparkSession, path: String, updates: DataFrame,
+      key: String, statsCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Long =
+    latestVersion(path) match {
+      case None => commit(path, updates, statsCols, partitionBy)
+      case Some(v) =>
+        val cur = read(spark, path, Some(v))
+        commit(path,
+          cur.join(updates.select(col(key)), Seq(key), "left_anti")
+            .unionByName(updates, allowMissingColumns = true),
+          statsCols, partitionBy)
+    }
+
   /** Manifest-pruned scan of a committed snapshot (latest by default):
     * [[Layout.prunedRead]] against the version's own `_manifest`, so a
     * range-filtered read of a 100 TB versioned corpus opens only the

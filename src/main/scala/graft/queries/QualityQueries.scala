@@ -163,6 +163,40 @@ object QualityQueries {
         t(s, dir, "orders").filter(col("o_totalprice") > 450000),
         col("o_orderdate"))),
 
+    // Explicit schema evolution at rest: v0 commits 3 columns, the
+    // evolving upsert batch adds quality_micro (and bumps n_chars on
+    // its keys); the evolved snapshot backfills untouched rows with
+    // null — graded per lang on doc counts, scored counts and sums.
+    "q237_schema_evolution" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("sev_")
+        .toString + "/docs"
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Versioned.commit(base, d)
+      val batch = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000000L).as("n_chars"),
+          (col("doc_id") % 1000 * 1000L).as("quality_micro"))
+      Versioned.upsertEvolve(s, base, batch, "doc_id")
+      Versioned.read(s, base)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality_micro").isNotNull, 1L).otherwise(0L))
+            .as("n_scored"),
+          sum(coalesce(col("quality_micro"), lit(0L))).as("sum_quality"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Deterministic Poisson-bootstrap 95% CI of the mean purchase
+    // value: 100 hash-weighted resamples in one pass — the at-scale
+    // bootstrap (per-row Poisson(1) weights, no with-replacement
+    // shuffle), reproducible bit-identically by the oracle.
+    "q238_bootstrap_ci" -> ((s, dir) =>
+      Features.bootstrapCI(
+        Q.events(s, dir).filter(col("event_type") === "purchase"),
+        col("event_id"), Q.cents(col("value")), b = 100)),
+
     // Functional-dependency audit: c_custkey -> c_nationkey must hold
     // (a customer lives in one nation); l_partkey -> l_suppkey must
     // NOT (TPC-H supplies each part from several suppliers) — the
@@ -355,6 +389,47 @@ object QualityQueries {
               AS n_missing_days,
             CAST(max(max_gap_days) AS BIGINT) AS max_gap_days
           FROM f CROSS JOIN mr""",
+
+    "q237_schema_evolution" ->
+      s"""WITH fin AS (
+            SELECT doc_id, lang, n_chars, NULL AS quality_micro
+            FROM $DocsPq WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT doc_id, lang, n_chars + 1000000,
+              (doc_id % 1000) * 1000
+            FROM $DocsPq WHERE doc_id % 10 = 0)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN quality_micro IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_scored,
+            CAST(sum(coalesce(quality_micro, 0)) AS BIGINT) AS sum_quality,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM fin GROUP BY 1 ORDER BY 1""",
+
+    // same micro-rounded Poisson(1) CDF constants as the Spark side;
+    // each resample mean is one double division of exact integers
+    "q238_bootstrap_ci" ->
+      s"""WITH p AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events WHERE event_type = 'purchase'),
+          sp AS (SELECT unnest(generate_series(0, 99)) AS bi),
+          ww AS (SELECT bi, c,
+              (('0x' || substr(md5('boot_' || CAST(event_id AS VARCHAR) ||
+                '_' || CAST(bi AS VARCHAR)), 1, 8))::BIGINT) % 1000000 AS u
+            FROM p CROSS JOIN sp),
+          kk AS (SELECT bi, c,
+              CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+                WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+                WHEN u < 999999 THEN 8 ELSE 9 END AS w
+            FROM ww),
+          m AS (SELECT bi, CAST(sum(w * c) AS DOUBLE) / sum(w) AS m
+            FROM kk GROUP BY 1),
+          r AS (SELECT m, bi, row_number() OVER (ORDER BY m, bi) AS rn FROM m)
+          SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+            round(avg(m), 6) AS mean_of_means_r6,
+            round(max(CASE WHEN rn = 3 THEN m END), 6) AS ci_lo_r6,
+            round(max(CASE WHEN rn = 98 THEN m END), 6) AS ci_hi_r6
+          FROM r""",
 
     "q233_fd_check" ->
       s"""WITH c AS (SELECT count(DISTINCT c_nationkey) AS variants

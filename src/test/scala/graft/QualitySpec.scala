@@ -149,6 +149,39 @@ class QualitySpec extends SparkSpec {
       (20L, 5L) -> ((1, 1L, 1000000L))))
   }
 
+  test("upsertEvolve adds columns with null backfill; plain upsert refuses drift") {
+    import graft.operators.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("sev_").toString + "/t"
+    Versioned.commit(dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val drifted = Seq((2L, "B", 99L)).toDF("k", "v", "q")
+    // plain upsert must fail loudly on the schema drift
+    intercept[Exception] {
+      Versioned.upsert(spark, dir, drifted, "k")
+      Versioned.read(spark, dir).collect()
+    }
+    Versioned.upsertEvolve(spark, dir, drifted, "k")
+    val got = Versioned.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(got === Map(1L -> (("a", None)), 2L -> (("B", Some(99L)))))
+  }
+
+  test("bootstrapCI: reproducible, ordered, exact on constant data") {
+    val const = (1 to 200).map(i => (i.toLong, 500L)).toDF("id", "c")
+    val r = Features.bootstrapCI(const, col("id"), col("c"), b = 100)
+      .collect().head
+    // every resample mean of a constant IS the constant
+    assert(r.getLong(0) === 100L)
+    assert(r.getDouble(1) === 500.0 && r.getDouble(2) === 500.0 &&
+      r.getDouble(3) === 500.0)
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 500).map(i => (i.toLong, 100L + rnd.nextInt(900))).toDF("id", "c")
+    val a = Features.bootstrapCI(df, col("id"), col("c")).collect().head
+    val b2 = Features.bootstrapCI(df, col("id"), col("c")).collect().head
+    assert(a === b2) // pure function of the data
+    assert(a.getDouble(2) <= a.getDouble(1) && a.getDouble(1) <= a.getDouble(3))
+  }
+
   test("cosinePairs: co/sqrt(na*nb), support and pair floors hold") {
     // items x,y co-occur in 2 of x's 3 / y's 2 baskets -> cos = 2/sqrt(6)
     val inc = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
