@@ -167,6 +167,36 @@ object Sequence {
         col("n_touches"), col("credit_micro"))
   }
 
+  /** Time-decay attribution: every in-window touch of a conversion is
+    * credited `1e6 div 2^(gap div halfLifeSec)` in integer micro —
+    * recency-weighted credit with EXACT halving buckets instead of a
+    * transcendental decay (`pow`/`exp` are not correctly rounded by
+    * IEEE, so a continuous decay would drift across engines; the
+    * bucketed halving is bit-stable everywhere and keeps the
+    * recency-matters semantics). Same co-partitioned user-keyed join
+    * shape as [[lastTouchAttribution]]/[[positionAttribution]].
+    */
+  def decayAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, convType: String, touchType: String,
+      windowSec: Long, halfLifeSec: Long): DataFrame = {
+    require(halfLifeSec >= 1 && windowSec / halfLifeSec < 62,
+      s"decayAttribution: window/halfLife must stay below 62 halvings " +
+        s"(got ${windowSec / halfLifeSec}) — the credit is a long shift")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol), col(tsCol).as("conv_ts"), col(tieCol).as("conv_id"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(userCol), col(tsCol).as("touch_ts"), col(tieCol).as("touch_id"))
+    conv.join(touch, userCol)
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") > col("conv_ts") - expr(s"INTERVAL $windowSec SECONDS"))
+      .withColumn("gap_s",
+        expr("(unix_micros(conv_ts) - unix_micros(touch_ts)) div 1000000"))
+      .withColumn("credit_micro",
+        expr(s"1000000 div shiftleft(1L, cast(gap_s div $halfLifeSec as int))"))
+      .select(col(userCol), col("conv_id"), col("touch_id"), col("gap_s"),
+        col("credit_micro"))
+  }
+
   /** Skip-gram pair extraction over ANY token sequence — walk paths
     * ([[Graph.hashWalks]]), token streams, event corridors: every
     * ordered (center, context) pair within `window` positions,

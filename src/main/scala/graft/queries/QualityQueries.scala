@@ -197,6 +197,75 @@ object QualityQueries {
         Q.events(s, dir).filter(col("event_type") === "purchase"),
         col("event_id"), Q.cents(col("value")), b = 100)),
 
+    // At-rest format breadth: the q126 TSV roundtrip contract on ORC —
+    // write the doc stats as ORC, read them back, aggregate; proves
+    // the engine's at-rest surface is not parquet-only.
+    "q239_orc_roundtrip" -> ((s, dir) => {
+      val stats = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_orc")
+        .toString + "/out"
+      stats.write.format("orc").mode("overwrite").save(path)
+      s.read.format("orc").load(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
+    // Time-decay attribution: clicks in the hour before a purchase
+    // credited with exact halving buckets (15-min half-life) — the
+    // recency-weighted third face of q151/q236, transcendental-free
+    // so both engines agree bit-for-bit.
+    "q240_decay_attribution" -> ((s, dir) =>
+      Sequence.decayAttribution(Q.events(s, dir), "user_id", "ts",
+          "event_type", "event_id", convType = "purchase",
+          touchType = "click", windowSec = 3600, halfLifeSec = 900)
+        .orderBy(col("conv_id"), col("touch_id"))),
+
+    // Two-proportion z-test on conversion: users split A/B by the
+    // engine-shared hash parity, conversion = a purchase above 150; pooled
+    // z in round-6 — the categorical sibling of q185's Welch test.
+    "q241_conversion_ab" -> ((s, dir) => {
+      val users = Q.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 150, 1L).otherwise(0L)).as("conv"))
+        .withColumn("arm",
+          pmod(Q.tokenHash(concat(lit("ab_"), col("user_id"))), lit(2L)))
+      users.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+        .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+          round(
+            (col("conv_a") / col("n_a") - col("conv_b") / col("n_b")) /
+            sqrt((col("conv_a") + col("conv_b")).cast("double") /
+                (col("n_a") + col("n_b")) *
+              (lit(1.0) - (col("conv_a") + col("conv_b")) /
+                (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
+            .as("z_r6"))
+    }),
+
+    // Interquantile (5-95) trimmed mean of purchase value: thresholds
+    // from the exact interpolated percentile aggregate, then one
+    // filtered pass — the robust-mean companion to q156's MAD without
+    // a global row sort.
+    "q242_trimmed_mean" -> ((s, dir) => {
+      val p = Q.events(s, dir).filter(col("event_type") === "purchase")
+        .select(Q.cents(col("value")).as("c"))
+      val th = p.agg(expr("percentile(c, 0.05)").as("lo"),
+        expr("percentile(c, 0.95)").as("hi"))
+      p.crossJoin(broadcast(th))
+        .filter(col("c") >= col("lo") && col("c") <= col("hi"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg(col("c")), 6).as("trimmed_mean_cents_r6"),
+          round(max(col("lo")), 6).as("lo_r6"),
+          round(max(col("hi")), 6).as("hi_r6"))
+    }),
+
     // Functional-dependency audit: c_custkey -> c_nationkey must hold
     // (a customer lives in one nation); l_partkey -> l_suppkey must
     // NOT (TPC-H supplies each part from several suppliers) — the
@@ -389,6 +458,59 @@ object QualityQueries {
               AS n_missing_days,
             CAST(max(max_gap_days) AS BIGINT) AS max_gap_days
           FROM f CROSS JOIN mr""",
+
+    "q239_orc_roundtrip" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            min(doc_id) AS min_id, max(doc_id) AS max_id
+          FROM $DocsPq GROUP BY lang ORDER BY lang""",
+
+    // `//` ≡ div and % ≡ pmod here: gaps and hashes are nonnegative
+    "q240_decay_attribution" ->
+      s"""WITH conv AS (SELECT user_id, ts AS conv_ts, event_id AS conv_id
+            FROM events WHERE event_type = 'purchase'),
+          touch AS (SELECT user_id, ts AS touch_ts, event_id AS touch_id
+            FROM events WHERE event_type = 'click'),
+          j AS (SELECT conv.user_id, conv_id, touch_id,
+              datediff('microseconds', touch_ts, conv_ts) // 1000000 AS gap_s
+            FROM conv JOIN touch ON conv.user_id = touch.user_id
+            WHERE touch_ts <= conv_ts
+              AND touch_ts > conv_ts - INTERVAL 3600 SECONDS)
+          SELECT user_id, conv_id, touch_id, CAST(gap_s AS BIGINT) AS gap_s,
+            CAST(1000000 // (1 << CAST(gap_s // 900 AS INT)) AS BIGINT)
+              AS credit_micro
+          FROM j ORDER BY conv_id, touch_id""",
+
+    "q241_conversion_ab" ->
+      s"""WITH u AS (SELECT user_id,
+              max(CASE WHEN event_type = 'purchase' AND value > 150
+                THEN 1 ELSE 0 END) AS conv,
+              ${Q.sqlTokenHash("'ab_' || CAST(user_id AS VARCHAR)")} % 2 AS arm
+            FROM events GROUP BY user_id),
+          s AS (SELECT
+              sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+              sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+              sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS conv_a,
+              sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS conv_b
+            FROM u)
+          SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+            CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+            round(
+              (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+              sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) *
+                (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+                (1.0 / n_a + 1.0 / n_b)), 6) AS z_r6
+          FROM s""",
+
+    "q242_trimmed_mean" ->
+      s"""WITH p AS (SELECT CAST(round(value * 100) AS BIGINT) AS c
+            FROM events WHERE event_type = 'purchase'),
+          th AS (SELECT quantile_cont(c, 0.05) AS lo,
+              quantile_cont(c, 0.95) AS hi FROM p)
+          SELECT CAST(count(*) AS BIGINT) AS n_kept,
+            round(avg(c), 6) AS trimmed_mean_cents_r6,
+            round(max(lo), 6) AS lo_r6, round(max(hi), 6) AS hi_r6
+          FROM p CROSS JOIN th WHERE c >= lo AND c <= hi""",
 
     "q237_schema_evolution" ->
       s"""WITH fin AS (

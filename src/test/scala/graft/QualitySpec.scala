@@ -182,6 +182,26 @@ class QualitySpec extends SparkSpec {
     assert(a.getDouble(2) <= a.getDouble(1) && a.getDouble(1) <= a.getDouble(3))
   }
 
+  test("decayAttribution: exact halving buckets, shift-width refusal") {
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val ev = Seq(
+      (1L, ts(2000), 10L, "purchase"), (1L, ts(2000), 1L, "click"),
+      (1L, ts(1100), 2L, "click"), (1L, ts(199), 3L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.Sequence.decayAttribution(ev, "user_id", "ts",
+        "event_type", "event_id", "purchase", "click", 3600, 900)
+      .collect().map(r => r.getLong(2) -> (r.getLong(3), r.getLong(4))).toMap
+    // gaps 0 / 900 / 1801 s -> 0 / 1 / 2 halvings
+    assert(got === Map(1L -> ((0L, 1000000L)), 2L -> ((900L, 500000L)),
+      3L -> ((1801L, 250000L))))
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Sequence.decayAttribution(ev, "user_id", "ts",
+        "event_type", "event_id", "purchase", "click",
+        windowSec = 86400L * 365, halfLifeSec = 60)
+    }
+    assert(ex.getMessage.contains("halvings"))
+  }
+
   test("cosinePairs: co/sqrt(na*nb), support and pair floors hold") {
     // items x,y co-occur in 2 of x's 3 / y's 2 baskets -> cos = 2/sqrt(6)
     val inc = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
