@@ -89,6 +89,13 @@ object ScaleSoak {
     // quality pack (q223-q226, q228-q230) is star-schema → bench ladder.
     "q220_clustering_coeff", "q221_adamic_adar", "q222_weighted_sssp",
     "q227_event_paths",
+    // walks/skip-grams ride the replicated trade graph; the
+    // attribution/bootstrap/AB/trim family rides the disjoint event
+    // populations; schema evolution commits the replicated docs.
+    // q223-q226/q228/q229/q231-q233/q239 are star-schema -> bench ladder.
+    "q234_random_walks", "q235_skipgram_pairs", "q236_position_attribution",
+    "q237_schema_evolution", "q238_bootstrap_ci", "q240_decay_attribution",
+    "q241_conversion_ab", "q242_trimmed_mean",
     // event-sequence family (events replicated as disjoint user
     // populations on the same calendar)
     "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",
