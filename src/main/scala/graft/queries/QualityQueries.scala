@@ -266,6 +266,50 @@ object QualityQueries {
           round(max(col("hi")), 6).as("hi_r6"))
     }),
 
+    // Seasonal-naive forecast error: predict each day's revenue as
+    // the value 7 days earlier and report the exact integer sMAPE
+    // (|a-f|·1e6 div (a+f) per day, mean r6) — the baseline every
+    // real forecast must beat, and the cheapest seasonality-strength
+    // readout after q229's ACF.
+    "q243_seasonal_naive" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(Q.cents(col("o_totalprice"))).as("v"))
+      val lagged = daily.select(date_add(col("day"), 7).as("day"),
+        col("v").as("f"))
+      daily.join(lagged, Seq("day"))
+        .select(expr("abs(v - f) * 1000000 div (v + f)").as("smape_micro"))
+        .agg(count(lit(1)).as("n_days"),
+          round(avg(col("smape_micro")), 6).as("mean_smape_micro_r6"),
+          max(col("smape_micro")).as("worst_smape_micro"))
+    }),
+
+    // PERMISSIVE-mode ingestion audit: write a CSV feed with known-bad
+    // rows (letters in a numeric column), read it back with a typed
+    // schema + columnNameOfCorruptRecord, and report clean vs corrupt
+    // counts and the clean sum — the quarantine gate a raw-feed loader
+    // runs before anything downstream trusts the batch.
+    "q244_permissive_ingest" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("csvq_").toString
+      val raw = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 97 === 0, lit("not_a_number"))
+            .otherwise(col("n_chars").cast("string")).as("n_chars"))
+      raw.write.option("header", "true").mode("overwrite")
+        .csv(base + "/feed")
+      s.read
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema("doc_id LONG, lang STRING, n_chars LONG, _bad STRING")
+        .csv(base + "/feed")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_clean"),
+          sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(col("_bad").isNull, col("n_chars")).otherwise(0L))
+            .as("clean_sum_chars"))
+    }),
+
     // Functional-dependency audit: c_custkey -> c_nationkey must hold
     // (a customer lives in one nation); l_partkey -> l_suppkey must
     // NOT (TPC-H supplies each part from several suppliers) — the
@@ -458,6 +502,30 @@ object QualityQueries {
               AS n_missing_days,
             CAST(max(max_gap_days) AS BIGINT) AS max_gap_days
           FROM f CROSS JOIN mr""",
+
+    "q243_seasonal_naive" ->
+      s"""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+            FROM orders GROUP BY 1),
+          j AS (SELECT a.v AS v, b.v AS f FROM d a
+            JOIN d b ON a.day = b.day + INTERVAL 7 DAYS),
+          sm AS (SELECT abs(v - f) * 1000000 // (v + f) AS smape_micro FROM j)
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+            round(avg(smape_micro), 6) AS mean_smape_micro_r6,
+            CAST(max(smape_micro) AS BIGINT) AS worst_smape_micro
+          FROM sm""",
+
+    // corrupt rows are the doc_id % 97 == 0 ones by construction;
+    // clean rows keep their exact n_chars
+    "q244_permissive_ingest" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clean,
+            CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_corrupt,
+            CAST(sum(CASE WHEN doc_id % 97 <> 0 THEN n_chars ELSE 0 END)
+              AS BIGINT) AS clean_sum_chars
+          FROM $DocsPq""",
 
     "q239_orc_roundtrip" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
