@@ -197,6 +197,24 @@ object Quality {
       .crossJoin(maxRun)
   }
 
+  /** l-diversity profile — k-anonymity's blind spot: a group can be
+    * large (k-safe) while every member shares the SAME sensitive
+    * value, so membership alone discloses it. Groups by the quasi
+    * identifiers and histograms the number of DISTINCT sensitive
+    * values per group; every group at l = 1 is a disclosure, and the
+    * caller's policy floor applies to the whole histogram.
+    *
+    * Scale: one keyed aggregate over the quasi tuple (map-side
+    * combined distinct) + one tiny reduce — same shape as
+    * [[kAnonymityProfile]], graded beside it.
+    */
+  def lDiversityProfile(df: DataFrame, quasi: Seq[Column],
+      sensitive: Column): DataFrame =
+    df.groupBy(quasi: _*)
+      .agg(countDistinct(sensitive).as("l"), count(lit(1)).as("n"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_rows"))
+
   /** Functional-dependency audit: does `lhs -> rhs` hold? Reports the
     * group count, how many lhs groups map to MORE than one rhs value
     * (the violations), and the worst group's variant count. An FD the

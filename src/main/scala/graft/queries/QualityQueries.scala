@@ -266,6 +266,38 @@ object QualityQueries {
           round(max(col("hi")), 6).as("hi_r6"))
     }),
 
+    // l-diversity of the balance bucket within (nation, segment)
+    // groups: k-anonymity's blind spot — a large group whose members
+    // all share one sensitive value still discloses it. Histogram of
+    // distinct sensitive values per quasi group, graded beside q225.
+    "q245_l_diversity" -> ((s, dir) =>
+      Quality.lDiversityProfile(t(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        floor(col("c_acctbal") / 1000).cast("long"))
+        .orderBy(col("l"))),
+
+    // Per-nation 7-day rolling revenue extremes: a RANGE-framed window
+    // over day indices partitioned by nation — the partitioned rolling
+    // aggregate shape (state = frame, shuffle = one hash exchange on
+    // nation), graded on each nation's peak/trough week.
+    "q246_rolling_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          datediff(col("o_orderdate").cast("date"),
+            to_date(lit("1970-01-01"))).as("t"))
+        .agg(sum(Q.cents(col("o_totalprice"))).as("v"))
+      val w = Window.partitionBy(col("nation")).orderBy(col("t"))
+        .rangeBetween(-6, 0)
+      daily.withColumn("r7", sum(col("v")).over(w))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_days"),
+          max(col("r7")).as("max_r7_cents"), min(col("r7")).as("min_r7_cents"))
+        .orderBy(col("nation"))
+    }),
+
     // Seasonal-naive forecast error: predict each day's revenue as
     // the value 7 days earlier and report the exact integer sMAPE
     // (|a-f|·1e6 div (a+f) per day, mean r6) — the baseline every
@@ -502,6 +534,30 @@ object QualityQueries {
               AS n_missing_days,
             CAST(max(max_gap_days) AS BIGINT) AS max_gap_days
           FROM f CROSS JOIN mr""",
+
+    "q245_l_diversity" ->
+      s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+            count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l,
+            count(*) AS n
+          FROM customer GROUP BY 1, 2)
+          SELECT CAST(l AS BIGINT) AS l, CAST(count(*) AS BIGINT) AS n_groups,
+            CAST(sum(n) AS BIGINT) AS n_rows
+          FROM g GROUP BY 1 ORDER BY 1""",
+
+    "q246_rolling_revenue" ->
+      s"""WITH d AS (SELECT c_nationkey AS nation,
+              date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                AS t,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2),
+          r AS (SELECT nation, t, sum(v) OVER (PARTITION BY nation ORDER BY t
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS r7
+            FROM d)
+          SELECT nation, CAST(count(*) AS BIGINT) AS n_days,
+            CAST(max(r7) AS BIGINT) AS max_r7_cents,
+            CAST(min(r7) AS BIGINT) AS min_r7_cents
+          FROM r GROUP BY 1 ORDER BY 1""",
 
     "q243_seasonal_naive" ->
       s"""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
