@@ -647,6 +647,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"), p)
   }
 
+  test("q238 bootstrap: resample spine broadcasts, no range exchange") {
+    val p = plan(q("q238_bootstrap_ci"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q229 ACF: the lag spine broadcasts, the shifted self-join is keyed") {
     val p = plan(q("q229_acf_daily_revenue"))
     assert(!p.contains("CartesianProduct"), p)

@@ -109,6 +109,15 @@ class QualitySpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
+  test("lDiversityProfile: a k-safe group with one sensitive value reads l=1") {
+    val df = Seq((1, "A", 10L), (1, "A", 10L), (1, "A", 10L), // big, l=1
+      (2, "B", 10L), (2, "B", 20L)).toDF("nation", "seg", "sens")
+    val h = Quality.lDiversityProfile(df, Seq(col("nation"), col("seg")),
+        col("sens"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h === Map(1L -> ((1L, 3L)), 2L -> ((1L, 2L))))
+  }
+
   test("fdViolations: holds vs breaks with variant counts") {
     val df = Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "a"), (3L, "b"),
       (3L, "c")).toDF("k", "v")
