@@ -342,6 +342,42 @@ object QualityQueries {
             .as("clean_sum_chars"))
     }),
 
+    // Fairness audit under the four-fifths rule: per-group (user_id
+    // mod 10 cohort) conversion rate vs the BEST group's rate in exact
+    // micro; any group below 800000 micro (80%) of the best is an
+    // adverse-impact flag — the disparity screen a gating model's
+    // training data goes through before release.
+    "q247_fairness_audit" -> ((s, dir) => {
+      val users = Q.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150, 1L).otherwise(0L)).as("conv"))
+        .withColumn("grp", pmod(col("user_id"), lit(10L)))
+      val rates = users.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+        .withColumn("rate_micro", expr("n_conv * 1000000 div n_users"))
+      val best = broadcast(rates.agg(max(col("rate_micro")).as("best")))
+      rates.crossJoin(best)
+        .select(col("grp"), col("n_users"), col("n_conv"), col("rate_micro"),
+          expr("rate_micro * 1000000 div best").as("parity_micro"),
+          (expr("rate_micro * 1000000 div best") < 800000L)
+            .as("adverse_impact"))
+        .orderBy(col("grp"))
+    }),
+
+    // Cardinality-estimation accuracy CONTRACT: each engine's own HLL
+    // estimate of distinct documents-tokens must land within 5% of the
+    // exact count — graded on the exact count and the PASS BIT (the
+    // estimators differ across engines by design; the CONTRACT is what
+    // both must satisfy), the q161 approx-percentile pattern.
+    "q248_hll_contract" -> ((s, dir) =>
+      Q.explodedTokens(t(s, dir, "documents"), "doc_id", "text")
+        .agg(countDistinct(col("token")).as("exact"),
+          approx_count_distinct(col("token")).as("est"))
+        .select(col("exact"),
+          (abs(col("est") - col("exact")) * 1000000L / col("exact") <
+            50000L).as("within_5pct"))),
+
     // Functional-dependency audit: c_custkey -> c_nationkey must hold
     // (a customer lives in one nation); l_partkey -> l_suppkey must
     // NOT (TPC-H supplies each part from several suppliers) — the
@@ -534,6 +570,33 @@ object QualityQueries {
               AS n_missing_days,
             CAST(max(max_gap_days) AS BIGINT) AS max_gap_days
           FROM f CROSS JOIN mr""",
+
+    "q247_fairness_audit" ->
+      s"""WITH u AS (SELECT user_id,
+              max(CASE WHEN event_type = 'purchase' AND value > 150
+                THEN 1 ELSE 0 END) AS conv,
+              user_id % 10 AS grp
+            FROM events GROUP BY user_id),
+          r AS (SELECT grp, count(*) AS n_users, sum(conv) AS n_conv,
+              sum(conv) * 1000000 // count(*) AS rate_micro
+            FROM u GROUP BY 1),
+          b AS (SELECT max(rate_micro) AS best FROM r)
+          SELECT CAST(grp AS BIGINT) AS grp, CAST(n_users AS BIGINT) AS n_users,
+            CAST(n_conv AS BIGINT) AS n_conv,
+            CAST(rate_micro AS BIGINT) AS rate_micro,
+            CAST(rate_micro * 1000000 // best AS BIGINT) AS parity_micro,
+            (rate_micro * 1000000 // best) < 800000 AS adverse_impact
+          FROM r CROSS JOIN b ORDER BY grp""",
+
+    // each engine uses ITS OWN HLL estimator; the graded contract is
+    // the exact count plus the 5% accuracy bit both must satisfy
+    "q248_hll_contract" ->
+      s"""WITH tk AS (SELECT unnest(tk) AS token FROM (${
+            DedupQueries.sqlToks(s"SELECT doc_id, text FROM $DocsPq")}))
+          SELECT CAST(count(DISTINCT token) AS BIGINT) AS exact,
+            abs(approx_count_distinct(token) - count(DISTINCT token))
+              * 1000000.0 / count(DISTINCT token) < 50000 AS within_5pct
+          FROM tk""",
 
     "q245_l_diversity" ->
       s"""WITH g AS (SELECT c_nationkey, c_mktsegment,

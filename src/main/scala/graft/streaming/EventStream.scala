@@ -113,6 +113,33 @@ object EventStream {
       .select(col("user_id"), col("p_id"), col("c_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every click, attributed
+    * to the purchases it preceded within the hour — or emitted with a
+    * NULL purchase once the watermark proves no match can still
+    * arrive. The null row is the interesting half: "clicks that never
+    * converted" is an anti-join question, and in streaming it can
+    * only be answered after the watermark passes the click's match
+    * horizon — Spark buffers the click in join state until then, so
+    * state stays bounded by watermark + interval, and the unmatched
+    * verdict is late but never wrong.
+    */
+  def unconvertedClicks(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("c_id"), col("p_id"))
+  }
+
   case class SessionOut(user_id: Long, n_events: Long, start_ts: Long, end_ts: Long)
 
   case class UserStage(user_id: Long, stage_reached: Int)

@@ -419,6 +419,34 @@ class StreamingSpec extends SparkSpec {
     assert(EventStream.checksumTotal(spark, s"$base/state") === ((n, sum)))
   }
 
+  test("streaming left-outer interval join emits unmatched clicks after watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(u: Long, sec: Long, id: Long, t: String) =
+      EventStream.PathEvent(u, new java.sql.Timestamp(1700000000000L + sec * 1000), id, t)
+    val input = MemoryStream[EventStream.PathEvent]
+    val q = EventStream.unconvertedClicks(input.toDF()).writeStream
+      .format("memory").queryName("outerout")
+      .outputMode(OutputMode.Append()).start()
+    // user 1 converts within the hour; user 2's click never converts
+    input.addData(ev(1, 0, 1, "click"), ev(1, 600, 2, "purchase"),
+      ev(2, 0, 3, "click"))
+    q.processAllAvailable()
+    // far-future traffic on BOTH sides advances both watermarks past
+    // user 2's match horizon (click + 1h + 10min delay)
+    input.addData(ev(9, 14400, 90, "click"), ev(9, 14500, 91, "purchase"))
+    q.processAllAvailable()
+    input.addData(ev(9, 28800, 92, "click"), ev(9, 28900, 93, "purchase"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("outerout")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(rows.contains((1L, 1L, Some(2L))), rows)     // converted
+    assert(rows.contains((2L, 3L, None)), rows)         // proven unmatched
+    assert(!rows.contains((2L, 3L, Some(2L))), rows)    // never cross-user
+  }
+
   test("streaming path miner emits boundary-spanning n-grams, counts equal batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
