@@ -96,6 +96,8 @@ object ScaleSoak {
     "q234_random_walks", "q235_skipgram_pairs", "q236_position_attribution",
     "q237_schema_evolution", "q238_bootstrap_ci", "q240_decay_attribution",
     "q241_conversion_ab", "q242_trimmed_mean",
+    "q239_orc_roundtrip", "q244_permissive_ingest", "q247_fairness_audit",
+    "q248_hll_contract",
     // event-sequence family (events replicated as disjoint user
     // populations on the same calendar)
     "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",
