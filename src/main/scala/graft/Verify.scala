@@ -32,6 +32,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // drop the frames THIS query persisted — 240+ queries otherwise
+        // accrete unreachable cache entries across the whole gate run
+        // (Bench and ScaleSoak already release per query)
+        GraftCache.releaseAll()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Curation, Features, Quality, Sequence, Versioned}
 import Q._
 
-/** Data-quality / governance pack (q223-q230): the audits a corpus
+/** Data-quality / governance pack (q223-q248): the audits a corpus
   * passes before anyone trains on it or releases it — one-pass column
   * profiling, referential-integrity orphan checks, k-anonymity risk,
   * join-key skew, path mining, item-item cosine recommendations,
