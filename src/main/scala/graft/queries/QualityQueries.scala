@@ -378,6 +378,48 @@ object QualityQueries {
           (abs(col("est") - col("exact")) * 1000000L / col("exact") <
             50000L).as("within_5pct"))),
 
+    // The composed governance report — ONE call a release pipeline
+    // makes before promoting a batch: null counts per profiled column,
+    // expectation failures per rule, FK orphans per relation, k-anon
+    // risk mass, calendar gaps — unified into a (check, item, value)
+    // long frame. Composes q223/q224/q225/q231/q232's operators; the
+    // per-facet queries grade the parts, this grades the composition.
+    "q249_governance_report" -> ((s, dir) => {
+      import Quality.FkRel
+      val li = t(s, dir, "lineitem")
+      val nulls = Quality.profileColumns(
+          li.select(col("l_orderkey"), col("l_returnflag"),
+            col("l_shipdate").cast("date").as("l_shipdate")),
+          Seq("l_orderkey", "l_returnflag", "l_shipdate"))
+        .select(lit("nulls").as("audit"), col("col_name").as("item"),
+          (col("n_rows") - col("n_nonnull")).as("value"))
+      val expect = Quality.expectations(li, Seq(
+          "qty_in_1_50" -> col("l_quantity").between(1, 50),
+          "flag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+        .select(lit("expect_fail").as("audit"), col("rule").as("item"),
+          col("n_fail").as("value"))
+      val fk = Quality.fkOrphans(Seq(
+          FkRel("lineitem->orders", li, "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey"),
+          FkRel("orders->customer", t(s, dir, "orders"), "o_custkey",
+            t(s, dir, "customer"), "c_custkey")))
+        .select(lit("orphans").as("audit"), col("relation").as("item"),
+          col("n_orphan_rows").as("value"))
+      val kanon = Quality.kAnonymityProfile(t(s, dir, "customer"),
+          Seq(col("c_nationkey"), col("c_mktsegment")))
+        .filter(col("group_size") < 5)
+        .agg(coalesce(sum(col("n_rows")), lit(0L)).as("value"))
+        .select(lit("kanon_rows_lt5").as("audit"),
+          lit("customer").as("item"), col("value"))
+      val gaps = Quality.completeness(
+          t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+          col("o_orderdate"))
+        .select(lit("missing_days").as("audit"),
+          lit("jumbo_orders").as("item"), col("n_missing_days").as("value"))
+      nulls.unionAll(expect).unionAll(fk).unionAll(kanon).unionAll(gaps)
+        .orderBy(col("audit"), col("item"))
+    }),
+
     // Functional-dependency audit: c_custkey -> c_nationkey must hold
     // (a customer lives in one nation); l_partkey -> l_suppkey must
     // NOT (TPC-H supplies each part from several suppliers) — the
@@ -587,6 +629,51 @@ object QualityQueries {
             CAST(rate_micro * 1000000 // best AS BIGINT) AS parity_micro,
             (rate_micro * 1000000 // best) < 800000 AS adverse_impact
           FROM r CROSS JOIN b ORDER BY grp""",
+
+    "q249_governance_report" ->
+      s"""WITH nulls AS (
+            SELECT 'nulls' AS audit, c AS item, v AS value FROM (
+              SELECT unnest(['l_orderkey', 'l_returnflag', 'l_shipdate']) AS c,
+                unnest([count(*) - count(l_orderkey),
+                  count(*) - count(l_returnflag),
+                  count(*) - count(l_shipdate)]) AS v
+              FROM lineitem)),
+          expectf AS (
+            SELECT 'expect_fail' AS audit, r AS item, v AS value FROM (
+              SELECT unnest(['qty_in_1_50', 'flag_domain']) AS r,
+                unnest([
+                  count(*) - sum(CASE WHEN coalesce(
+                    l_quantity BETWEEN 1 AND 50, false) THEN 1 ELSE 0 END),
+                  count(*) - sum(CASE WHEN coalesce(
+                    l_returnflag IN ('A', 'N', 'R'), false)
+                    THEN 1 ELSE 0 END)]) AS v
+              FROM lineitem)),
+          fk AS (
+            SELECT 'orphans' AS audit, 'lineitem->orders' AS item,
+              (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+                AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                  WHERE o_orderkey IS NOT NULL)) AS value
+            UNION ALL
+            SELECT 'orphans', 'orders->customer',
+              (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+                AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                  WHERE c_custkey IS NOT NULL))),
+          kanon AS (
+            SELECT 'kanon_rows_lt5' AS audit, 'customer' AS item,
+              coalesce(sum(n), 0) AS value FROM (
+                SELECT count(*) AS n FROM customer
+                GROUP BY c_nationkey, c_mktsegment) WHERE n < 5),
+          gaps AS (
+            SELECT 'missing_days' AS audit, 'jumbo_orders' AS item,
+              date_diff('day', min(CAST(o_orderdate AS DATE)),
+                max(CAST(o_orderdate AS DATE))) + 1
+                - count(DISTINCT CAST(o_orderdate AS DATE)) AS value
+            FROM orders WHERE o_totalprice > 450000)
+          SELECT audit, item, CAST(value AS BIGINT) AS value FROM (
+            SELECT * FROM nulls UNION ALL SELECT * FROM expectf
+            UNION ALL SELECT * FROM fk UNION ALL SELECT * FROM kanon
+            UNION ALL SELECT * FROM gaps)
+          ORDER BY audit, item""",
 
     // each engine uses ITS OWN HLL estimator; the graded contract is
     // the exact count plus the 5% accuracy bit both must satisfy
