@@ -198,4 +198,43 @@ class PropertiesSpec extends SparkSpec {
       assert(got === exact, s"threshold=$t d=$d w=$w corpus=${keys.take(20)}")
     }
   }
+
+  test("law: skipgramPairs total = 2*(w*L - w(w+1)/2) for one length-L sequence") {
+    import org.apache.spark.sql.functions._
+    val toks = Gen.chooseNum(3, 12).flatMap(l =>
+      Gen.listOfN(l, Gen.alphaLowerChar.map(_.toString)))
+    for ((ts, i) <- samples(toks, 6).zipWithIndex if ts.nonEmpty) {
+      val w = 1 + i % 3
+      val l = ts.length
+      val total = graft.operators.Sequence.skipgramPairs(
+          Seq((1L, ts)).toDF("sid", "toks"), col("sid"), col("toks"), w)
+        .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+      // each ordered pair within distance <= w counted once: for every
+      // d in 1..min(w, l-1) there are (l-d) pairs, both directions
+      val expect = 2L * (1 to math.min(w, l - 1)).map(d => l - d).sum
+      assert(total === expect, s"w=$w L=$l toks=$ts")
+      graft.GraftCache.releaseAll()
+    }
+  }
+
+  test("law: completeness partitions the span (present + missing = span) and bounds the gap run") {
+    import org.apache.spark.sql.functions._
+    val dayGen = Gen.nonEmptyListOf(Gen.chooseNum(0, 40))
+    for (ds <- samples(dayGen, 6)) {
+      val dates = ds.distinct.map(d =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000L + d)))
+      val r = graft.operators.Quality.completeness(dates.toDF("d"), col("d"))
+        .collect().head
+      val (span, present, missing, maxRun) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(present + missing === span)
+      assert(present === dates.size.toLong)
+      assert(maxRun <= missing && (missing == 0L) == (maxRun == 0L))
+      // independent max-run computation on the driver
+      val s = ds.distinct.sorted
+      val gaps = s.sliding(2).collect { case Seq(a, b) => b - a - 1 }.toSeq
+      assert(maxRun === (if (gaps.isEmpty) 0L else gaps.max.toLong))
+      graft.GraftCache.releaseAll()
+    }
+  }
 }
