@@ -22,8 +22,13 @@ object Verify {
     // every q* subdirectory it finds, so a leftover result from an
     // OLDER build would be compared against the CURRENT oracle and
     // report phantom failures (or worse, phantom passes).
+    // Scope the wipe to the queries THIS invocation will regenerate:
+    // a SPARK_GRAFT_ONLY dev-subset run must not hollow out committed
+    // outputs it isn't going to rewrite (full runs still wipe every
+    // q* dir, including queries since removed from the board).
     Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("q"))
+      .filter(f => only.forall(_.exists(f.getName.contains)))
       .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

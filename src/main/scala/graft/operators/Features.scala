@@ -152,8 +152,11 @@ object Features {
     * for quantized model scores (the stated contract) but silently
     * degenerates to a single-task corpus sort if a caller hands them a
     * high-cardinality raw metric. Same refusal posture as
-    * [[Dedup.requireBoundedBlocks]]: one count aggregate (parallel,
-    * corpus-scan-cheap) before the window is planned, a clear error
+    * [[Dedup.requireBoundedBlocks]]: one count over the (caller-cached)
+    * distinct frame before the window is planned — callers register
+    * `g` in [[graft.GraftCache]] first, so the guard's action
+    * MATERIALIZES the corpus aggregate the window then reuses, rather
+    * than running it twice — a clear error
     * pointing at pre-quantization, and a session-conf escape hatch
     * (`graft.window.maxDistinct`, default 2,000,000 — a 2M-row
     * single-task sort is sub-second; past that the task is the job).
@@ -190,8 +193,12 @@ object Features {
     * rows regardless of corpus size.
     */
   def aucExact(df: DataFrame, label: Column, score: Column): DataFrame = {
-    val g = df.select(score.cast("long").as("s"), label.cast("int").cast("long").as("y"))
-      .groupBy(col("s")).agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    // registered BEFORE the guard count so the corpus scan+aggregate
+    // materializes once and the window pass reads the cached frame —
+    // an unpersisted g would run the dominant corpus aggregate twice
+    val g = graft.GraftCache.registered(
+      df.select(score.cast("long").as("s"), label.cast("int").cast("long").as("y"))
+        .groupBy(col("s")).agg(count(lit(1)).as("n"), sum(col("y")).as("p")))
     requireBoundedDistinct(g, "aucExact's distinct-score frame")
     val w = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
     g.withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)))
@@ -215,9 +222,12 @@ object Features {
   def ksTest(a: DataFrame, b: DataFrame, vm: Column): DataFrame = {
     val ga = a.select(vm.as("v")).groupBy(col("v")).agg(count(lit(1)).as("ca"))
     val gb = b.select(vm.as("v")).groupBy(col("v")).agg(count(lit(1)).as("cb"))
-    val g = ga.join(gb, Seq("v"), "full")
+    // registered BEFORE the guard count (same reason as aucExact): the
+    // guard, the totals aggregate, and the CDF window all read one
+    // materialization of the corpus-sized grouping instead of three
+    val g = graft.GraftCache.registered(ga.join(gb, Seq("v"), "full")
       .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
-        coalesce(col("cb"), lit(0L)).as("cb"))
+        coalesce(col("cb"), lit(0L)).as("cb")))
     requireBoundedDistinct(g, "ksTest's distinct-value frame")
     val totals = broadcast(g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b")))
     val w = Window.orderBy(col("v"))

@@ -301,9 +301,15 @@ object Graph {
     val e = graft.GraftCache.registered(
       canonEdges.select(col("u").cast("long").as("u"),
         col("v").cast("long").as("v")).distinct())
-    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    deg.join(triangleCounts(e), Seq("node"), "left_outer")
+    // registered: the degree frame feeds both the quotient below AND
+    // triangleCounts' skew probe/orientation (passed via knownDegrees
+    // so the aggregate runs once, not once per consumer)
+    val deg = graft.GraftCache.registered(
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree")))
+    deg.join(triangleCounts(e,
+        knownDegrees = Some(deg.select(col("node"), col("degree").as("deg")))),
+        Seq("node"), "left_outer")
       .select(col("node"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .withColumn("cc_micro",
@@ -390,34 +396,109 @@ object Graph {
         .select(col("node"), col("nd").as("dist")))
       n = improved.count()
       if (n > 0) {
-        dist = pin(dist.unionAll(improved)
-          .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+        // frontier-sized merge: `improved` rows strictly beat (or are
+        // absent from) `dist` by construction, so an anti-join + union
+        // replaces them without re-aggregating the FULL distance frame
+        // — the settled mass streams through while only the frontier
+        // shuffles (broadcast-able under AQE), keeping per-round cost
+        // on the frontier as the scaladoc promises
+        dist = pin(dist.join(improved.select(col("node")), Seq("node"), "left_anti")
+          .unionAll(improved))
         frontier = improved
       }
     }
     dist
   }
 
+  /** The wedge-join skew lever: re-orient a canonical (`u < v`,
+    * distinct) undirected edge list so each edge points from its
+    * (degree, id)-SMALLER endpoint to its larger one. Relabeling ids
+    * by degree rank and re-canonicalizing `lo < hi` produces exactly
+    * this orientation (rank is monotone in (degree, id)), so the
+    * orientation IS the relabel's entire effect on a wedge join —
+    * and it keeps the original node ids, needing no translate-back.
+    *
+    * Why it kills the hub problem: a wedge join generates, per mid
+    * node, out-degree² candidate pairs. Under id order a hub's mid
+    * fan-out is its full degree (deg² wedges in one task); under
+    * degree order a node's out-neighbors all have HIGHER (degree,
+    * id), and a standard argument bounds that out-degree by
+    * O(√(2·|E|)) — total wedge volume falls from Σ deg² to
+    * O(|E|^1.5) with no single-task hub blowup. Any triangle
+    * `x ≺ y ≺ z` is still found exactly once: edges orient to
+    * (x,y), (y,z), (x,z) under any strict total order ≺.
+    *
+    * Cost: one degree aggregate + two endpoint joins — linear,
+    * shuffle-keyed on node ids. [[triangleCounts]] (and so
+    * [[localClustering]]) applies it internally by default.
+    */
+  def degreeRelabel(canonEdges: DataFrame): DataFrame = {
+    val e0 = canonEdges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
+    orientWith(e0, degreesOf(e0))
+  }
+
+  /** Per-node degree of a canonical edge list (each edge credits both
+    * endpoints) — one map-side-combined aggregate. */
+  private def degreesOf(e0: DataFrame): DataFrame =
+    e0.select(col("u").as("node")).unionAll(e0.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** [[degreeRelabel]] with the degree frame supplied by the caller
+    * (so an adaptive caller can probe it first without recomputing). */
+  private def orientWith(e0: DataFrame, deg: DataFrame): DataFrame = {
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    e0.join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("lo"),
+        when(uFirst, col("v")).otherwise(col("u")).as("hi"))
+      .select(col("lo").as("u"), col("hi").as("v"))
+  }
+
   /** Per-node triangle counts over a canonical (`u < v`, distinct)
     * undirected edge list: the local clustering signal (community
-    * density, spam-farm detection). Each triangle `a < b < c` is
+    * density, spam-farm detection). Each triangle `a ≺ b ≺ c` is
     * found exactly once by joining wedge `(a,b)+(b,c)` against the
     * closing edge `(a,c)`, then credited to all three corners.
     *
-    * Scale: two shuffle joins keyed on node ids. The classic skew
-    * lever — rank nodes by (degree, id) instead of raw id so hub
-    * wedges split evenly — drops in by re-labelling ids before the
-    * call; the join shape is unchanged. Wedge volume is Σ deg²: on
-    * power-law graphs cap hot nodes upstream (same posture as
-    * [[projectBipartite]]).
+    * Scale: two shuffle joins keyed on node ids, with the
+    * [[degreeRelabel]] skew lever applied ADAPTIVELY: a 1-row probe
+    * of the degree frame (`maxDeg² > 8·|E|` — one hub alone would
+    * enumerate 8× the edge count in wedges) decides whether the two
+    * orientation joins are worth paying. Flat graphs skip them
+    * (measured: the always-on orientation cost q142 ~2× at sf0.1 for
+    * zero benefit); power-law graphs get the O(|E|^1.5) wedge bound
+    * with no deg² hub mid. Orientation changes which wedges are
+    * ENUMERATED, never which triangles close — counts are
+    * orientation-invariant. `orientByDegree = false` pins the naive
+    * id orientation (no probe, no degree pass). `knownDegrees`
+    * (node, deg) lets a caller that already aggregated degrees (e.g.
+    * [[localClustering]]) feed the probe for free.
     */
-  def triangleCounts(canonEdges: DataFrame): DataFrame = {
-    // the edge frame feeds THREE join legs — without a persist the
-    // upstream pipeline (often an LSH candidate generator) would
-    // execute once per leg (measured: q142 8.6s → 2.9s at sf0.1)
-    val e = graft.GraftCache.registered(
+  def triangleCounts(canonEdges: DataFrame,
+      orientByDegree: Boolean = true,
+      knownDegrees: Option[DataFrame] = None): DataFrame = {
+    // the edge frame feeds THREE join legs (and under orientation the
+    // degree agg + two endpoint joins read it again) — without a
+    // persist the upstream pipeline (often an LSH candidate generator)
+    // would execute once per read (measured: q142 8.6s → 2.9s at
+    // sf0.1; an uncached orientation input costs 2× again)
+    val raw = graft.GraftCache.registered(
       canonEdges.select(col("u").cast("long").as("u"),
         col("v").cast("long").as("v")))
+    val e =
+      if (orientByDegree) {
+        val deg = knownDegrees.getOrElse(
+          graft.GraftCache.registered(degreesOf(raw)))
+        // skew probe: 1-row aggregate, bounded driver artifact
+        val st = deg.agg(coalesce(max(col("deg")), lit(0L)).as("mx"),
+          coalesce(sum(col("deg")), lit(0L)).as("d2")).collect().head
+        val mx = st.getLong(0).toDouble
+        val m = st.getLong(1).toDouble / 2
+        if (mx * mx > 8 * m) graft.GraftCache.registered(orientWith(raw, deg))
+        else raw
+      } else raw
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.v") === col("e2.u"))
       .join(e.as("e3"),

@@ -191,9 +191,14 @@ object Quality {
       .groupBy(col("grp")).agg(count(lit(1)).as("run"))
     val maxRun = broadcast(runs.agg(
       coalesce(max(col("run")), lit(0L)).as("max_gap_days")))
+    // coalesce: on an EMPTY feed the spine is empty, so the sums are
+    // null while max_gap_days is already coalesced — the report must
+    // be uniformly all-zeros or a composing gate (q249) propagates null
     flagged.agg(count(lit(1)).as("n_span_days"),
-        sum(when(col("gap"), 0L).otherwise(1L)).as("n_present_days"),
-        sum(when(col("gap"), 1L).otherwise(0L)).as("n_missing_days"))
+        coalesce(sum(when(col("gap"), 0L).otherwise(1L)), lit(0L))
+          .as("n_present_days"),
+        coalesce(sum(when(col("gap"), 1L).otherwise(0L)), lit(0L))
+          .as("n_missing_days"))
       .crossJoin(maxRun)
   }
 

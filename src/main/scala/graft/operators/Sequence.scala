@@ -205,21 +205,30 @@ object Sequence {
     * trainer's job, the engine's job is exact, reproducible pair
     * counts.
     *
-    * Shape: posexplode + a sequence-keyed self-join with the position
-    * distance as a residual predicate — co-partitioned by sequence
-    * id, fan-out bounded by 2·window per position, so pair volume is
+    * Shape: posexplode, then each center row fans out into its 2w
+    * context PROBES (`pos + δ`, δ ∈ [−w, w]\{0}) and EQUI-joins on
+    * `(sid, probe)` — the window lives in the join keys, so it is
+    * structural, never a post-predicate. Per-sequence comparison cost
+    * is O(w·L), and both the join volume and the output are
     * `<= 2·window · Σ len`, linear in the corpus for a fixed window.
+    * (The obvious alternative — a sid-only self-join with
+    * `abs(a.pos − b.pos) <= w` as a residual filter — is O(L²)
+    * comparisons inside one task per sequence: fine on bounded walk
+    * corpora, a straggler factory on 100k-token documents. Probes
+    * falling off either end of a sequence simply find no match.)
     */
   def skipgramPairs(seqs: DataFrame, seqKey: Column, tokens: Column,
       window: Int): DataFrame = {
     require(window >= 1, s"skipgramPairs: window must be >= 1, got $window")
     val ex = graft.GraftCache.registered(
       seqs.select(seqKey.as("sid"), posexplode(tokens).as(Seq("pos", "tok"))))
-    ex.as("a").join(ex.as("b"),
-        col("a.sid") === col("b.sid") &&
-        col("a.pos") =!= col("b.pos") &&
-        abs(col("a.pos") - col("b.pos")) <= window)
-      .groupBy(col("a.tok").as("center"), col("b.tok").as("context"))
+    val deltas = array(((-window to window).filter(_ != 0)).map(lit): _*)
+    ex.select(col("sid"), col("tok").as("center"), col("pos"),
+        explode(deltas).as("d"))
+      .select(col("sid"), col("center"), (col("pos") + col("d")).as("cpos"))
+      .join(ex.select(col("sid"), col("pos").as("cpos"),
+        col("tok").as("context")), Seq("sid", "cpos"))
+      .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("n"))
   }
 

@@ -309,8 +309,13 @@ object QualityQueries {
         .agg(sum(Q.cents(col("o_totalprice"))).as("v"))
       val lagged = daily.select(date_add(col("day"), 7).as("day"),
         col("v").as("f"))
+      // the |a-f|*1e6 numerator rides DECIMAL(38,0): daily cents at
+      // multi-TB tiers pass ~9.2e12, and *1e6 in LONG wraps 2^63
+      // (the q205/q229 overflow class) — DuckDB's // widens on its own
       daily.join(lagged, Seq("day"))
-        .select(expr("abs(v - f) * 1000000 div (v + f)").as("smape_micro"))
+        .select(expr(
+          "cast(abs(v - f) as decimal(38,0)) * 1000000 div (v + f)")
+          .as("smape_micro"))
         .agg(count(lit(1)).as("n_days"),
           round(avg(col("smape_micro")), 6).as("mean_smape_micro_r6"),
           max(col("smape_micro")).as("worst_smape_micro"))
@@ -715,7 +720,8 @@ object QualityQueries {
             FROM orders GROUP BY 1),
           j AS (SELECT a.v AS v, b.v AS f FROM d a
             JOIN d b ON a.day = b.day + INTERVAL 7 DAYS),
-          sm AS (SELECT abs(v - f) * 1000000 // (v + f) AS smape_micro FROM j)
+          sm AS (SELECT abs(CAST(v AS HUGEINT) - f) * 1000000 // (v + f)
+            AS smape_micro FROM j)
           SELECT CAST(count(*) AS BIGINT) AS n_days,
             round(avg(smape_micro), 6) AS mean_smape_micro_r6,
             CAST(max(smape_micro) AS BIGINT) AS worst_smape_micro

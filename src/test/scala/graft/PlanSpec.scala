@@ -601,15 +601,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p) // the union+window form has NO join operator at all
   }
 
-  test("aucExact: one corpus shuffle (group by score); the window runs on the distinct-score frame only") {
+  test("aucExact: the guard materializes the corpus grouping ONCE — the window reads the cache") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val p = graft.operators.Features.aucExact(
         Seq((1L, true), (2L, false)).toDF("s", "y"), col("y"), col("s"))
       .queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    // the distinct-score grouping is cached by the cardinality guard;
+    // the window pass must READ that cache, not re-run the corpus agg
+    assert(p.contains("InMemoryTableScan"), p)
     // the single-partition exchange carries distinct scores, not rows
     assert("Exchange SinglePartition".r.findAllIn(p).length === 1, p)
+    graft.GraftCache.releaseAll()
   }
 
   test("maxConcurrency: two window shuffles ((grp,day) sweep + per-grp carry), no global sort") {
@@ -659,6 +662,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
+    graft.GraftCache.releaseAll()
+  }
+
+  test("skipgramPairs: the window band is STRUCTURAL — position is an equi-key, no residual abs() band") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Sequence.skipgramPairs(
+      Seq((1L, Seq("a", "b", "c"))).toDF("sid", "toks"),
+      col("sid"), col("toks"), 2)
+    val p = df.queryExecution.executedPlan.toString
+    // the position probe (pos + delta) must be IN the equi-join keys,
+    // and no abs(...) residual may remain — O(w·L) per sequence, never
+    // O(L²) (string-matched: the AQE wrapper hides the join node from
+    // a tree collect before execution)
+    val keyed = ("(?:BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) " +
+      "\\[[^\\]]*cpos[^\\]]*\\]").r
+    assert(keyed.findFirstIn(p).isDefined, p)
+    assert(!p.contains("abs("), p)
     graft.GraftCache.releaseAll()
   }
 }

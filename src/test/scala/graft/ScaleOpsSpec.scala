@@ -55,6 +55,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(t === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("degreeRelabel: hub edges orient INTO the hub (no deg² wedge mid), triangles invariant") {
+    // hub 500 linked to every other node, plus triangle (1,2,3):
+    // triangles are (1,2,3) and the three hub-closed ones
+    val hubEdges = (0 until 1000).filter(_ != 500)
+      .map(i => (math.min(i, 500).toLong, math.max(i, 500).toLong))
+    val e = (hubEdges ++ Seq((1L, 2L), (2L, 3L), (1L, 3L))).toDF("u", "v")
+    val o = Graph.degreeRelabel(e)
+    // max-degree node must have out-degree 0 in the orientation — the
+    // lever's whole point: the hub can never be a wedge mid
+    assert(o.filter(col("u") === 500L).count() === 0L)
+    assert(o.count() === e.count()) // orientation is a bijection on edges
+    val fast = Graph.triangleCounts(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = Graph.triangleCounts(e, orientByDegree = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === naive)
+    assert(fast(500L) === 3L && fast(1L) === 3L && !fast.contains(4L))
+    graft.GraftCache.releaseAll()
+  }
+
   test("projectBipartite projects shared-key pairs and rejects hot keys") {
     val pairs = Seq(("k1", 1L), ("k1", 2L), ("k1", 3L), ("k2", 2L), ("k2", 3L))
       .toDF("k", "s")
