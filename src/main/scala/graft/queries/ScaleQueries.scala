@@ -323,6 +323,72 @@ object ScaleQueries {
         .orderBy(col("n").desc, col("center"), col("context")).limit(50)
     }),
 
+    // The composed embedding-training-data release pipeline — ONE call
+    // chaining the stages a node-embedding trainer's data job runs:
+    // deterministic walks (q234's corpus) → skip-gram pairs (q235's
+    // generator) → co-occurrence lift, vocabulary census, and
+    // deterministic shard assignment — unified into a (facet, item,
+    // value) long report, the q249 composed-gate pattern applied to
+    // training-data generation. The per-stage queries grade the parts;
+    // this grades the composition (walks/tokens cached ONCE and shared
+    // by every facet — the multi-output single-pass ethos).
+    "q250_embedding_release" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey").cast("long") + 1)).as("dst"))
+      val seeds = t(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey").cast("long").as("node"))
+      val walks = graft.GraftCache.registered(
+        Graph.hashWalks(Graph.symmetrize(pairs), seeds,
+          walkLen = 3, walksPerNode = 2))
+      val toks = graft.GraftCache.registered(walks.select(
+        concat(col("start"), lit("_"), col("w")).as("wid"),
+        posexplode(split(col("path"), ">")).as(Seq("pos", "tok"))))
+      val corpus = toks.agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("wid")).as("n_walks"),
+          countDistinct(col("tok")).as("n_vocab"))
+        .selectExpr("stack(3, 'corpus', 'n_tokens', n_tokens, " +
+          "'corpus', 'n_walks', n_walks, 'corpus', 'n_vocab', n_vocab) " +
+          "AS (facet, item, value)")
+      val sg = graft.GraftCache.registered(
+        Sequence.skipgramPairs(walks, struct(col("start"), col("w")),
+          split(col("path"), ">"), window = 2))
+      val pairFacet = sg.agg(sum(col("n")).as("total"),
+          count(lit(1)).as("n_distinct"))
+        .selectExpr("stack(2, 'pairs', 'total', total, " +
+          "'pairs', 'distinct', n_distinct) AS (facet, item, value)")
+      val pmi = Curation.liftPairs(toks.select(col("wid"), col("tok")),
+          col("wid"), col("tok"), walks.select(
+            concat(col("start"), lit("_"), col("w")).as("wid")),
+          minSupport = 2, minPair = 2, maxPerBasket = 64, k = 3)
+        .select(lit("pmi").as("facet"),
+          concat(col("item_a"), lit(">"), col("item_b")).as("item"),
+          col("lift_micro").as("value"))
+      val shards = Curation.shardAssign(
+          sg.select(concat(col("center"), lit(">"), col("context"))
+            .as("pair_id")), "pair_id", nShards = 4, salt = "emb")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("value"))
+        .select(lit("shard").as("facet"), col("shard").cast("string").as("item"),
+          col("value"))
+      corpus.unionAll(pairFacet).unionAll(pmi).unionAll(shards)
+        .select(col("facet"), col("item"), col("value").cast("long").as("value"))
+        .orderBy(col("facet"), col("item"))
+    }),
+
+    // Skip-gram pairs over DOCUMENT token sequences (window 3): the
+    // word2vec training-pair generator on real text, where sequences
+    // are hundreds of tokens — the input class whose length made the
+    // old sid-keyed self-join O(L²); the offset-explode equi-join
+    // keeps it at 2w·Σlen. Top-50 pairs by count.
+    "q251_text_skipgrams" -> ((s, dir) =>
+      Sequence.skipgramPairs(t(s, dir, "documents"),
+          col("doc_id"), split(lower(col("text")), " "), window = 3)
+        .orderBy(col("n").desc, col("center"), col("context")).limit(50)),
+
     // Position-based (U-shaped) multi-touch attribution: every click
     // in the hour before a purchase is credited 40/20/40 by position
     // in integer micro — the multi-touch generalization of q151's
@@ -1221,6 +1287,68 @@ object ScaleQueries {
           SELECT CAST(center AS BIGINT) AS center,
             CAST(context AS BIGINT) AS context, CAST(n AS BIGINT) AS n
           FROM sg ORDER BY n DESC, center, context LIMIT 50""",
+
+    "q250_embedding_release" ->
+      s"""WITH $sqlWalks,
+          t AS (SELECT start, w, start || '_' || w AS wid,
+              string_split(path, '>') AS arr FROM s3),
+          tok AS (SELECT wid, pos, arr[pos] AS tok FROM (
+            SELECT wid, arr,
+              unnest(generate_series(1, len(arr))) AS pos FROM t)),
+          sg AS (SELECT a.tok AS center, b.tok AS context,
+              CAST(count(*) AS BIGINT) AS n
+            FROM tok a JOIN tok b ON a.wid = b.wid
+              AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+            GROUP BY 1, 2),
+          dt AS (SELECT DISTINCT wid, tok FROM tok),
+          dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfreq
+            FROM dt GROUP BY 1 HAVING count(*) >= 2),
+          kept AS (SELECT dt.wid, dt.tok FROM dt JOIN dfq USING (tok)),
+          pc AS (SELECT a.tok AS item_a, b.tok AS item_b,
+              CAST(count(*) AS BIGINT) AS npair
+            FROM kept a JOIN kept b ON a.wid = b.wid AND a.tok < b.tok
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          nw AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM s3),
+          lift AS (SELECT item_a, item_b, npair,
+              npair * (SELECT n_docs FROM nw) * 1000000
+                // (da.dfreq * db.dfreq) AS lift_micro
+            FROM pc JOIN dfq da ON pc.item_a = da.tok
+              JOIN dfq db ON pc.item_b = db.tok),
+          top3 AS (SELECT 'pmi' AS facet, item_a || '>' || item_b AS item,
+              CAST(lift_micro AS BIGINT) AS value
+            FROM lift ORDER BY lift_micro DESC, npair DESC, item_a, item_b
+            LIMIT 3),
+          rep AS (
+            SELECT 'corpus' AS facet, 'n_tokens' AS item,
+              CAST(count(*) AS BIGINT) AS value FROM tok
+            UNION ALL SELECT 'corpus', 'n_walks',
+              CAST(count(*) AS BIGINT) FROM s3
+            UNION ALL SELECT 'corpus', 'n_vocab',
+              CAST(count(DISTINCT tok) AS BIGINT) FROM tok
+            UNION ALL SELECT 'pairs', 'total',
+              CAST(sum(n) AS BIGINT) FROM sg
+            UNION ALL SELECT 'pairs', 'distinct',
+              CAST(count(*) AS BIGINT) FROM sg
+            UNION ALL SELECT facet, item, value FROM top3
+            UNION ALL SELECT 'shard',
+              CAST(${Q.sqlTokenHash("'emb_' || center || '>' || context")} % 4
+                AS VARCHAR),
+              CAST(count(*) AS BIGINT) FROM sg GROUP BY 2)
+          SELECT facet, item, value FROM rep ORDER BY facet, item""",
+
+    "q251_text_skipgrams" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS arr
+            FROM ${Q.DocsPq}),
+          tok AS (SELECT doc_id, pos, arr[pos] AS tok FROM (
+            SELECT doc_id, arr,
+              unnest(generate_series(1, len(arr))) AS pos FROM t)),
+          sg AS (SELECT a.tok AS center, b.tok AS context,
+              CAST(count(*) AS BIGINT) AS n
+            FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+              AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 3
+            GROUP BY 1, 2)
+          SELECT center, context, n FROM sg
+          ORDER BY n DESC, center, context LIMIT 50""",
 
     "q236_position_attribution" ->
       s"""WITH conv AS (SELECT user_id, ts AS conv_ts, event_id AS conv_id

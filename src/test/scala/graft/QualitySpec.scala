@@ -139,6 +139,19 @@ class QualitySpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
+  test("q250 embedding release report: facets are internally consistent") {
+    val rep = SparkEntry.queries("q250_embedding_release")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every token of every walk appears once: walkLen 3 → 4 positions
+    assert(rep(("corpus", "n_tokens")) === 4L * rep(("corpus", "n_walks")))
+    // the shard facet partitions the distinct-pair frame exactly
+    val shardSum = rep.collect { case (("shard", _), v) => v }.sum
+    assert(shardSum === rep(("pairs", "distinct")))
+    // pair total ≤ 2w·Σlen with w=2 (the operator's volume contract)
+    assert(rep(("pairs", "total")) <= 4L * rep(("corpus", "n_tokens")))
+    graft.GraftCache.releaseAll()
+  }
+
   test("positionAttribution: U-shaped credit, window exclusion, single-touch full") {
     def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
     val ev = Seq(
