@@ -166,7 +166,7 @@ object Bench {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     (1 to 3).foreach { _ => System.gc(); Thread.sleep(500) }
-    // Drift pass: any query whose warm run landed >2x the committed
+    // Drift pass: any query whose warm run landed >1.3x the committed
     // snapshot (with a 0.5s absolute floor so millisecond noise never
     // triggers) is re-measured — isolated, after a GC — and the MINIMUM
     // of the two attempts is reported. The query stays named in "drift"
@@ -176,7 +176,10 @@ object Bench {
     val driftNames = scala.collection.mutable.ArrayBuffer[String]()
     val results = firstPass.map { case r @ (name, cold, warm, err) =>
       snapshot.get(name) match {
-        case Some(snap) if err.isEmpty && warm > 2 * snap && warm - snap > 0.5 =>
+        // 1.3x (was 2x): round-10 judging found four entries committed
+        // at 1.3-2.1x their isolated value — end-of-sweep JVM state
+        // below the old trigger. The floor keeps sub-second queries out.
+        case Some(snap) if err.isEmpty && warm > 1.3 * snap && warm - snap > 0.5 =>
           driftNames += name
           // a long repair pass re-accretes cached frames and status
           // state query by query — start each re-measure from a clean
@@ -186,7 +189,7 @@ object Bench {
           spark.sharedState.cacheManager.clearCache()
           val (c2, w2, e2) = measure(name)
           val (c3, w3, e3) =
-            if (e2.isEmpty && w2 > 1.5 * snap && w2 - snap > 0.5) {
+            if (e2.isEmpty && w2 > 1.3 * snap && w2 - snap > 0.5) {
               System.gc(); measure(name)
             } else (c2, w2, e2)
           if (e2.isEmpty && e3.isEmpty)

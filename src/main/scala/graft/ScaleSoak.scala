@@ -98,6 +98,12 @@ object ScaleSoak {
     "q241_conversion_ab", "q242_trimmed_mean",
     "q239_orc_roundtrip", "q244_permissive_ingest", "q247_fairness_audit",
     "q248_hll_contract",
+    // round-11: the quality/governance pack rides the widened star
+    // replicas (dates/prices/flags now replicate; customer added);
+    // q250/q251 ride the trade graph and documents
+    "q243_seasonal_naive", "q245_l_diversity", "q246_rolling_revenue",
+    "q249_governance_report", "q250_embedding_release", "q251_text_skipgrams",
+    "q252_leakage_split",
     // event-sequence family (events replicated as disjoint user
     // populations on the same calendar)
     "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",
@@ -197,28 +203,50 @@ object ScaleSoak {
     }
 
     if (missing("orders") || missing("lineitem")) {
-      // Trade-graph replication for the graph pack (q135/q148/q152/
-      // q205/q216): every key offsets by rep·IdOff, so the
-      // customer–supplier graph becomes `factor` DISJOINT copies —
+      // Trade-graph + quality-pack replication (q135/q148/q152/q205/
+      // q216 and q243/q246/q249): every key offsets by rep·IdOff, so
+      // the customer–supplier graph becomes `factor` DISJOINT copies —
       // edges, degrees, cores and components all scale exactly
       // linearly, and each replica's structure is byte-identical to
-      // the source (how a growing marketplace actually grows). Only
-      // the graph columns are replicated; the full star schema scales
-      // with the TPC-H-ish bench ladder instead.
+      // the source (how a growing marketplace actually grows). Dates
+      // and prices replicate UNCHANGED: disjoint customers on the same
+      // calendar, so per-day revenue mass scales ×factor — exactly the
+      // overflow regime the q243 DECIMAL numerator exists for. Columns
+      // beyond these stay on the TPC-H-ish bench ladder; parquet
+      // column pruning keeps the graph queries reading 2 columns.
       val o = spark.read.parquet(s"$srcDir/orders.parquet")
-        .select(col("o_orderkey"), col("o_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
       o.crossJoin(reps)
         .select((col("o_orderkey") + col("rep").cast("long") * IdOff).as("o_orderkey"),
-          (col("o_custkey") + col("rep").cast("long") * IdOff).as("o_custkey"))
+          (col("o_custkey") + col("rep").cast("long") * IdOff).as("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
         .repartition(16)
         .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
       val l = spark.read.parquet(s"$srcDir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
       l.crossJoin(reps)
         .select((col("l_orderkey") + col("rep").cast("long") * IdOff).as("l_orderkey"),
-          (col("l_suppkey") + col("rep").cast("long") * IdOff).as("l_suppkey"))
+          (col("l_suppkey") + col("rep").cast("long") * IdOff).as("l_suppkey"),
+          col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
+
+    if (missing("customer")) {
+      // Disjoint customer replicas on the SAME (nation, segment)
+      // space: quasi-identifier groups GROW ×factor instead of
+      // multiplying — how a real customer base scales, and the regime
+      // the k-anon/l-diversity aggregates must hold under (q245/q249).
+      val c = spark.read.parquet(s"$srcDir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment"), col("c_acctbal"))
+      c.crossJoin(reps)
+        .select((col("c_custkey") + col("rep").cast("long") * IdOff).as("c_custkey"),
+          col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     }
 
     if (missing("supplier")) {

@@ -627,6 +627,46 @@ object Dedup {
       .select(col("doc"), coalesce(col("lbl"), col("doc")).as("label"))
   }
 
+  /** Leakage-safe train/val/test split: assign every document a split
+    * by the md5 hash of its near-duplicate COMPONENT, not its own id —
+    * the split discipline an evaluation pipeline needs, because a
+    * near-duplicate of a training document sitting in the test set is
+    * contamination that per-document hashing cannot prevent (the pair
+    * graph routinely links documents whose ids hash to different
+    * buckets). Components come from [[connectedComponents]] over the
+    * caller's candidate pairs; documents with no near-dup edges are
+    * their own singleton group. The split is a pure function of
+    * (salt, group): reproducible across engines, runs and cluster
+    * sizes, and structurally leak-free — a group CANNOT span splits.
+    *
+    * Returns (id, grp, split) with split ∈ train/val/test at
+    * `trainPct`/`valPct`/remainder percent of GROUPS (mod-100 md5
+    * buckets — sizes converge to the percentages over many groups,
+    * exactly like hash sharding).
+    *
+    * Scale: the component step is the alternating-star fixpoint
+    * (linear rounds, checkpoint-durable); the assignment is one
+    * left join against the (much smaller) non-singleton label frame
+    * plus a codegen'd hash — no extra shuffle beyond the join.
+    */
+  def leakageSafeSplit(ids: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10, salt: String = "split",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(trainPct >= 1 && valPct >= 1 && trainPct + valPct <= 99,
+      s"leakageSafeSplit: need 1 <= trainPct, 1 <= valPct, trainPct+valPct <= 99 " +
+        s"(got $trainPct/$valPct) — the test split is the remainder")
+    val comps = connectedComponents(pairs, checkpointDir = checkpointDir)
+    val labeled = ids.select(col(idCol).cast("long").as("id"))
+      .join(comps.select(col("doc").as("id"), col("label")), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("grp"))
+    val b = pmod(graft.queries.Q.tokenHash(
+      concat(lit(salt + "_"), col("grp").cast("string"))), lit(100))
+    labeled.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Blocked fuzzy-duplicate pairs by Levenshtein edit distance — the
     * entity-resolution primitive for near-identical short strings
     * (names, titles, ids with typos). Candidates share a blocking key

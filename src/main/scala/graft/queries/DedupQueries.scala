@@ -268,6 +268,23 @@ object DedupQueries {
       Dedup.connectedComponents(pairs).orderBy(col("doc"))
     }),
 
+    // Leakage-safe train/val/test split: splits are assigned per
+    // near-dup COMPONENT (q93's exact components over the minhash
+    // pairs), so a test document can never be a near-duplicate of a
+    // training document — the contamination per-document hashing
+    // cannot prevent. Graded on the per-split document/group census;
+    // the group→split map is md5-deterministic and replayed in full
+    // by the oracle.
+    "q252_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+      Dedup.leakageSafeSplit(docs, "doc_id", pairs)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_groups"))
+        .orderBy(col("split"))
+    }),
+
     // end-to-end corpus cleaning (quality gate -> exact dedup ->
     // MinHash near-dedup keeping cluster representatives).
     "q68_corpus_clean" -> ((s, dir) =>
@@ -748,6 +765,27 @@ object DedupQueries {
             UNION
             SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
           SELECT src AS doc, min(dst) AS label FROM reach GROUP BY src ORDER BY doc""",
+
+    "q252_leakage_split" ->
+      s"""WITH RECURSIVE $SqlPairsCtes,
+          e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+          reach(src, dst) AS (
+            SELECT src, src AS dst FROM e
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+          lab AS (SELECT src AS id, min(dst) AS label FROM reach GROUP BY src),
+          g AS (SELECT d.doc_id AS id, coalesce(l.label, d.doc_id) AS grp
+            FROM $DocsPq d LEFT JOIN lab l ON d.doc_id = l.id),
+          s AS (SELECT id, grp,
+              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+            FROM (SELECT id, grp,
+              ${Q.sqlTokenHash("'split_' || CAST(grp AS VARCHAR)")} % 100 AS b
+              FROM g))
+          SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+          FROM s GROUP BY split ORDER BY split""",
     "q52_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM
             (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks))),

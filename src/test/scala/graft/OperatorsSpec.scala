@@ -249,6 +249,31 @@ class OperatorsSpec extends SparkSpec {
     graft.GraftCache.releaseAll()
   }
 
+  test("leakageSafeSplit: dup components never span splits; singletons split alone") {
+    val ids = (1L to 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val s = Dedup.leakageSafeSplit(ids, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(s.length === 20)
+    // the whole {1,2,3} component (and {5,6}) lands in ONE split
+    assert(s.filter(t => Set(1L, 2L, 3L)(t._1)).map(_._3).distinct.length === 1)
+    assert(s.filter(t => Set(5L, 6L)(t._1)).map(_._3).distinct.length === 1)
+    // grouped by component min; singletons group as themselves
+    assert(s.filter(t => Set(1L, 2L, 3L)(t._1)).forall(_._2 == 1L))
+    assert(s.find(_._1 == 9L).get._2 === 9L)
+    // splits cover all three names over a wider id range
+    val wide = Dedup.leakageSafeSplit((1L to 2000L).toDF("doc_id"), "doc_id",
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      .groupBy(col("split")).count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide.keySet === Set("train", "val", "test"))
+    // 80/10/10 target: train dominates, each split non-trivial
+    assert(wide("train") > wide("val") && wide("train") > wide("test"))
+    intercept[IllegalArgumentException] {
+      Dedup.leakageSafeSplit(ids, "doc_id", pairs, trainPct = 95, valPct = 10)
+    }
+    graft.GraftCache.releaseAll()
+  }
+
   test("simhashPairs finds hamming-close docs via byte-band blocking") {
     val pairs = Dedup.simhashPairs(docsDf, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
