@@ -217,15 +217,21 @@ object ScaleSoak {
       val o = spark.read.parquet(s"$srcDir/orders.parquet")
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderdate"), col("o_totalprice"))
+        .repartition(16) // parallelize the replica explode (see lineitem)
       o.crossJoin(reps)
         .select((col("o_orderkey") + col("rep").cast("long") * IdOff).as("o_orderkey"),
           (col("o_custkey") + col("rep").cast("long") * IdOff).as("o_custkey"),
           col("o_orderdate"), col("o_totalprice"))
         .repartition(16)
         .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      // repartition BEFORE the replica explode: the sf0.1 source is a
+      // single ~128MB-class parquet split, so without this the whole
+      // factor-× blowup (600M rows at x1000) maps in ONE task — the
+      // build was measured 1-core-bound for minutes while 31 idled
       val l = spark.read.parquet(s"$srcDir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_suppkey"),
           col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
+        .repartition(32)
       l.crossJoin(reps)
         .select((col("l_orderkey") + col("rep").cast("long") * IdOff).as("l_orderkey"),
           (col("l_suppkey") + col("rep").cast("long") * IdOff).as("l_suppkey"),
