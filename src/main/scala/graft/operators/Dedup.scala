@@ -260,11 +260,74 @@ object Dedup {
     * (J ≈ 1 — what corpus boilerplate actually is) keep recall ~1 at
     * any r, while partial overlaps near the threshold lose candidate
     * recall as r grows (P ≈ 1-(1-J^r)^2). Workloads needing a FIXED
-    * recall floor at a given threshold should pick (k, bands) by the
-    * S-curve with [[minhashPairs]] instead.
+    * recall floor at a given threshold should derive (rows, bands)
+    * from the contract with [[minhashGeometryFor]] and pass them to
+    * [[minhashPairs]]/[[pairsFromHashesAffine]]; [[lshRecallAudit]]
+    * (q253) measures the resulting curve on the actual corpus.
     */
   def minhashRowsFor(n: Long, targetBucket: Long = 250L): Int =
     math.min(16, Similarity.planesFor(n, targetBucket, 4))
+
+  /** Exact banding S-curve: P[candidate | J] = 1 − (1 − J^r)^b in
+    * integer micros (floored), computed in exact BigInt rational
+    * arithmetic — no pow/exp drift, no MathContext rounding, so specs
+    * and docs can quote it bit-stably on any JVM. This is the curve
+    * q253 MEASURES on real data.
+    */
+  def recallAtMicro(rows: Int, bands: Int, jMicro: Long): Long = {
+    require(rows >= 1 && bands >= 1 && jMicro >= 0 && jMicro <= 1000000,
+      s"rows/bands >= 1 and jMicro in [0, 1e6], got ($rows, $bands, $jMicro)")
+    val M = BigInt(1000000)
+    // miss = ((M^r − j^r) / M^r)^b; recallMicro = 1e6 − ceil(1e6·miss)
+    val num = (M.pow(rows) - BigInt(jMicro).pow(rows)).pow(bands) * M
+    val den = M.pow(rows * bands)
+    1000000L - ((num + den - 1) / den).toLong
+  }
+
+  /** Pick the cheapest MinHash geometry from the CONTRACT instead of
+    * the corpus size: the least-cost (rows, bands) — minimal k = r·b,
+    * ties to fewer bands — with
+    *   recall  1 − (1 − J^r)^b ≥ targetRecall at J = threshold, and
+    *   false-candidate rate ≤ maxFp at the background similarity bg
+    * (the S-curve must FALL between bg and threshold — a recall floor
+    * alone degenerates to r = 1, which admits every pair sharing one
+    * min-hash). All arithmetic exact (see [[recallAtMicro]]). Throws
+    * with the binding constraint if no geometry within (maxRows,
+    * maxBands) satisfies both — the caller should relax the recall
+    * floor or split the corpus (tighter bg) rather than silently run
+    * a geometry that cannot meet its contract.
+    *
+    * Grounding: q253 measured the default (4, 2) curve at 20% caught
+    * for J ≈ 0.5 — matching 1−(1−0.55⁴)² = 17.5%. A "J ≥ 0.6 at 90%
+    * recall, ≤ 1% false candidates at bg 0.1" contract resolves to
+    * (3, 10): k = 30 permutations, knee pulled below 0.6.
+    */
+  def minhashGeometryFor(thresholdMicro: Long, targetRecallMicro: Long,
+      bgMicro: Long = 100000L, maxFpMicro: Long = 10000L,
+      maxRows: Int = 16, maxBands: Int = 64): (Int, Int) = {
+    require(thresholdMicro > bgMicro,
+      s"threshold ($thresholdMicro) must exceed background similarity ($bgMicro)")
+    require(targetRecallMicro > 0 && targetRecallMicro < 1000000,
+      s"targetRecallMicro must be in (0, 1e6), got $targetRecallMicro")
+    val ok = for {
+      r <- 1 to maxRows
+      b <- 1 to maxBands
+      if recallAtMicro(r, b, thresholdMicro) >= targetRecallMicro
+      if recallAtMicro(r, b, bgMicro) <= maxFpMicro
+    } yield (r, b)
+    ok.sortBy { case (r, b) => (r * b, b) }.headOption.getOrElse {
+      val recallOnly = (1 to maxRows).flatMap(r => (1 to maxBands).map(r -> _))
+        .exists { case (r, b) => recallAtMicro(r, b, thresholdMicro) >= targetRecallMicro }
+      throw new IllegalArgumentException(
+        if (recallOnly)
+          s"no geometry within (maxRows=$maxRows, maxBands=$maxBands) holds false-candidates <= " +
+            s"$maxFpMicro micro at bg=$bgMicro while meeting recall >= $targetRecallMicro at " +
+            s"J=$thresholdMicro: raise maxRows (steeper curve) or tighten bg by pre-blocking"
+        else
+          s"recall >= $targetRecallMicro at J=$thresholdMicro is unreachable within " +
+            s"(maxRows=$maxRows, maxBands=$maxBands): relax the recall floor or raise maxBands")
+    }
+  }
 
   /** [[pairsFromHashes]] over the affine permutation family with
     * dynamic signature width k = 2·rows — the same one-aggregation /

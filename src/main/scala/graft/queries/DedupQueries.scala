@@ -301,6 +301,22 @@ object DedupQueries {
         Dedup.slidingTokenChunks(t(s, dir, "documents"), "doc_id", "text"),
         "chunk_id", "chunk_text", maxDf = 20)),
 
+    // contract-derived near-dup pairs: the geometry comes from the
+    // recall CONTRACT ("J >= 0.6 at >= 90% recall, <= 1% background
+    // candidates"), not from a fixed default — minhashGeometryFor
+    // resolves it to (3, 10) = 30 affine permutations in exact integer
+    // arithmetic, and the pipeline runs at that width. Closes the loop
+    // q253 opens: measure the S-curve, derive the geometry, run it.
+    // Same 0.6 verify threshold as q51, so the graded difference IS
+    // the recall (a (4, 2) band join leaves ~12% of J = 0.9 pairs
+    // uncandidated; (3, 10) leaves ~2e-4%).
+    "q254_contract_neardup" -> ((s, dir) => {
+      val (r, b) = Dedup.minhashGeometryFor(600000L, 900000L)
+      Dedup.pairsFromHashesAffine(
+        Dedup.shingleHashes(t(s, dir, "documents"), "doc_id", "text"), r, b, 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // end-to-end corpus cleaning (quality gate -> exact dedup ->
     // MinHash near-dedup keeping cluster representatives).
     "q68_corpus_clean" -> ((s, dir) =>
@@ -850,6 +866,31 @@ object DedupQueries {
             CAST((sum(n_caught)::HUGEINT * 1000000) // sum(n_truth) AS BIGINT) AS recall_micro
           FROM (SELECT * FROM crossb UNION ALL SELECT * FROM withinb)
           GROUP BY 1 ORDER BY 1""",
+
+    // the geometry constants are resolved by the SAME
+    // minhashGeometryFor call the query makes (exact BigInt
+    // arithmetic), so query and oracle cannot drift; affine
+    // permutation i = (1299721 + 2i)·h + 104729·(i+1) mod P, the
+    // index-generated family any SQL width can replay
+    "q254_contract_neardup" -> {
+      val (r, b) = Dedup.minhashGeometryFor(600000L, 900000L)
+      def perm(i: Int) =
+        s"min(((${1299721 + 2 * i}) * h + ${104729L * (i + 1)}) % ${Dedup.P}) AS mh$i"
+      val bandCond = (0 until b).map(bb => (bb * r until (bb + 1) * r)
+        .map(i => s"l.mh$i = r.mh$i").mkString("(", " AND ", ")")).mkString(" OR ")
+      s"""WITH sh AS (SELECT doc_id, ${sqlH31("shingle")} AS h FROM ($SqlShingles)),
+          sig AS (SELECT doc_id, ${(0 until r * b).map(perm).mkString(", ")}
+            FROM sh GROUP BY doc_id),
+          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM sig l JOIN sig r ON l.doc_id < r.doc_id AND ($bandCond)),
+          sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id),
+          jac AS (SELECT doc_a, doc_b,
+              round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+                (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6) AS jaccard
+            FROM cand JOIN sets a ON a.doc_id = doc_a JOIN sets b ON b.doc_id = doc_b)
+          SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.6
+          ORDER BY doc_a, doc_b"""
+    },
 
     "q52_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM

@@ -79,6 +79,45 @@ class OperatorsSpec extends SparkSpec {
     assert(byId(7L * 1024).intersect(byId(7L * 1024 + 1)).length === 24)
   }
 
+  test("recallAtMicro: exact anchors, r=1/b=1 identity, monotone in bands and rows") {
+    assert(Dedup.recallAtMicro(4, 2, 1000000) === 1000000L) // J=1 always caught
+    assert(Dedup.recallAtMicro(4, 2, 0) === 0L)
+    // 1 band of 1 row: P[candidate] = J exactly, for every micro value
+    Seq(1L, 250000L, 999999L).foreach(j =>
+      assert(Dedup.recallAtMicro(1, 1, j) === j))
+    // the q51 default at J=0.55 sits near the measured q253 bucket 5
+    val q51 = Dedup.recallAtMicro(4, 2, 550000)
+    assert(q51 > 170000 && q51 < 180000, q51)
+    assert(Dedup.recallAtMicro(4, 3, 550000) > q51) // more bands help
+    assert(Dedup.recallAtMicro(5, 2, 550000) < q51) // more rows hurt
+  }
+
+  test("minhashGeometryFor: cheapest curve falling between bg and threshold; refuses infeasible") {
+    val (r, b) = Dedup.minhashGeometryFor(600000, 900000)
+    assert((r, b) === (3, 10)) // k = 30; every k < 30 fails one constraint
+    assert(Dedup.recallAtMicro(r, b, 600000) >= 900000)
+    assert(Dedup.recallAtMicro(r, b, 100000) <= 10000)
+    // r = 1 meets the recall floor with k = 3 but is rejected: 27% of
+    // background pairs would become candidates (the degenerate curve)
+    assert(Dedup.recallAtMicro(1, 3, 600000) >= 900000)
+    assert(Dedup.recallAtMicro(1, 3, 100000) > 10000)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashGeometryFor(200000, 999999, bgMicro = 190000)
+    }
+  }
+
+  test("contract geometry (3,10) catches the J=0.75 pair and the exact dup") {
+    val sh = Dedup.shingleHashes(docsDf, "doc_id", "text")
+    val (r, b) = Dedup.minhashGeometryFor(600000L, 900000L)
+    val contract = Dedup.pairsFromHashesAffine(sh, r, b, 0.5).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    // docs 0~1 share 6/8 shingles (J = 0.75): the (3,10) curve catches
+    // it with p = 0.996 (deterministic here — hashes are fixed);
+    // (4,2) would only reach p = 0.53 at this J
+    assert(contract.contains((0L, 1L)))
+    assert(contract.contains((0L, 3L))) // identical docs: guaranteed
+  }
+
   test("lshRecallAudit over sliding chunks populates mid-Jaccard deciles") {
     // two 64-token docs with distinct vocab: same-doc neighbour chunks
     // land J ~ 0.58 (bucket 5) and distance-2 chunks J ~ 0.30 (bucket
