@@ -237,4 +237,34 @@ class PropertiesSpec extends SparkSpec {
       graft.GraftCache.releaseAll()
     }
   }
+
+  test("law: recallAtMicro is monotone in J and bands, antitone in rows; geometry meets its contract") {
+    import graft.operators.Dedup
+    val caseGen = for {
+      r <- Gen.chooseNum(1, 12)
+      b <- Gen.chooseNum(1, 32)
+      j1 <- Gen.chooseNum(0L, 1000000L)
+      j2 <- Gen.chooseNum(0L, 1000000L)
+    } yield (r, b, math.min(j1, j2), math.max(j1, j2))
+    for ((r, b, jLo, jHi) <- samples(caseGen, 40)) {
+      assert(Dedup.recallAtMicro(r, b, jLo) <= Dedup.recallAtMicro(r, b, jHi),
+        s"J-monotone broke at ($r, $b, $jLo, $jHi)")
+      assert(Dedup.recallAtMicro(r, b + 1, jHi) >= Dedup.recallAtMicro(r, b, jHi),
+        s"band-monotone broke at ($r, $b, $jHi)")
+      assert(Dedup.recallAtMicro(r + 1, b, jHi) <= Dedup.recallAtMicro(r, b, jHi),
+        s"row-antitone broke at ($r, $b, $jHi)")
+    }
+    // any feasible contract's chosen geometry satisfies both bounds
+    val contractGen = for {
+      th <- Gen.chooseNum(400000L, 900000L)
+      target <- Gen.chooseNum(500000L, 990000L)
+    } yield (th, target)
+    for ((th, target) <- samples(contractGen, 10)) {
+      try {
+        val (r, b) = Dedup.minhashGeometryFor(th, target)
+        assert(Dedup.recallAtMicro(r, b, th) >= target)
+        assert(Dedup.recallAtMicro(r, b, 100000L) <= 10000L)
+      } catch { case _: IllegalArgumentException => () } // infeasible: refusal is the contract
+    }
+  }
 }
