@@ -104,6 +104,7 @@ object ScaleSoak {
     "q243_seasonal_naive", "q245_l_diversity", "q246_rolling_revenue",
     "q249_governance_report", "q250_embedding_release", "q251_text_skipgrams",
     "q252_leakage_split", "q253_lsh_recall", "q254_contract_neardup",
+    "q255_lsh_recall_contract",
     // event-sequence family (events replicated as disjoint user
     // populations on the same calendar)
     "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",

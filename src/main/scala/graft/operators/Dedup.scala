@@ -121,6 +121,16 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
     signaturesFromHashes(shingleHashes(docs, idCol, textCol), k)
 
+  /** [[signaturesFromHashes]] over the index-generated affine family —
+    * any width k, no constant table (the [[permutedAffine]] family),
+    * so contract-derived geometries like [[minhashGeometryFor]]'s
+    * (3, 10) = 30 permutations are expressible.
+    */
+  def signaturesFromHashesAffine(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(min(permutedAffine(col("h"), 0)).as("mh0"),
+        (1 until k).map(i => min(permutedAffine(col("h"), i)).as(s"mh$i")): _*)
+
   /** (doc_id, band, band_key) rows for a signature frame — the banding
     * used by [[minhashCandidates]] and stored at rest by
     * [[writeDedupIndex]] (ONE definition, so in-session pairs and
@@ -1246,7 +1256,7 @@ object Dedup {
     */
   def lshRecallAudit(docs: DataFrame, idCol: String, textCol: String,
       maxDf: Int = 5, k: Int = 8, bands: Int = 2,
-      floorMicro: Long = 300000L): DataFrame = {
+      floorMicro: Long = 300000L, affine: Boolean = false): DataFrame = {
     // Collapse identical shingle-SET classes to one representative and
     // carry the multiplicity — the q72 saturation lesson applied to the
     // audit itself (a replica-heavy corpus turns the band join into
@@ -1296,7 +1306,9 @@ object Dedup {
       .filter(col("jac_micro") >= floorMicro)
       .join(classes.select(col("doc_id").as("doc_a"), col("m").as("m_a")), "doc_a")
       .join(classes.select(col("doc_id").as("doc_b"), col("m").as("m_b")), "doc_b")
-    val caught = minhashCandidates(signaturesFromHashes(sh, k), k, bands)
+    val sigs = if (affine) signaturesFromHashesAffine(sh, k)
+      else signaturesFromHashes(sh, k)
+    val caught = minhashCandidates(sigs, k, bands)
       .withColumn("caught", lit(1L))
     // recall numerator in DECIMAL(38,0): weighted pair counts reach
     // ~1e13 on replica corpora, so × 1e6 would wrap a long (the q243

@@ -55,6 +55,66 @@ object DedupQueries {
   private[queries] def bandEq(side: String, b: Int, rows: Int) =
     (b * rows until (b + 1) * rows).map(i => s"l.mh$i = r.mh$i").mkString("(", " AND ", ")")
 
+  /** Affine permutation i as SQL — mirrors
+    * [[graft.operators.Dedup.permutedAffine]]: index-generated, so an
+    * oracle can replay ANY signature width (the contract-derived
+    * geometries) without a constant table.
+    */
+  private[queries] def sqlPermAffine(i: Int) =
+    s"min(((${1299721 + 2 * i}) * h + ${104729L * (i + 1)}) % ${Dedup.P}) AS mh$i"
+
+  /** The q253/q255 recall-audit oracle, parameterized by signature
+    * columns + band condition so the default (8, 2) and the
+    * contract-derived (30, 10) geometries replay from one definition.
+    * Units are the 32-token stride-8 sliding chunks of
+    * [[graft.operators.Dedup.slidingTokenChunks]] (doc_id·1024 + idx);
+    * identical units collapse exactly (text then set, multiplicities
+    * carried, within-class pairs analytic in bucket 10) — mirroring
+    * the operator.
+    */
+  private[queries] def sqlLshRecallAudit(sigCols: String, bandCond: String): String =
+    s"""WITH ut AS (SELECT text, min(doc_id) AS doc_id, count(*) AS mt FROM (
+            SELECT doc_id * 1024 + (st - 1) // 8 AS doc_id,
+                array_to_string(list_slice(tk, st, st + 31), ' ') AS text
+              FROM (SELECT doc_id, tk FROM (${sqlToks(s"SELECT doc_id, text FROM $DocsPq")})
+                WHERE len(tk) >= 32),
+              unnest(generate_series(1, len(tk) - 31, 8)) AS u(st))
+          GROUP BY text),
+        shall AS (SELECT DISTINCT doc_id, ${sqlH31("shingle")} AS h FROM (${
+          sqlShingles("SELECT doc_id, text FROM ut")})),
+        ds AS (SELECT doc_id, list(h ORDER BY h) AS hs FROM shall GROUP BY doc_id),
+        cls AS (SELECT hs, min(doc_id) AS doc_id, CAST(sum(mt) AS BIGINT) AS m
+          FROM ds JOIN ut USING (doc_id) GROUP BY hs),
+        sh AS (SELECT doc_id, unnest(hs) AS h FROM cls),
+        rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) BETWEEN 2 AND 20),
+        bl AS (SELECT doc_id, h FROM sh JOIN rare USING (h)),
+        cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM bl l JOIN bl r ON l.h = r.h AND l.doc_id < r.doc_id),
+        tr AS (SELECT doc_a, doc_b,
+            (len(list_intersect(a.hs, b.hs))::BIGINT * 1000000) //
+              (len(a.hs)::BIGINT + len(b.hs)::BIGINT - len(list_intersect(a.hs, b.hs))::BIGINT) AS jac_micro,
+            a.m AS m_a, b.m AS m_b
+          FROM cand JOIN cls a ON a.doc_id = doc_a JOIN cls b ON b.doc_id = doc_b),
+        sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+        lsh AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+          ON l.doc_id < r.doc_id AND ($bandCond)),
+        j AS (SELECT t.jac_micro, t.m_a * t.m_b AS w,
+            CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+          FROM (SELECT * FROM tr WHERE jac_micro >= 300000) t
+          LEFT JOIN lsh c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+        crossb AS (SELECT CAST(jac_micro // 100000 AS INT) AS j_bucket,
+            CAST(sum(w) AS BIGINT) AS n_truth, CAST(sum(w * caught) AS BIGINT) AS n_caught
+          FROM j GROUP BY 1),
+        withinb AS (SELECT 10 AS j_bucket,
+            CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_truth,
+            CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_caught
+          FROM cls WHERE m >= 2 HAVING sum(m * (m - 1) // 2) > 0)
+        SELECT j_bucket, CAST(sum(n_truth) AS BIGINT) AS n_truth,
+          CAST(sum(n_caught) AS BIGINT) AS n_caught,
+          CAST((sum(n_caught)::HUGEINT * 1000000) // sum(n_truth) AS BIGINT) AS recall_micro
+        FROM (SELECT * FROM crossb UNION ALL SELECT * FROM withinb)
+        GROUP BY 1 ORDER BY 1"""
+
   /** Pair-derivation CTE chain over an arbitrary (doc_id, h) hashed
     * feature SQL — mirrors [[graft.operators.Dedup.pairsFromHashes]].
     */
@@ -300,6 +360,19 @@ object DedupQueries {
       Dedup.lshRecallAudit(
         Dedup.slidingTokenChunks(t(s, dir, "documents"), "doc_id", "text"),
         "chunk_id", "chunk_text", maxDf = 20)),
+
+    // the q253 audit re-run at the CONTRACT geometry minhashGeometryFor
+    // derives from "J >= 0.6 at >= 90% recall, <= 1% bg candidates" —
+    // (3, 10), 30 affine permutations. Same truth strata as q253, so
+    // the two graded results ARE the before/after of the advisor:
+    // theory says bucket 3 lifts ~1% -> ~24% and bucket 5 ~20% -> ~84%.
+    "q255_lsh_recall_contract" -> ((s, dir) => {
+      val (r, b) = Dedup.minhashGeometryFor(600000L, 900000L)
+      Dedup.lshRecallAudit(
+        Dedup.slidingTokenChunks(t(s, dir, "documents"), "doc_id", "text"),
+        "chunk_id", "chunk_text", maxDf = 20, k = r * b, bands = b,
+        affine = true)
+    }),
 
     // contract-derived near-dup pairs: the geometry comes from the
     // recall CONTRACT ("J >= 0.6 at >= 90% recall, <= 1% background
@@ -822,50 +895,20 @@ object DedupQueries {
     // (integer micros), caught = band cohabitation of the q51 (8, 2)
     // signature — both replayed from the shared h31/affine constants,
     // so Spark and DuckDB derive identical pair sets, not just
-    // identical contract bits. Units are the 32-token stride-8 sliding
-    // chunks of Dedup.slidingTokenChunks (doc_id*1024 + index).
-    "q253_lsh_recall" ->
-      s"""WITH ut AS (SELECT text, min(doc_id) AS doc_id, count(*) AS mt FROM (
-              SELECT doc_id * 1024 + (st - 1) // 8 AS doc_id,
-                  array_to_string(list_slice(tk, st, st + 31), ' ') AS text
-                FROM (SELECT doc_id, tk FROM (${sqlToks(s"SELECT doc_id, text FROM $DocsPq")})
-                  WHERE len(tk) >= 32),
-                unnest(generate_series(1, len(tk) - 31, 8)) AS u(st))
-            GROUP BY text),
-          shall AS (SELECT DISTINCT doc_id, ${sqlH31("shingle")} AS h FROM (${
-            sqlShingles("SELECT doc_id, text FROM ut")})),
-          ds AS (SELECT doc_id, list(h ORDER BY h) AS hs FROM shall GROUP BY doc_id),
-          cls AS (SELECT hs, min(doc_id) AS doc_id, CAST(sum(mt) AS BIGINT) AS m
-            FROM ds JOIN ut USING (doc_id) GROUP BY hs),
-          sh AS (SELECT doc_id, unnest(hs) AS h FROM cls),
-          rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) BETWEEN 2 AND 20),
-          bl AS (SELECT doc_id, h FROM sh JOIN rare USING (h)),
-          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            FROM bl l JOIN bl r ON l.h = r.h AND l.doc_id < r.doc_id),
-          tr AS (SELECT doc_a, doc_b,
-              (len(list_intersect(a.hs, b.hs))::BIGINT * 1000000) //
-                (len(a.hs)::BIGINT + len(b.hs)::BIGINT - len(list_intersect(a.hs, b.hs))::BIGINT) AS jac_micro,
-              a.m AS m_a, b.m AS m_b
-            FROM cand JOIN cls a ON a.doc_id = doc_a JOIN cls b ON b.doc_id = doc_b),
-          sig AS (SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")} FROM sh GROUP BY doc_id),
-          lsh AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
-            ON l.doc_id < r.doc_id AND (${bandEq("", 0, 4)} OR ${bandEq("", 1, 4)})),
-          j AS (SELECT t.jac_micro, t.m_a * t.m_b AS w,
-              CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS caught
-            FROM (SELECT * FROM tr WHERE jac_micro >= 300000) t
-            LEFT JOIN lsh c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
-          crossb AS (SELECT CAST(jac_micro // 100000 AS INT) AS j_bucket,
-              CAST(sum(w) AS BIGINT) AS n_truth, CAST(sum(w * caught) AS BIGINT) AS n_caught
-            FROM j GROUP BY 1),
-          withinb AS (SELECT 10 AS j_bucket,
-              CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_truth,
-              CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_caught
-            FROM cls WHERE m >= 2 HAVING sum(m * (m - 1) // 2) > 0)
-          SELECT j_bucket, CAST(sum(n_truth) AS BIGINT) AS n_truth,
-            CAST(sum(n_caught) AS BIGINT) AS n_caught,
-            CAST((sum(n_caught)::HUGEINT * 1000000) // sum(n_truth) AS BIGINT) AS recall_micro
-          FROM (SELECT * FROM crossb UNION ALL SELECT * FROM withinb)
-          GROUP BY 1 ORDER BY 1""",
+    // identical contract bits.
+    "q253_lsh_recall" -> sqlLshRecallAudit(
+      (0 until 8).map(sqlPerm).mkString(", "),
+      s"${bandEq("", 0, 4)} OR ${bandEq("", 1, 4)}"),
+
+    // the same audit at the CONTRACT geometry (30 affine permutations,
+    // 10 bands of 3) — the graded before/after of minhashGeometryFor:
+    // same truth strata, band join swapped for the derived curve.
+    "q255_lsh_recall_contract" -> {
+      val (r, b) = Dedup.minhashGeometryFor(600000L, 900000L)
+      sqlLshRecallAudit(
+        (0 until r * b).map(sqlPermAffine).mkString(", "),
+        (0 until b).map(bb => bandEq("", bb, r)).mkString(" OR "))
+    },
 
     // the geometry constants are resolved by the SAME
     // minhashGeometryFor call the query makes (exact BigInt
@@ -874,12 +917,9 @@ object DedupQueries {
     // index-generated family any SQL width can replay
     "q254_contract_neardup" -> {
       val (r, b) = Dedup.minhashGeometryFor(600000L, 900000L)
-      def perm(i: Int) =
-        s"min(((${1299721 + 2 * i}) * h + ${104729L * (i + 1)}) % ${Dedup.P}) AS mh$i"
-      val bandCond = (0 until b).map(bb => (bb * r until (bb + 1) * r)
-        .map(i => s"l.mh$i = r.mh$i").mkString("(", " AND ", ")")).mkString(" OR ")
+      val bandCond = (0 until b).map(bb => bandEq("", bb, r)).mkString(" OR ")
       s"""WITH sh AS (SELECT doc_id, ${sqlH31("shingle")} AS h FROM ($SqlShingles)),
-          sig AS (SELECT doc_id, ${(0 until r * b).map(perm).mkString(", ")}
+          sig AS (SELECT doc_id, ${(0 until r * b).map(sqlPermAffine).mkString(", ")}
             FROM sh GROUP BY doc_id),
           cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
             FROM sig l JOIN sig r ON l.doc_id < r.doc_id AND ($bandCond)),

@@ -129,6 +129,24 @@ class OperatorsSpec extends SparkSpec {
       "chunk_id", "chunk_text", maxDf = 20).collect()
     val buckets = audit.map(_.getAs[Int]("j_bucket")).toSet
     assert(buckets.contains(5) && buckets.contains(3))
+    // the contract geometry (3, 10) dominates the default (4, 2) on
+    // the same truth strata: same n_truth per bucket, >= n_caught
+    // everywhere, strictly more in total (q253 vs q255's graded shape)
+    val (r, b) = Dedup.minhashGeometryFor(600000L, 900000L)
+    val contract = Dedup.lshRecallAudit(
+      Dedup.slidingTokenChunks(df, "doc_id", "text"),
+      "chunk_id", "chunk_text", maxDf = 20, k = r * b, bands = b,
+      affine = true).collect()
+    val defByB = audit.map(x => x.getAs[Int]("j_bucket") ->
+      (x.getAs[Long]("n_truth"), x.getAs[Long]("n_caught"))).toMap
+    val conByB = contract.map(x => x.getAs[Int]("j_bucket") ->
+      (x.getAs[Long]("n_truth"), x.getAs[Long]("n_caught"))).toMap
+    assert(conByB.keySet === defByB.keySet)
+    conByB.foreach { case (bk, (nt, nc)) =>
+      assert(nt === defByB(bk)._1, s"truth stratum moved at bucket $bk")
+      assert(nc >= defByB(bk)._2, s"contract caught fewer at bucket $bk")
+    }
+    assert(conByB.values.map(_._2).sum > defByB.values.map(_._2).sum)
   }
 
   test("simhash: identical docs equal; near-dups within small hamming distance") {
