@@ -1276,10 +1276,13 @@ object Dedup {
     // (the rare permuted-token remainder). Text groups partition each
     // set class, so summed multiplicities and min-of-min reps are
     // exactly the one-stage result.
-    val texts = docs
+    // cached: texts feeds BOTH the shingling and the multiplicity join
+    // below — uncached, the class-cache fill job would run the chunk
+    // build + text collapse twice (the dominant x100 cost)
+    val texts = graft.GraftCache.registered(docs
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("txt"))
       .groupBy(col("txt"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("mt"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("mt")))
     val classes = graft.GraftCache.registered(
       shingleHashes(texts, "doc_id", "txt").distinct()
         .groupBy(col("doc_id"))
