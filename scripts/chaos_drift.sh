@@ -33,6 +33,39 @@ export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"  # match the driver's bench co
 
 cp BENCH.json /tmp/BENCH.json.pre_chaos
 
+# Scenario 0 (cheap, ~1 min): PRETTY-PRINTED snapshot. Round 11's
+# parser split on the literal compact string '"queries":{' — a
+# hand-spliced pretty-printed BENCH.json parsed to zero entries and
+# silently disabled the whole drift pass for the driver's closing
+# sweep. Re-indent the committed snapshot, run one cheap query in
+# adjudication mode, and assert the [bench-only] output reports a
+# non-empty snapshot (snapshot_entries > 0). Run just this with
+# CHAOS_PARSER_ONLY=1.
+echo "[chaos] 0/2 pretty-printed snapshot parse ..."
+python3 -c "
+import json
+d = json.load(open('BENCH.json'))
+json.dump(d, open('BENCH.json', 'w'), indent=2)  # '\"queries\": {' with spaces + newlines
+"
+SPARK_GRAFT_BENCH_ONLY=q08_global_count SPARK_GRAFT_SF_DIR="$SF" \
+  sbt -batch "runMain graft.Bench" > /tmp/chaos_pretty.log 2>&1 || true
+cp /tmp/BENCH.json.pre_chaos BENCH.json   # restore before anything else can fail
+python3 - <<'EOF'
+import json
+# sbt prefixes stdout with "[info] " — locate the marker anywhere in the line
+line = next(l for l in open("/tmp/chaos_pretty.log") if "[bench-only] " in l)
+d = json.loads(line.split("[bench-only] ", 1)[1])
+n = d.get("snapshot_entries", 0)
+assert n > 0, (
+    f"snapshot_entries={n}: the bench parsed a PRETTY-PRINTED BENCH.json to an empty "
+    "snapshot — the drift audit would run blind (the round-11 failure mode)")
+print(f"[chaos] 0/2 PASS: pretty-printed snapshot parsed to {n} entries")
+EOF
+if [[ "${CHAOS_PARSER_ONLY:-0}" == "1" ]]; then
+  echo "[chaos] CHAOS_PARSER_ONLY=1 — skipping the two full bench runs"
+  exit 0
+fi
+
 if [[ "${REUSE_CLEAN:-0}" == "1" && -f /tmp/BENCH.json.clean ]]; then
   echo "[chaos] 1/2 reusing clean snapshot /tmp/BENCH.json.clean"
   cp /tmp/BENCH.json.clean BENCH.json

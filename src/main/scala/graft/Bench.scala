@@ -111,16 +111,34 @@ object Bench {
     // The COMMITTED snapshot (BENCH.json as it sits in the tree before
     // this run overwrites it) is the cross-run reference: a per-query
     // number that drifts far from it is re-measured before anyone
-    // trusts it. Parsed with a regex over our own fixed format — the
-    // warm map is the first "queries":{...} object in the file.
+    // trusts it. The warm map is the first "queries" object in the
+    // file, located with a WHITESPACE-TOLERANT regex: round 11's
+    // exact-literal split ("queries":{) returned zero entries on a
+    // pretty-printed splice and SILENTLY disabled the whole drift pass
+    // (the closing sweep committed q144 at 3.12s vs 1.13s isolated
+    // with "drift":[] asserting a clean pass it never ran). Key/value
+    // pairs inside the object tolerate spaces for the same reason.
+    val snapshotExists = java.nio.file.Files.exists(java.nio.file.Paths.get("BENCH.json"))
     val snapshot: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH.json")), java.nio.charset.StandardCharsets.UTF_8)
-      val after = txt.split("\"queries\":\\{", 2)
-      if (after.length < 2) Map.empty
-      else "\"([^\"]+)\":([-0-9.eE]+)".r.findAllMatchIn(after(1).takeWhile(_ != '}'))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt) match {
+        case None => Map.empty
+        case Some(m) =>
+          "\"([^\"]+)\"\\s*:\\s*([-0-9.eE]+)".r
+            .findAllMatchIn(txt.substring(m.end).takeWhile(_ != '}'))
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap
+      }
     } catch { case _: Throwable => Map.empty }
+    // An existing BENCH.json that parses to ZERO entries means the
+    // drift audit is about to run blind — refuse to let that happen
+    // silently. Loud on stderr AND recorded in the output JSON
+    // (snapshot_entries), so a vacuous "drift":[] is detectable after
+    // the fact even if the warning scrolls away.
+    if (snapshotExists && snapshot.isEmpty)
+      System.err.println("[graft-bench] WARNING: BENCH.json exists but its warm-queries " +
+        "snapshot parsed to 0 entries — the drift audit for this sweep is DISABLED. " +
+        "The file is malformed or hand-edited; rewrite it in Bench's compact format.")
     // SPARK_GRAFT_CHAOS=<n>: spawn n busy-loop burner threads for the
     // duration of the first sweep only, stopped before the drift
     // re-measure pass. This exists solely for scripts/chaos_drift.sh,
@@ -201,16 +219,7 @@ object Bench {
     }
     def fmt(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // Stdout variant rounds to ms AND shortens query names to their
-    // unique qNN/qNNN prefix: the driver's tail capture holds only the
-    // LAST 2000 BYTES of stdout (measured from BENCH_r08.json), and the
-    // full-name map alone is 1.9 KB — the line could never fit, which
-    // is why "parsed" came back null four rounds running. Short keys +
-    // ms precision lands the whole line near 1.6 KB; the full-name
-    // full-precision record lives in BENCH.json (written above).
     def short(k: String) = k.split("_")(0)
-    def fmt3(xs: Seq[(String, Double)]) =
-      xs.map { case (k, v) => "\"" + short(k) + "\":" + (math.rint(v * 1000) / 1000) }.mkString("{", ",", "}")
     val warmQs = fmt(results.map(r => r._1 -> r._3))
     val coldQs = fmt(results.map(r => r._1 -> r._2))
     val errs = results.collect { case (n, _, _, Some(e)) => "\"" + n + "\":\"" + e + "\"" }
@@ -229,7 +238,7 @@ object Bench {
     val suspects = ok.collect { case (n, c, w, _) if w > 1.5 * c => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val drift = driftNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val tail = s""""cold_total":$coldTotal,"errors":$errs,"n_errors":$nErrors,"suspect":$suspects,"drift":$drift,"isolate":$isolate,"calib_1t_ms":$calib1t,"calib_nt_ms":$calibNt,"calib_cores":$nCores,"mode":"warm=min(steady-state runs; re-measured after GC on warm>cold inversion; re-measured isolated on >2x snapshot drift) over non-errored queries; cold=first-run incl. codegen compile; calib=fixed 200M-iter xorshift per thread, 1 thread vs all cores — divide query secs by calib ratio before cross-round compares","sf":"$sfDir""""
+    val tail = s""""cold_total":$coldTotal,"errors":$errs,"n_errors":$nErrors,"suspect":$suspects,"drift":$drift,"snapshot_entries":${snapshot.size},"isolate":$isolate,"calib_1t_ms":$calib1t,"calib_nt_ms":$calibNt,"calib_cores":$nCores,"mode":"warm=min(steady-state runs; re-measured after GC on warm>cold inversion; re-measured isolated on >2x snapshot drift) over non-errored queries; cold=first-run incl. codegen compile; calib=fixed 200M-iter xorshift per thread, 1 thread vs all cores — divide query secs by calib ratio before cross-round compares","sf":"$sfDir""""
     val json = s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$warmQs,"queries_cold":$coldQs,$tail}"""
     // Full JSON goes to a file (stdout alone is fragile under sbt's log
     // interleaving — the driver's tail capture truncated it mid-line two
@@ -243,10 +252,16 @@ object Bench {
     else // adjudication runs still need calib for cross-round compares
       println("[bench-only] " + json)
     spark.stop()
+    // The very last stdout line is TOTALS-ONLY: the driver's tail
+    // capture holds ~2000 bytes, and even the short-key per-query map
+    // grew past it at 248 queries ("parsed": null four rounds
+    // running). Totals + suspects + drift + calib is ~300 bytes and
+    // always fits; the full per-query map lives in BENCH.json.
     val warmTotal3 = math.rint(warmTotal * 1000) / 1000
+    val coldTotal3 = math.rint(coldTotal * 1000) / 1000
     val suspects3 = ok.collect { case (n, c, w, _) if w > 1.5 * c => "\"" + short(n) + "\"" }
       .mkString("[", ",", "]")
     val drift3 = driftNames.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$warmTotal3,"unit":"sec","queries":${fmt3(results.map(r => r._1 -> r._3))},"n_errors":$nErrors,"suspect":$suspects3,"drift":$drift3,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$warmTotal3,"unit":"sec","n_queries":${results.size},"cold_total":$coldTotal3,"n_errors":$nErrors,"suspect":$suspects3,"drift":$drift3,"snapshot_entries":${snapshot.size},"calib_1t_ms":$calib1t,"calib_nt_ms":$calibNt,"sf":"$sfDir"}""")
   }
 }

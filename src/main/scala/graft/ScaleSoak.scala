@@ -129,13 +129,42 @@ object ScaleSoak {
     "q210_windowed_funnel", "q212_pareto", "q213_embedding_audit",
     "q214_session_stats", "q215_hour_heatmap")
 
+  /** Columns each replica table must carry for the CURRENT query set —
+    * checked by [[buildScaled]] so a soak dir built by an earlier
+    * round (narrower schemas) is rebuilt instead of failing the
+    * widened queries at the soak tier with unresolved-column errors.
+    */
+  private val requiredCols: Map[String, Seq[String]] = Map(
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+    "lineitem" -> Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_quantity", "l_shipdate"),
+    "customer" -> Seq("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
-    // per-table existence checks: a crashed build must repair the
-    // missing tables on the next run, not be masked by the ones that
-    // finished (factor > 64 used to crash mid-build on the embedding
-    // shift — see the `% dim` below)
-    def missing(name: String) =
-      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/$name.parquet"))
+    // per-table checks: a crashed build must repair the missing tables
+    // on the next run, not be masked by the ones that finished (factor
+    // > 64 used to crash mid-build on the embedding shift — see the
+    // `% dim` below). Existence alone is NOT enough: rounds widen the
+    // replica schemas (r11 added orders dates/prices, lineitem
+    // flag/qty/shipdate, the customer table), and a pre-widening dir
+    // would pass an existence check and then fail the new queries with
+    // unresolved columns — so the check also validates the column set
+    // and rebuilds any table that lacks a required column.
+    def missing(name: String): Boolean = {
+      val path = s"$outDir/$name.parquet"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) true
+      else {
+        val have = try spark.read.parquet(path).schema.fieldNames.toSet
+          catch { case _: Throwable => Set.empty[String] } // unreadable = rebuild
+        val lacking = requiredCols(name).filterNot(have)
+        if (lacking.nonEmpty)
+          println(s"[soak] $path is stale (missing columns: ${lacking.mkString(", ")}) — rebuilding")
+        lacking.nonEmpty
+      }
+    }
     val reps = spark.range(factor).select(col("id").cast("int").as("rep"))
 
     if (missing("documents")) {

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * bounded at its sf0.1 value).
   *
   * The graph is deterministic (no RNG): `nBase` background edges
-  * `(i, i·2654435761 mod n)` — a Knuth-multiplicative scatter, near
-  * uniform degree — plus one mid-id hub (`n/2`) wired to every
+  * `(i·7919 mod n, i·2654435761 mod n)` — BOTH endpoints
+  * multiplicatively scattered (two coprime multipliers), near-uniform
+  * degree on each side — plus one mid-id hub (`n/2`) wired to every
   * `stride`-th node. The hub sits mid-range on purpose: under naive
   * id-order canonicalization a MID id has neighbors on both sides, so
   * the wedge join enumerates below·above ≈ (deg/2)² candidate pairs
@@ -35,7 +36,10 @@ object SkewBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "12g")
+      // NOTE: driver memory cannot be set from the builder once the
+      // local-mode JVM is running — launch with enough heap instead
+      // (sbt -J-Xmx12g, or spark-submit --driver-memory); the repo's
+      // sbt heap suffices for the documented (n, nBase, stride) sizes.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val hub = n / 2

@@ -1221,15 +1221,32 @@ object Dedup {
     * (tokenize → explode(sequence) → slice/concat).
     */
   def slidingTokenChunks(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 32, stride: Int = 8): DataFrame =
+      w: Int = 32, stride: Int = 8): DataFrame = {
+    require(stride >= 1 && w > stride,
+      s"need stride >= 1 and w > stride (overlapping windows), got (w=$w, stride=$stride)")
+    // chunk_id packs 1024 window slots per doc — a doc long enough to
+    // produce window index > 1023 (size > w + 1023*stride tokens)
+    // would silently collide into the NEXT doc_id's chunk space and
+    // corrupt any audit built on these units, and a doc_id >= 2^52
+    // would overflow the *1024 shift. Both are asserted per row
+    // (assert_true returns NULL on pass, throws on violation — zero
+    // cost on valid data, loud plan error instead of corrupt ids).
+    val maxTokens = w.toLong + 1023L * stride
     docs.select(col(idCol).cast("long").as("doc_id"),
         graft.functions.Tokenize.arr(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= w)
+      .filter(assert_true(size(col("tk")) <= maxTokens && col("doc_id") < (1L << 52)
+          && col("doc_id") >= 0,
+        concat(lit(s"slidingTokenChunks: doc_id must be in [0, 2^52) and docs at most " +
+          s"$maxTokens tokens (w=$w + 1023*stride=$stride) — window index would escape " +
+          "the 1024-slot chunk_id space; raise stride/w or pre-split the doc. doc_id="),
+          col("doc_id"))).isNull)
       .select(col("doc_id"), col("tk"),
         explode(sequence(lit(1), size(col("tk")) - (w - 1), lit(stride))).as("st"))
       .select(
         expr(s"doc_id * 1024 + (st - 1) div $stride").as("chunk_id"),
         concat_ws(" ", slice(col("tk"), col("st"), lit(w))).as("chunk_text"))
+  }
 
   /** LSH recall audit: measures the MinHash banding S-curve against an
     * LSH-INDEPENDENT exact-Jaccard ground truth — the recall contract a
@@ -1257,6 +1274,9 @@ object Dedup {
   def lshRecallAudit(docs: DataFrame, idCol: String, textCol: String,
       maxDf: Int = 5, k: Int = 8, bands: Int = 2,
       floorMicro: Long = 300000L, affine: Boolean = false): DataFrame = {
+    require(affine || k <= MinhashA.length,
+      s"k=$k exceeds the fixed permutation table (${MinhashA.length}): pass affine=true " +
+        "for wider geometries (the index-generated family supports any k)")
     // Collapse identical shingle-SET classes to one representative and
     // carry the multiplicity — the q72 saturation lesson applied to the
     // audit itself (a replica-heavy corpus turns the band join into
