@@ -43,9 +43,15 @@ object CorpusPipeline {
       .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
       .agg(min_by(struct(scored.columns.toIndexedSeq.map(col): _*), col("doc_id")).as("_r"))
       .select(col("_r.*")))
-    // 3. near-dedup: LSH pairs over the surviving docs, keep cluster
-    //    representatives (label == own id) and untouched docs
-    val pairs = Dedup.minhashPairs(exactKept, "doc_id", "text", threshold = jaccardThreshold)
+    // 3. near-dedup: LSH pairs over the surviving docs at the
+    //    CONTRACT geometry ("recall >= 90% at J = threshold, <= 1%
+    //    background candidates" -> (3, 10) at 0.6 — the advisor-derived
+    //    curve; the legacy (4, 2) default measured ~20% recall at
+    //    J ≈ 0.55 in the q253 audit, i.e. most near-dups WALKED THROUGH
+    //    this pipeline), keep cluster representatives (label == own id)
+    //    and untouched docs
+    val pairs = Dedup.minhashPairsContract(exactKept, "doc_id", "text",
+      threshold = jaccardThreshold)
     val labels = Dedup.labelPropagate(pairs, 3)
     exactKept.join(labels, exactKept("doc_id") === labels("doc"), "left_outer")
       .filter(col("label").isNull || col("label") === col("doc_id"))
@@ -76,7 +82,9 @@ object CorpusPipeline {
       .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
       .agg(min_by(struct(scored.columns.toIndexedSeq.map(col): _*), col("doc_id")).as("_r"))
       .select(col("_r.*")))
-    val pairs = Dedup.minhashPairs(exactKept, "doc_id", "text", threshold = jaccardThreshold)
+    // contract geometry, same rationale as clean() step 3
+    val pairs = Dedup.minhashPairsContract(exactKept, "doc_id", "text",
+      threshold = jaccardThreshold)
     val winners = Dedup.keepBestPerCluster(
       exactKept.select(col("doc_id"), col("quality")), pairs)
     exactKept.join(winners.select(col("kept_doc").as("doc_id")), Seq("doc_id"), "left_semi")

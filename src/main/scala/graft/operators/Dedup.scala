@@ -354,6 +354,29 @@ object Dedup {
       sigSets.select(col("doc_id"), col("hs")), threshold)
   }
 
+  /** [[minhashPairs]] at a CONTRACT-derived geometry: (rows, bands)
+    * come from [[minhashGeometryFor]] — the cheapest exact S-curve
+    * satisfying "recall ≥ `targetRecallMicro` at J = `threshold`,
+    * false-candidate rate ≤ `maxFpMicro` at background `bgMicro`" —
+    * instead of the fixed legacy (4, 2), whose measured curve (q253)
+    * delivers ~20% recall at J ≈ 0.55 and misses ~12% of pairs even
+    * at J = 0.9. This is the variant production cleaning paths use
+    * ([[graft.examples.CorpusPipeline]], the q252 leakage-safe split):
+    * the default contract resolves to (3, 10) = 30 affine
+    * permutations — a wider signature aggregate (30 vs 8 mins over
+    * the same shingle frame, map-side combined) traded for a recall
+    * floor the geometry can actually honor. The derivation is exact
+    * BigInt arithmetic over integer micros, so a SQL oracle resolving
+    * the same contract replays the identical geometry.
+    */
+  def minhashPairsContract(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, targetRecallMicro: Long = 900000L,
+      bgMicro: Long = 100000L, maxFpMicro: Long = 10000L): DataFrame = {
+    val (r, b) = minhashGeometryFor(math.round(threshold * 1000000L),
+      targetRecallMicro, bgMicro, maxFpMicro)
+    pairsFromHashesAffine(shingleHashes(docs, idCol, textCol), r, b, threshold)
+  }
+
   /** [[minhashPairs]] with the band width sized from the corpus count
     * — the config-free twin completing the auto-sizing family (q99
     * planes, q100 simhash bits, this one MinHash rows-per-band): fixed

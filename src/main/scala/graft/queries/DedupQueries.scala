@@ -138,6 +138,37 @@ object DedupQueries {
     sqlPairsCtesFromHashes(
       s"SELECT doc_id, ${sqlH31("shingle")} AS h FROM (${sqlShingles(src)})", threshold, 2)
 
+  /** Pair-derivation CTE chain at an ARBITRARY affine geometry —
+    * mirrors [[graft.operators.Dedup.pairsFromHashesAffine]]: k = r·b
+    * index-generated permutations, b bands of r rows.
+    */
+  private[queries] def sqlPairsCtesFromHashesAffine(hashSql: String, threshold: Double,
+      rows: Int, bands: Int): String = {
+    val bandCond = (0 until bands).map(b => bandEq("", b, rows)).mkString(" OR ")
+    s"""sh AS ($hashSql),
+        sig AS (SELECT doc_id, ${(0 until rows * bands).map(sqlPermAffine).mkString(", ")}
+          FROM sh GROUP BY doc_id),
+        cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r
+          ON l.doc_id < r.doc_id AND ($bandCond)),
+        sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id),
+        jac AS (SELECT doc_a, doc_b,
+            round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+              (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6) AS jaccard
+          FROM cand JOIN sets a ON a.doc_id = doc_a JOIN sets b ON b.doc_id = doc_b),
+        pairs AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= $threshold)"""
+  }
+
+  /** The CONTRACT-geometry pair chain ([[Dedup.minhashPairsContract]]'s
+    * oracle twin): (rows, bands) resolved by the SAME
+    * [[Dedup.minhashGeometryFor]] call the Spark side makes — exact
+    * BigInt arithmetic, so query and oracle cannot drift.
+    */
+  private[queries] def sqlPairsCtesContract(src: String, threshold: Double): String = {
+    val (r, b) = Dedup.minhashGeometryFor(math.round(threshold * 1000000L), 900000L)
+    sqlPairsCtesFromHashesAffine(
+      s"SELECT doc_id, ${sqlH31("shingle")} AS h FROM (${sqlShingles(src)})", threshold, r, b)
+  }
+
   /** Shared CTE chain: shingle hashes → signatures → band candidates →
     * verified near-dup pairs (used by the q51 and q67 oracles).
     */
@@ -337,7 +368,12 @@ object DedupQueries {
     // by the oracle.
     "q252_leakage_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+      // CONTRACT geometry (r12): a split guarding against eval
+      // contamination is exactly the consumer that cannot afford the
+      // legacy (4, 2) curve — q253 measured it at ~20% recall at
+      // J ≈ 0.55, i.e. most mid-similarity contamination walked
+      // through the split. (3, 10) holds >= 90% at J = 0.6.
+      val pairs = Dedup.minhashPairsContract(docs, "doc_id", "text")
       Dedup.leakageSafeSplit(docs, "doc_id", pairs)
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
@@ -763,8 +799,11 @@ object DedupQueries {
     */
   /** Shared front half of the corpus-clean oracles: scoring CTEs →
     * quality gate → exact-dedup `kept` → MinHash pair CTEs over the
-    * survivors. q68 appends min-label propagation; q121 appends exact
-    * CC + quality-ranked winner election.
+    * survivors at the CONTRACT geometry (r12: (3, 10) from the same
+    * minhashGeometryFor call the pipeline makes — see
+    * [[Dedup.minhashPairsContract]]). q68 appends min-label
+    * propagation; q121 appends exact CC + quality-ranked winner
+    * election.
     */
   private val SqlCorpusFront: String = {
     val langs = graft.functions.TextFunctions.langMarkers
@@ -793,7 +832,7 @@ object DedupQueries {
           SELECT *, row_number() OVER (
             PARTITION BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
             ORDER BY doc_id) AS rn FROM qual) WHERE rn = 1),
-        ${sqlPairsCtesFor("SELECT doc_id, text FROM kept", 0.6)}"""
+        ${sqlPairsCtesContract("SELECT doc_id, text FROM kept", 0.6)}"""
   }
 
   private val SqlCorpusClean: String =
@@ -872,7 +911,7 @@ object DedupQueries {
           SELECT src AS doc, min(dst) AS label FROM reach GROUP BY src ORDER BY doc""",
 
     "q252_leakage_split" ->
-      s"""WITH RECURSIVE $SqlPairsCtes,
+      s"""WITH RECURSIVE ${sqlPairsCtesContract(s"SELECT doc_id, text FROM $DocsPq", 0.6)},
           e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                 UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
           reach(src, dst) AS (
@@ -915,22 +954,9 @@ object DedupQueries {
     // arithmetic), so query and oracle cannot drift; affine
     // permutation i = (1299721 + 2i)·h + 104729·(i+1) mod P, the
     // index-generated family any SQL width can replay
-    "q254_contract_neardup" -> {
-      val (r, b) = Dedup.minhashGeometryFor(600000L, 900000L)
-      val bandCond = (0 until b).map(bb => bandEq("", bb, r)).mkString(" OR ")
-      s"""WITH sh AS (SELECT doc_id, ${sqlH31("shingle")} AS h FROM ($SqlShingles)),
-          sig AS (SELECT doc_id, ${(0 until r * b).map(sqlPermAffine).mkString(", ")}
-            FROM sh GROUP BY doc_id),
-          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            FROM sig l JOIN sig r ON l.doc_id < r.doc_id AND ($bandCond)),
-          sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id),
-          jac AS (SELECT doc_a, doc_b,
-              round(len(list_intersect(a.hs, b.hs))::DOUBLE /
-                (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6) AS jaccard
-            FROM cand JOIN sets a ON a.doc_id = doc_a JOIN sets b ON b.doc_id = doc_b)
-          SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.6
-          ORDER BY doc_a, doc_b"""
-    },
+    "q254_contract_neardup" ->
+      s"""WITH ${sqlPairsCtesContract(s"SELECT doc_id, text FROM $DocsPq", 0.6)}
+          SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
 
     "q52_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM

@@ -118,6 +118,33 @@ class OperatorsSpec extends SparkSpec {
     assert(contract.contains((0L, 3L))) // identical docs: guaranteed
   }
 
+  test("minhashPairsContract honors the J >= 0.6 recall contract where the legacy default fails") {
+    // stride-6 ladder: neighbour windows share (w-s-2)/(w+s-2) = 26/38
+    // of their 3-shingles -> J ~ 0.684, bucket 6 — the decile the
+    // contract is ABOUT (>= 90% recall at J = 0.6). Eight 62-token
+    // docs x 6 windows = 40 neighbour pairs of deterministic J.
+    val mk = (tag: String) => (0 until 62).map(i => s"$tag$i").mkString(" ")
+    val df = (0 until 8).map(i => (i.toLong + 1, mk(s"d${i}x"))).toDF("doc_id", "text")
+    val chunks = Dedup.slidingTokenChunks(df, "doc_id", "text", w = 32, stride = 6)
+    val (r, b) = Dedup.minhashGeometryFor(600000L, 900000L)
+    val contract = Dedup.lshRecallAudit(chunks, "chunk_id", "chunk_text",
+      maxDf = 20, k = r * b, bands = b, affine = true).collect()
+      .map(x => x.getAs[Int]("j_bucket") -> x.getAs[Long]("recall_micro")).toMap
+    // the graded contract row: >= 900000 micro at J in [0.6, 0.7)
+    assert(contract.contains(6), s"no bucket-6 stratum: ${contract.keySet}")
+    assert(contract(6) >= 900000L, s"contract recall at bucket 6 = ${contract(6)}")
+    // the legacy (4, 2) geometry on the SAME strata sits far below the
+    // contract floor — the gap minhashPairsContract exists to close
+    val legacy = Dedup.lshRecallAudit(chunks, "chunk_id", "chunk_text", maxDf = 20)
+      .collect().map(x => x.getAs[Int]("j_bucket") -> x.getAs[Long]("recall_micro")).toMap
+    assert(legacy(6) < 900000L, s"legacy recall at bucket 6 = ${legacy(6)}")
+    // and the pair pipeline itself: identical verified-pair SEMANTICS
+    // (hashed-set Jaccard >= threshold), wider candidate recall
+    val pc = Dedup.minhashPairsContract(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    pc.foreach { case (a, bb, j) => assert(a < bb && j >= 0.5) }
+  }
+
   test("lshRecallAudit over sliding chunks populates mid-Jaccard deciles") {
     // two 64-token docs with distinct vocab: same-doc neighbour chunks
     // land J ~ 0.58 (bucket 5) and distance-2 chunks J ~ 0.30 (bucket
