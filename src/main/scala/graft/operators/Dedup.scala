@@ -441,10 +441,15 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs via band blocking: split the `bits`-bit
-    * simhash into 4 bands; by pigeonhole, docs within hamming distance
-    * <= 3 agree on at least one full band, so the union of 4 band-equality
-    * self-joins is a COMPLETE candidate set for distance <= 3. Exact
-    * hamming (xor + bit_count) filters candidates. Same banding idea as
+    * simhash into `bands` bands; by pigeonhole, docs within hamming
+    * distance <= bands - 1 agree on at least one full band, so the
+    * union of the band-equality self-joins is a COMPLETE candidate set
+    * for distance <= bands - 1 (enforced: maxHamming <= bands - 1 —
+    * derive the geometry from a radius contract with
+    * [[simhashGeometryFor]]; beyond the complete radius the catch
+    * probability follows [[simhashRecallAtMicro]]'s exact curve, which
+    * [[simhashRecallAudit]] measures on real data). Exact hamming
+    * (xor + bit_count) filters candidates. Same banding idea as
     * MinHash LSH — the quadratic step only happens inside a band bucket.
     *
     * SCALING RULE (measured in SOAK.json: the 32-bit default bends
@@ -458,16 +463,22 @@ object Dedup {
     * blocked self-joins; the error names this lever.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 32, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 32, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(bits >= 4 && bits <= 63, s"bits must be in [4, 63], got $bits")
-    val bandBits = bits / 4
+    require(bands >= 2 && bits % bands == 0,
+      s"bands must be >= 2 and divide bits, got (bits=$bits, bands=$bands)")
+    require(maxHamming <= bands - 1,
+      s"banding is only COMPLETE for hamming <= bands - 1 (pigeonhole): " +
+        s"maxHamming=$maxHamming needs >= ${maxHamming + 1} bands, got $bands — " +
+        "derive (bits, bands) from simhashGeometryFor(maxHamming, n)")
+    val bandBits = bits / bands
     val sh = graft.GraftCache.registered(simhash(docs, idCol, textCol, bits))
-    val banded = (0 until 4).map { b =>
+    val banded = (0 until bands).map { b =>
       sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         expr(s"(simhash >> ${b * bandBits}) % ${1L << bandBits}").as("band_key"))
     }.reduce(_.union(_))
     requireBoundedBlocks(banded, Seq(col("band"), col("band_key")),
-      s"a wider simhash (bits > $bits: buckets/band = 2^(bits/4), currently ${1L << bandBits})")
+      s"a wider simhash (bits > $bits: buckets/band = 2^(bits/$bands), currently ${1L << bandBits})")
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -499,6 +510,138 @@ object Dedup {
   def simhashPairsAuto(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, targetBucket: Long = 250L): DataFrame =
     simhashPairs(docs, idCol, textCol, bitsFor(docs.count(), targetBucket), maxHamming)
+
+  /** Exact SimHash banding curve: P[candidate | hamming distance d] in
+    * integer micros (floored), for a `bits`-bit signature split into
+    * `bands` bands of bits/bands — assuming the d differing bit
+    * positions are uniformly placed (the standard LSH analysis; the
+    * audit below measures the real-corpus deviation). A pair is a
+    * candidate iff some band holds NONE of the d differing bits, so by
+    * inclusion–exclusion over "band j clean":
+    *   P = Σ_{j=1..bands} (−1)^{j+1} · C(bands, j) · C(bits − j·m, d)
+    *       / C(bits, d),  m = bits/bands.
+    * All BigInt (the binomials reach ~2^60 at 63 bits) — bit-stable on
+    * any JVM, and = 1e6 exactly for every d ≤ bands − 1 (pigeonhole).
+    * This is the MinHash [[recallAtMicro]] analogue for the hamming
+    * family (q52/q69/q87/q100).
+    */
+  def simhashRecallAtMicro(bits: Int, bands: Int, d: Int): Long = {
+    require(bits >= 1 && bands >= 1 && bits % bands == 0,
+      s"need bands >= 1 dividing bits, got (bits=$bits, bands=$bands)")
+    require(d >= 0 && d <= bits, s"hamming distance must be in [0, $bits], got $d")
+    val m = bits / bands
+    def c(n: Int, k: Int): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (BigInt(n - k + 1) to BigInt(n)).product / (BigInt(1) to BigInt(k)).product
+    val caught = (1 to bands).map { j =>
+      val term = c(bands, j) * c(bits - j * m, d)
+      if (j % 2 == 1) term else -term
+    }.sum
+    ((caught * 1000000) / c(bits, d)).toLong
+  }
+
+  /** SimHash geometry from the RADIUS contract instead of a fixed
+    * width: `maxHamming + 1` bands make the banding pigeonhole-COMPLETE
+    * for hamming ≤ maxHamming (recall exactly 1, not an S-curve bet),
+    * and the band width is sized from the corpus count so expected
+    * band-bucket population stays ~`targetBucket` at any size (the
+    * same integer-exact [[graft.operators.Similarity.planesFor]] rule
+    * as [[bitsFor]], so a SQL oracle replays the width from the same
+    * COUNT(*)). Returns (bits, bands). Throws when the contract cannot
+    * fit a signed long (bands · bandBits > 63): relax the radius or
+    * raise targetBucket rather than silently running an incomplete
+    * geometry.
+    */
+  def simhashGeometryFor(maxHamming: Int, n: Long, targetBucket: Long = 250L,
+      minBandBits: Int = 8): (Int, Int) = {
+    require(maxHamming >= 1, s"maxHamming must be >= 1, got $maxHamming")
+    val bands = maxHamming + 1
+    val bandBits = Similarity.planesFor(n, targetBucket, minBandBits)
+    val bits = bands * bandBits
+    if (bits > 63) throw new IllegalArgumentException(
+      s"complete radius $maxHamming needs $bands bands x $bandBits band bits = $bits > 63 " +
+        s"(the simhash must stay in a signed long): relax the radius, raise targetBucket " +
+        s"(coarser buckets), or pre-block the corpus")
+    (bits, bands)
+  }
+
+  /** SimHash banding recall audit — the q253 pattern applied to the
+    * hamming family: measures P[caught | hamming distance d] against a
+    * BANDING-INDEPENDENT ground truth, per distance bucket. Truth:
+    * rare-shingle blocked pairs (df ∈ [2, maxDf] counted across
+    * collapsed classes, [[requireBoundedBlocks]]-guarded) with exact
+    * hamming = bit_count(simhash_a ^ simhash_b), kept to
+    * d ≤ `maxHammingAudit`; caught: the pair agrees on ≥ 1 of the
+    * `bands` band keys. Identical TEXTS collapse to one representative
+    * with multiplicity before anything is hashed (same simhash by
+    * construction — the vote sum is a pure function of the token
+    * stream), within-class pairs (d = 0, structurally always caught)
+    * are emitted analytically, and weighted counts accumulate in
+    * DECIMAL(38,0) — the exact-collapse discipline that keeps replica
+    * mass out of the quadratic stage at soak tiers. Expected curve is
+    * [[simhashRecallAtMicro]]: 1e6 through d = bands − 1, falling
+    * beyond — the audit detects real-corpus deviation (differing bits
+    * are NOT uniformly placed when token edits are correlated).
+    */
+  def simhashRecallAudit(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, bands: Int = 4, maxDf: Int = 5,
+      maxHammingAudit: Int = 12): DataFrame = {
+    require(bands >= 2 && bits % bands == 0,
+      s"bands must be >= 2 and divide bits, got (bits=$bits, bands=$bands)")
+    val bandBits = bits / bands
+    val texts = graft.GraftCache.registered(docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("txt"))
+      .groupBy(col("txt"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("m")))
+    // one token pass feeds BOTH the shingle blocking and the simhash
+    val sh = graft.GraftCache.registered(
+      shingleHashes(texts, "doc_id", "txt").distinct())
+    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select(col("h"))
+    val blocked = sh.join(rare, "h")
+    requireBoundedBlocks(blocked, Seq(col("h")),
+      s"a smaller maxDf (currently $maxDf: rare-shingle blocking saturates when maxDf " +
+        "admits boilerplate shingles)")
+    val cand = blocked.as("l").join(blocked.as("r"),
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val sig = graft.GraftCache.registered(
+      simhash(texts, "doc_id", "txt", bits)
+        .join(texts.select(col("doc_id"), col("m")), "doc_id"))
+    val caught = (0 until bands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        expr(s"(simhash >> ${b * bandBits}) % ${1L << bandBits}").as("band_key"))
+    }.reduce(_.union(_))
+    val caughtPairs = caught.as("l").join(caught.as("r"),
+        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("caught", lit(1L))
+    val cross = cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+        col("m").as("m_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+        col("m").as("m_b")), "doc_b")
+      .withColumn("hamming", expr("cast(bit_count(sh_a ^ sh_b) as int)"))
+      .filter(col("hamming") <= maxHammingAudit)
+      .join(caughtPairs, Seq("doc_a", "doc_b"), "left_outer")
+      .groupBy(col("hamming").as("h_bucket"))
+      .agg(sum(expr("m_a * m_b")).as("n_truth"),
+        sum(expr("m_a * m_b * coalesce(caught, 0L)")).as("n_caught"))
+    val within = texts.filter(col("m") >= 2)
+      .agg(sum(expr("m * (m - 1) div 2")).as("n_truth"))
+      .filter(col("n_truth") > 0)
+      .select(lit(0).as("h_bucket"), col("n_truth"), col("n_truth").as("n_caught"))
+    cross.unionByName(within)
+      .groupBy(col("h_bucket"))
+      .agg(sum(col("n_truth")).as("n_truth"), sum(col("n_caught")).as("n_caught"))
+      .withColumn("recall_micro",
+        expr("cast((cast(n_caught as decimal(38,0)) * 1000000) div n_truth as bigint)"))
+      .orderBy(col("h_bucket"))
+  }
 
   /** Duplicate-cluster assignment from near-dup pairs: `iters` rounds
     * of min-label propagation over the symmetric pair graph. Each round

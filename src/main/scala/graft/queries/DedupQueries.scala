@@ -210,7 +210,8 @@ object DedupQueries {
           """)
 
   private def sqlSimhashPairsWith(bitsMaxExpr: String, bandBitsExpr: String,
-      bandKeysExpr: String, prefixCtes: String): String =
+      bandKeysExpr: String, prefixCtes: String,
+      bandsMaxExpr: String = "3", maxHamming: Int = 3): String =
     s"""WITH $prefixCtes th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM
           (SELECT doc_id, unnest(tk) AS token FROM ($SqlToks))),
         votes AS (SELECT doc_id, b, sum(CASE WHEN $SqlBitVote = 1 THEN 1 ELSE -1 END) AS v
@@ -219,13 +220,89 @@ object DedupQueries {
           FROM votes GROUP BY doc_id),
         banded AS (
           SELECT doc_id, simhash, b AS band, (simhash >> (b * $bandBitsExpr)) % $bandKeysExpr AS band_key
-          FROM sh, unnest(generate_series(0, 3)) AS u(b)),
+          FROM sh, unnest(generate_series(0, $bandsMaxExpr)) AS u(b)),
         cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
             CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
           FROM banded l JOIN banded r
           ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
-        SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+        SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $maxHamming
         ORDER BY doc_a, doc_b"""
+
+  /** Contract-geometry SimHash pair SQL — replays
+    * [[graft.operators.Dedup.simhashGeometryFor]](4, COUNT(*)): 5
+    * bands (pigeonhole-complete for hamming ≤ 4), band width from the
+    * same integer-corrected CEIL(LOG2) rule as the auto twin
+    * (minBandBits 8, target bucket 250).
+    */
+  private[queries] def sqlSimhashPairsContract: String =
+    sqlSimhashPairsWith(
+      "(SELECT bits FROM bl) - 1",
+      "((SELECT bits FROM bl) // 5)",
+      "(1::BIGINT << ((SELECT bits FROM bl) // 5))",
+      s"""cntd AS (SELECT COUNT(*) AS n FROM $DocsPq),
+          bk0 AS (SELECT GREATEST(CAST(CEIL(LOG2(GREATEST(n, 1)::DOUBLE / 250.0)) AS BIGINT), 0) AS k, n FROM cntd),
+          bl AS (SELECT 5 * GREATEST(8, CASE
+              WHEN ((n - 1) >> GREATEST(k - 1, 0)) < 250 THEN GREATEST(k - 1, 0)
+              WHEN ((n - 1) >> k) < 250 THEN k
+              ELSE k + 1 END) AS bits FROM bk0),
+          """,
+      bandsMaxExpr = "4", maxHamming = 4)
+
+  /** The q256 SimHash recall-audit oracle — the [[sqlLshRecallAudit]]
+    * pattern for the hamming family: 32-token stride-8 chunk units,
+    * identical texts collapsed with multiplicity (identical text ⇒
+    * identical simhash, so the collapse is exact), rare-shingle
+    * blocked truth pairs with exact hamming, caught = cohabitation in
+    * ≥ 1 of the `bands` band keys, within-class pairs analytic at
+    * bucket 0.
+    */
+  private[queries] def sqlSimhashRecallAudit(bits: Int, bands: Int, maxDf: Int,
+      maxHammingAudit: Int): String = {
+    val bandBits = bits / bands
+    s"""WITH ut AS (SELECT text, min(doc_id) AS doc_id, count(*) AS mt FROM (
+            SELECT doc_id * 1024 + (st - 1) // 8 AS doc_id,
+                array_to_string(list_slice(tk, st, st + 31), ' ') AS text
+              FROM (SELECT doc_id, tk FROM (${sqlToks(s"SELECT doc_id, text FROM $DocsPq")})
+                WHERE len(tk) >= 32),
+              unnest(generate_series(1, len(tk) - 31, 8)) AS u(st))
+          GROUP BY text),
+        th AS (SELECT doc_id, ${sqlH31("token")} AS h FROM
+          (SELECT doc_id, unnest(tk) AS token FROM (${sqlToks("SELECT doc_id, text FROM ut")}))),
+        votes AS (SELECT doc_id, b, sum(CASE WHEN $SqlBitVote = 1 THEN 1 ELSE -1 END) AS v
+          FROM th, unnest(generate_series(0, ${bits - 1})) AS u(b) GROUP BY 1, 2),
+        sim AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id),
+        shall AS (SELECT DISTINCT doc_id, ${sqlH31("shingle")} AS h FROM (${
+          sqlShingles("SELECT doc_id, text FROM ut")})),
+        rare AS (SELECT h FROM shall GROUP BY h HAVING count(*) BETWEEN 2 AND $maxDf),
+        bl AS (SELECT doc_id, h FROM shall JOIN rare USING (h)),
+        cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM bl l JOIN bl r ON l.h = r.h AND l.doc_id < r.doc_id),
+        banded AS (SELECT doc_id, b AS band, (simhash >> (b * $bandBits)) % ${1L << bandBits} AS band_key
+          FROM sim, unnest(generate_series(0, ${bands - 1})) AS u(b)),
+        cp AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM banded l JOIN banded r
+          ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+        j AS (SELECT CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS h_bucket,
+            ua.mt * ub.mt AS w,
+            CASE WHEN cp.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+          FROM cand
+          JOIN sim sa ON sa.doc_id = cand.doc_a
+          JOIN sim sb ON sb.doc_id = cand.doc_b
+          JOIN ut ua ON ua.doc_id = cand.doc_a
+          JOIN ut ub ON ub.doc_id = cand.doc_b
+          LEFT JOIN cp ON cp.doc_a = cand.doc_a AND cp.doc_b = cand.doc_b
+          WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $maxHammingAudit),
+        crossb AS (SELECT h_bucket, CAST(sum(w) AS BIGINT) AS n_truth,
+            CAST(sum(w * caught) AS BIGINT) AS n_caught FROM j GROUP BY 1),
+        withinb AS (SELECT 0 AS h_bucket, CAST(sum(mt * (mt - 1) // 2) AS BIGINT) AS n_truth,
+            CAST(sum(mt * (mt - 1) // 2) AS BIGINT) AS n_caught
+          FROM ut WHERE mt >= 2 HAVING sum(mt * (mt - 1) // 2) > 0)
+        SELECT h_bucket, CAST(sum(n_truth) AS BIGINT) AS n_truth,
+          CAST(sum(n_caught) AS BIGINT) AS n_caught,
+          CAST((sum(n_caught)::HUGEINT * 1000000) // sum(n_truth) AS BIGINT) AS recall_micro
+        FROM (SELECT * FROM crossb UNION ALL SELECT * FROM withinb)
+        GROUP BY 1 ORDER BY 1"""
+  }
 
   /** Hyperplane-LSH embedding near-dup pair SQL for a given plane
     * count, mirroring [[graft.operators.Similarity.nearDupByLsh]].
@@ -465,6 +542,32 @@ object DedupQueries {
     "q100_simhash_pairs_auto" -> ((s, dir) =>
       Dedup.simhashPairsAuto(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // SimHash banding recall audit — the q253 pattern for the hamming
+    // family: per hamming-distance bucket of the blocked exact truth,
+    // the catch rate of the q69 geometry (32 bits, 4 bands). Measured
+    // at passage granularity (the 32-token stride-8 ladder) so the
+    // small-distance strata actually hold mass. Expected curve is
+    // simhashRecallAtMicro: exactly 1e6 through d = 3 (pigeonhole),
+    // falling beyond — the measured deviation above d = 3 is the
+    // number a production radius contract must know.
+    "q256_simhash_recall" -> ((s, dir) =>
+      Dedup.simhashRecallAudit(
+        Dedup.slidingTokenChunks(t(s, dir, "documents"), "doc_id", "text"),
+        "chunk_id", "chunk_text", bits = 32, bands = 4, maxDf = 20)),
+
+    // contract-derived SimHash pairs: (bits, bands) from
+    // simhashGeometryFor(radius 4, corpus count) — 5 bands make
+    // hamming <= 4 pigeonhole-COMPLETE (recall exactly 1, not an
+    // S-curve bet), band width count-sized so buckets stay ~250 docs
+    // at any corpus size. The q69/q87 fixed radius-3 family detects
+    // strictly less; this is the radius a contract actually picks.
+    "q257_simhash_contract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (bits, bands) = Dedup.simhashGeometryFor(4, docs.count())
+      Dedup.simhashPairs(docs, "doc_id", "text", bits, maxHamming = 4, bands = bands)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     // blocked token-Jaccard near-dup pairs (same lang + length bucket).
     "q53_ngram_jaccard" -> ((s, dir) =>
@@ -968,6 +1071,8 @@ object DedupQueries {
     "q69_simhash_pairs" -> sqlSimhashPairs(32),
     "q87_simhash_pairs_wide" -> sqlSimhashPairs(48),
     "q100_simhash_pairs_auto" -> sqlSimhashPairsAuto,
+    "q256_simhash_recall" -> sqlSimhashRecallAudit(32, 4, 20, 12),
+    "q257_simhash_contract" -> sqlSimhashPairsContract,
     "q53_ngram_jaccard" ->
       s"""WITH base AS (SELECT doc_id, lang, n_chars // 64 AS len_bucket,
             list_distinct(list_transform(

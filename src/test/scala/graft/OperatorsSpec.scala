@@ -176,6 +176,52 @@ class OperatorsSpec extends SparkSpec {
     assert(conByB.values.map(_._2).sum > defByB.values.map(_._2).sum)
   }
 
+  test("simhashRecallAtMicro: pigeonhole-complete through bands-1, exact anchor, band monotone") {
+    // complete radius: any d <= bands - 1 leaves some band clean
+    (0 to 3).foreach(d => assert(Dedup.simhashRecallAtMicro(32, 4, d) === 1000000L))
+    // exact hand anchor: bits=8, bands=2, d=2 ->
+    // (C(2,1)*C(4,2) - C(2,2)*C(0,2)) / C(8,2) = 12/28 = 0.428571...
+    assert(Dedup.simhashRecallAtMicro(8, 2, 2) === 428571L)
+    // beyond the complete radius the curve falls, monotonically in d
+    val d4 = Dedup.simhashRecallAtMicro(32, 4, 4)
+    val d5 = Dedup.simhashRecallAtMicro(32, 4, 5)
+    assert(d4 < 1000000L && d4 > 0L && d5 <= d4)
+    // more bands at fixed width widen the complete radius
+    assert(Dedup.simhashRecallAtMicro(32, 8, 5) === 1000000L)
+  }
+
+  test("simhashGeometryFor: radius+1 bands, count-sized width, refuses past a signed long") {
+    assert(Dedup.simhashGeometryFor(3, 500L) === ((32, 4)))
+    assert(Dedup.simhashGeometryFor(4, 500L) === ((40, 5)))
+    // 500k docs need 11 band bits to hold ~250-doc buckets
+    assert(Dedup.simhashGeometryFor(4, 500000L) === ((55, 5)))
+    // radius 5 at 500k docs = 6 x 11 = 66 bits > signed long: refuse
+    intercept[IllegalArgumentException] { Dedup.simhashGeometryFor(5, 500000L) }
+    // the refused contract names the levers, and the pairs operator
+    // refuses an incomplete radius rather than silently under-recalling
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docsDf, "doc_id", "text", bits = 32, maxHamming = 4)
+    }
+  }
+
+  test("simhashRecallAudit: bucket 0 from identical texts, complete radius exactly 1e6") {
+    val audit = Dedup.simhashRecallAudit(docsDf, "doc_id", "text",
+      bits = 32, bands = 4).collect()
+    assert(audit.nonEmpty)
+    // docs 0 == 3: the within-class analytic row
+    val b0 = audit.find(_.getAs[Int]("h_bucket") == 0)
+    assert(b0.isDefined && b0.get.getAs[Long]("recall_micro") === 1000000L)
+    audit.foreach { r =>
+      val d = r.getAs[Int]("h_bucket")
+      val nt = r.getAs[Long]("n_truth")
+      val nc = r.getAs[Long]("n_caught")
+      assert(d >= 0 && d <= 12 && nt > 0 && nc >= 0 && nc <= nt)
+      // pigeonhole: every pair within the complete radius MUST be caught
+      if (d <= 3) assert(r.getAs[Long]("recall_micro") === 1000000L,
+        s"banding missed a pair at hamming $d — completeness violated")
+    }
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = Dedup.simhash(docsDf, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
