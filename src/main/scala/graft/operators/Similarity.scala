@@ -214,18 +214,175 @@ object Similarity {
     * Quantization collapses |proj| < 5e-10 to exactly 0 on every
     * engine; real projections sit far above that.
     */
-  def lshBucket(embDouble: Column, planes: Int, dim: Int): Column = {
+  def lshBucket(embDouble: Column, planes: Int, dim: Int): Column =
+    lshBucketAt(embDouble, planes, dim, 0)
+
+  /** [[lshBucket]] over the plane family starting at `planeOffset` —
+    * table k of a multi-table LSH uses planes [k·p, (k+1)·p), so every
+    * table's bucket derives from the one global md5 plane family and a
+    * SQL oracle replays any table count from `generate_series`.
+    */
+  def lshBucketAt(embDouble: Column, planes: Int, dim: Int, planeOffset: Int): Column = {
     val bits = (0 until planes).map { p =>
       // literal weight array + the ArrayDotProduct codegen kernel: the
       // kernel's sequential fold adds in the same element order as the
       // old aggregate(zip_with(...)) form, so projections (and the
       // 9-decimal-quantized sign bits) are bit-identical — but without
       // planes*dim md5 digests per row
-      val ws = array((0 until dim).map(d => lit(planeWeightLocal(p, d))): _*)
+      val ws = array((0 until dim).map(d => lit(planeWeightLocal(planeOffset + p, d))): _*)
       val proj = graft.plans.ArrayDotProduct.array_dot(embDouble, ws)
       when(round(proj, 9) > 0, lit(1L) * (1L << p)).otherwise(0L)
     }
     bits.reduce(_ + _)
+  }
+
+  /** Exact hyperplane-LSH S-curve: P[candidate | cos] in integer
+    * micros for `tables` independent tables of `planes` sign bits.
+    * Per plane, P[agree] = 1 − θ/π (Goemans–Williamson); the
+    * transcendental is micro-rounded ONCE per operand (the engine's
+    * cross-engine discipline for pow/acos) and everything after is
+    * exact BigInt:  1e6 − ceil(1e6·(1 − ppl^p)^t).  The MinHash
+    * [[graft.operators.Dedup.recallAtMicro]] analogue for the cosine
+    * family (q71/q92/q99/q130).
+    */
+  def cosineCollisionMicro(cosMicro: Long, planes: Int, tables: Int): Long = {
+    require(cosMicro >= -1000000 && cosMicro <= 1000000,
+      s"cosMicro must be in [-1e6, 1e6], got $cosMicro")
+    require(planes >= 1 && tables >= 1, s"planes/tables >= 1, got ($planes, $tables)")
+    val ppl = math.round((1.0 - StrictMath.acos(cosMicro / 1e6) / StrictMath.PI) * 1e6)
+    val M = BigInt(1000000)
+    val num = (M.pow(planes) - BigInt(ppl).pow(planes)).pow(tables) * M
+    val den = M.pow(planes * tables)
+    1000000L - ((num + den - 1) / den).toLong
+  }
+
+  /** Cheapest (planes, tables) satisfying the cosine recall CONTRACT:
+    * recall ≥ `targetRecallMicro` at cos = `thresholdCosMicro` AND
+    * false-candidate rate ≤ `maxFpMicro` at the background cosine
+    * `bgCosMicro` — minimal total projections p·t, ties to fewer
+    * tables. The [[graft.operators.Dedup.minhashGeometryFor]] pattern
+    * for the hyperplane family: a recall floor alone degenerates to
+    * p = 1 (every pair in the half-space collides), so the curve must
+    * FALL between bg and threshold. Throws with the binding constraint
+    * when infeasible — low-threshold contracts (cos ≲ 0.5 is ~60° —
+    * barely off random) are genuinely unreachable for sign-bit LSH and
+    * the caller should pre-block or raise the threshold, not silently
+    * run a geometry that cannot meet its contract.
+    */
+  def cosineLshGeometryFor(thresholdCosMicro: Long, targetRecallMicro: Long,
+      bgCosMicro: Long = 200000L, maxFpMicro: Long = 20000L,
+      maxPlanes: Int = 24, maxTables: Int = 64): (Int, Int) = {
+    require(thresholdCosMicro > bgCosMicro,
+      s"threshold ($thresholdCosMicro) must exceed background cosine ($bgCosMicro)")
+    require(targetRecallMicro > 0 && targetRecallMicro < 1000000,
+      s"targetRecallMicro must be in (0, 1e6), got $targetRecallMicro")
+    val ok = for {
+      p <- 1 to maxPlanes
+      t <- 1 to maxTables
+      if cosineCollisionMicro(thresholdCosMicro, p, t) >= targetRecallMicro
+      if cosineCollisionMicro(bgCosMicro, p, t) <= maxFpMicro
+    } yield (p, t)
+    ok.sortBy { case (p, t) => (p * t, t) }.headOption.getOrElse {
+      val recallOnly = (1 to maxPlanes).flatMap(p => (1 to maxTables).map(p -> _))
+        .exists { case (p, t) => cosineCollisionMicro(thresholdCosMicro, p, t) >= targetRecallMicro }
+      throw new IllegalArgumentException(
+        if (recallOnly)
+          s"no geometry within (maxPlanes=$maxPlanes, maxTables=$maxTables) holds false " +
+            s"candidates <= $maxFpMicro micro at bg cos $bgCosMicro while meeting recall >= " +
+            s"$targetRecallMicro at cos $thresholdCosMicro: raise maxPlanes (steeper curve), " +
+            "tighten bg by pre-blocking, or raise the threshold"
+        else
+          s"recall >= $targetRecallMicro at cos $thresholdCosMicro is unreachable within " +
+            s"(maxPlanes=$maxPlanes, maxTables=$maxTables): relax the recall floor or raise maxTables")
+    }
+  }
+
+  /** Multi-table hyperplane LSH near-dup pairs — the recall-contract
+    * execution path: `tables` independent `planes`-bit tables (table k
+    * = planes [k·p, (k+1)·p) of the global family), candidates = the
+    * union of per-table bucket cohabitations, verified by exact cosine
+    * ≥ threshold. One table ([[nearDupByLsh]]) is a single S-curve
+    * draw — recall 1.6% at cos 0.9 for 8 planes·1 table is what
+    * [[cosineCollisionMicro]] says and q258 measures; the OR over
+    * tables is the amplification that makes a ≥ 80% floor reachable.
+    * Candidates stay skinny (vec ids + table key) through the shuffle;
+    * vectors attach by two hash joins for the verify, as in the
+    * MinHash twin.
+    */
+  def nearDupByLshMulti(emb: DataFrame, planes: Int, tables: Int, dim: Int,
+      threshold: Double): DataFrame = {
+    require(planes >= 1 && planes <= 62 && tables >= 1,
+      s"need 1 <= planes <= 62 and tables >= 1, got ($planes, $tables)")
+    val e = graft.GraftCache.registered(
+      emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+        .withColumn("nrm", norm(col("e"))))
+    val banded = (0 until tables).map { k =>
+      e.select(col("vec_id"), lit(k).as("tbl"),
+        lshBucketAt(col("e"), planes, dim, k * planes).as("bucket"))
+    }.reduce(_.union(_))
+    Dedup.requireBoundedBlocks(banded, Seq(col("tbl"), col("bucket")),
+      s"more hyperplanes per table (planes > $planes: buckets/table = 2^planes, " +
+        s"currently ${1L << planes})")
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("e").as("e_a"), col("nrm").as("n_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("e").as("e_b"), col("nrm").as("n_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosineWithNorms(col("e_a"), col("e_b"), col("n_a"), col("n_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Deterministic anchor weight for the audit's blend ladder — same
+    * md5 family as [[planeWeightLocal]] under its own namespace.
+    */
+  def anchorWeightLocal(d: Int): Double =
+    (graft.plans.Md5Hash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"anchor_$d")) % 2001L - 1000L)
+      .toDouble / 1000.0
+
+  /** Cosine-LSH recall audit — the q253 pattern for the hyperplane
+    * family: measures P[caught | cos] per cosine decile against an
+    * LSH-independent ground truth, at a given (planes, tables)
+    * geometry. Real corpus pairs are bimodal (near-1 dups or near-0
+    * background), so the audit derives a DETERMINISTIC cosine ladder:
+    * each vector spawns 8 blend units (unit j has its first j·dim/8
+    * coordinates replaced by the fixed md5 anchor vector), and the
+    * truth set is all 28 WITHIN-vector unit pairs — exact cosine at
+    * every rung from ~1 down to anchor-dominated, linear in the corpus
+    * (no quadratic truth stage). Caught = the pair cohabits ≥ 1
+    * table's bucket, computed positionally on each unit's bucket
+    * vector. recall_micro floors via div on nonnegative operands.
+    */
+  def cosineLshRecallAudit(emb: DataFrame, planes: Int, tables: Int, dim: Int): DataFrame = {
+    require(dim % 8 == 0, s"dim must be divisible by 8 (the blend ladder), got $dim")
+    val anchor = array((0 until dim).map(d => lit(anchorWeightLocal(d))): _*)
+    val base = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+    val units = (0 until 8).map { j =>
+      val cut = j * dim / 8
+      base.select(col("vec_id"), lit(j).as("rung"),
+        transform(col("e"), (x, i) =>
+          when(i < cut, element_at(anchor, i + 1)).otherwise(x)).as("u"))
+    }.reduce(_.union(_))
+    val withBks = graft.GraftCache.registered(units
+      .withColumn("nrm", norm(col("u")))
+      .withColumn("bks", array((0 until tables).map(k =>
+        lshBucketAt(col("u"), planes, dim, k * planes)): _*)))
+    withBks.as("l").join(withBks.as("r"),
+        col("l.vec_id") === col("r.vec_id") && col("l.rung") < col("r.rung"))
+      .select(
+        round(cosineWithNorms(col("l.u"), col("r.u"), col("l.nrm"), col("r.nrm")), 6).as("cos_sim"),
+        when(exists(zip_with(col("l.bks"), col("r.bks"), (a, b) => a === b),
+          (x: Column) => x), 1L).otherwise(0L).as("caught"))
+      .filter(col("cos_sim") >= 0) // div truncates vs floors on negatives; ladder mass is >= 0
+      .groupBy(expr("cast(round(cos_sim * 1000000, 0) as bigint) div 100000")
+        .cast("int").as("c_bucket"))
+      .agg(count(lit(1)).as("n_truth"), sum(col("caught")).as("n_caught"))
+      .withColumn("recall_micro", expr("(n_caught * 1000000) div n_truth"))
+      .orderBy(col("c_bucket"))
   }
 
   /** Driver-side squared distance, quantized to 9 decimals — the same

@@ -333,6 +333,71 @@ object DedupQueries {
               ELSE k + 1 END)) AS p FROM pk),
           """)
 
+  /** The q258/q259 cosine-LSH recall-audit oracle: blend-ladder units
+    * (unit j of a vector = first j·8 coords replaced by the md5 anchor
+    * vector), truth = all 28 within-vector rung pairs with exact
+    * rounded cosine, caught = cohabitation in ≥ 1 of `tables`
+    * hyperplane tables (table k = planes [k·p, (k+1)·p) of the global
+    * family). Mirrors [[graft.operators.Similarity.cosineLshRecallAudit]].
+    */
+  private[queries] def sqlCosineLshRecallAudit(planes: Int, tables: Int): String =
+    s"""WITH pw AS (SELECT p, d,
+          (((('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0 AS w
+          FROM unnest(generate_series(0, ${planes * tables - 1})) AS tp(p),
+               unnest(generate_series(0, 63)) AS td(d)),
+        al AS (SELECT list(
+            (((('0x' || substr(md5('anchor_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0
+            ORDER BY d) AS a
+          FROM unnest(generate_series(0, 63)) AS ta(d)),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
+        units AS (SELECT vec_id, j AS rung,
+            list_transform(generate_series(1, 64),
+              i -> CASE WHEN i <= j * 8 THEN al.a[i] ELSE e.e[i] END) AS u
+          FROM e, al, unnest(generate_series(0, 7)) AS tj(j)),
+        proj AS (SELECT vec_id, rung, p, sum(u[d + 1] * pw.w) AS proj
+          FROM units CROSS JOIN pw GROUP BY 1, 2, 3),
+        bk AS (SELECT vec_id, rung, p // $planes AS tbl,
+            CAST(sum(CASE WHEN round(proj, 9) > 0 THEN 1::BIGINT << (p % $planes) ELSE 0 END) AS BIGINT) AS bucket
+          FROM proj GROUP BY 1, 2, 3),
+        pr AS (SELECT l.vec_id, l.rung AS ra, r.rung AS rb,
+            round(list_cosine_similarity(l.u, r.u), 6) AS cos_sim
+          FROM units l JOIN units r ON l.vec_id = r.vec_id AND l.rung < r.rung),
+        cj AS (SELECT DISTINCT bl.vec_id, bl.rung AS ra, br.rung AS rb
+          FROM bk bl JOIN bk br ON bl.vec_id = br.vec_id AND bl.rung < br.rung
+            AND bl.tbl = br.tbl AND bl.bucket = br.bucket),
+        j AS (SELECT pr.cos_sim, CASE WHEN cj.vec_id IS NULL THEN 0 ELSE 1 END AS caught
+          FROM pr LEFT JOIN cj ON pr.vec_id = cj.vec_id AND pr.ra = cj.ra AND pr.rb = cj.rb
+          WHERE pr.cos_sim >= 0)
+        SELECT CAST(CAST(round(cos_sim * 1000000, 0) AS BIGINT) // 100000 AS INT) AS c_bucket,
+          CAST(count(*) AS BIGINT) AS n_truth, CAST(sum(caught) AS BIGINT) AS n_caught,
+          CAST((CAST(sum(caught) AS BIGINT) * 1000000) // count(*) AS BIGINT) AS recall_micro
+        FROM j GROUP BY 1 ORDER BY 1"""
+
+  /** Multi-table hyperplane pair SQL — mirrors
+    * [[graft.operators.Similarity.nearDupByLshMulti]] at a fixed
+    * (planes, tables): per-table buckets from the global plane family,
+    * candidates = union of per-table cohabitations, exact rounded
+    * cosine ≥ threshold.
+    */
+  private[queries] def sqlCosineLshPairsMulti(planes: Int, tables: Int, threshold: Double): String =
+    s"""WITH pw AS (SELECT p, d,
+          (((('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0 AS w
+          FROM unnest(generate_series(0, ${planes * tables - 1})) AS tp(p),
+               unnest(generate_series(0, 63)) AS td(d)),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
+        proj AS (SELECT vec_id, p, sum(e.e[d + 1] * pw.w) AS proj
+          FROM e CROSS JOIN pw GROUP BY 1, 2),
+        bk AS (SELECT vec_id, p // $planes AS tbl,
+            CAST(sum(CASE WHEN round(proj, 9) > 0 THEN 1::BIGINT << (p % $planes) ELSE 0 END) AS BIGINT) AS bucket
+          FROM proj GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+          FROM bk l JOIN bk r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+        SELECT vec_a, vec_b,
+          round(list_cosine_similarity(le.e, re.e), 6) AS cos_sim
+        FROM cand JOIN e le ON le.vec_id = vec_a JOIN e re ON re.vec_id = vec_b
+        WHERE round(list_cosine_similarity(le.e, re.e), 6) >= $threshold
+        ORDER BY vec_a, vec_b"""
+
   private def sqlEmbeddingLshPairsWith(maxPlaneExpr: String, prefixCtes: String): String =
     s"""WITH $prefixCtes pw AS (SELECT p, d,
           (((('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0 AS w
@@ -609,6 +674,38 @@ object DedupQueries {
     "q99_embedding_lsh_auto" -> ((s, dir) =>
       Similarity.nearDupByLshAuto(t(s, dir, "embeddings"), dim = 64, threshold = 0.25)
         .orderBy(col("vec_a"), col("vec_b"))),
+
+    // cosine-LSH recall audit at the PRODUCTION single-table geometry
+    // (q71's 8 planes): per cosine decile of the blend-ladder truth
+    // (28 within-vector rung pairs per vector — linear, no quadratic
+    // truth stage), how many pairs one 8-bit bucket actually catches.
+    // cosineCollisionMicro says ~1.6% at cos 0.9 for (8, 1); this
+    // measures it — the number that explains why single-bucket LSH is
+    // a CANDIDATE CAP, not a recall device.
+    "q258_cosine_lsh_recall" -> ((s, dir) =>
+      Similarity.cosineLshRecallAudit(t(s, dir, "embeddings"),
+        planes = 8, tables = 1, dim = 64)),
+
+    // the same audit at the CONTRACT geometry cosineLshGeometryFor
+    // derives from "cos >= 0.9 at >= 80% recall, <= 2% candidates at
+    // bg cos 0.2" — multi-table amplification (OR over tables) is what
+    // lifts the top deciles to the floor; the graded before/after of
+    // the advisor, as q253/q255 for MinHash.
+    "q259_cosine_lsh_contract" -> ((s, dir) => {
+      val (p, tb) = Similarity.cosineLshGeometryFor(900000L, 800000L)
+      Similarity.cosineLshRecallAudit(t(s, dir, "embeddings"),
+        planes = p, tables = tb, dim = 64)
+    }),
+
+    // contract-derived multi-table near-dup pairs: the execution path
+    // behind q259's curve — candidates from the OR of the contract's
+    // tables, verified at q71's 0.25 threshold so the graded delta vs
+    // the single-table family IS the recall the contract buys.
+    "q260_cosine_lsh_multi" -> ((s, dir) => {
+      val (p, tb) = Similarity.cosineLshGeometryFor(900000L, 800000L)
+      Similarity.nearDupByLshMulti(t(s, dir, "embeddings"), p, tb, dim = 64,
+        threshold = 0.25).orderBy(col("vec_a"), col("vec_b"))
+    }),
 
     // the auto-sizing family's MinHash member: rows-per-band sized
     // from the document count (minhashRowsFor: smallest r >= 4 with
@@ -1244,6 +1341,16 @@ object DedupQueries {
     "q71_embedding_neardup_lsh" -> sqlEmbeddingLshPairs(8),
     "q92_embedding_lsh_wide" -> sqlEmbeddingLshPairs(10),
     "q99_embedding_lsh_auto" -> sqlEmbeddingLshPairsAuto,
+    "q258_cosine_lsh_recall" -> sqlCosineLshRecallAudit(8, 1),
+    // geometry resolved by the SAME advisor call the query makes
+    "q259_cosine_lsh_contract" -> {
+      val (p, tb) = Similarity.cosineLshGeometryFor(900000L, 800000L)
+      sqlCosineLshRecallAudit(p, tb)
+    },
+    "q260_cosine_lsh_multi" -> {
+      val (p, tb) = Similarity.cosineLshGeometryFor(900000L, 800000L)
+      sqlCosineLshPairsMulti(p, tb, 0.25)
+    },
     "q55_embedding_neardup" ->
       s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
           round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos_sim

@@ -733,6 +733,58 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("cosineCollisionMicro: exact anchors, table amplification, plane sharpening") {
+    // cos 1 -> every plane agrees; cos -1 -> theta = pi, none ever
+    assert(Similarity.cosineCollisionMicro(1000000, 8, 1) === 1000000L)
+    assert(Similarity.cosineCollisionMicro(-1000000, 8, 1) === 0L)
+    // cos 0, one plane, one table: exactly 1/2
+    assert(Similarity.cosineCollisionMicro(0, 1, 1) === 500000L)
+    val base = Similarity.cosineCollisionMicro(900000, 8, 1)
+    assert(base > 280000 && base < 300000, base) // (1 - acos(.9)/pi)^8 ~ 0.289
+    assert(Similarity.cosineCollisionMicro(900000, 8, 4) > base)  // OR over tables
+    assert(Similarity.cosineCollisionMicro(900000, 12, 1) < base) // more sign bits
+  }
+
+  test("cosineLshGeometryFor: contract holds, degenerate and unreachable shapes refused") {
+    val (p, t) = Similarity.cosineLshGeometryFor(900000L, 800000L)
+    assert(Similarity.cosineCollisionMicro(900000L, p, t) >= 800000L)
+    assert(Similarity.cosineCollisionMicro(200000L, p, t) <= 20000L)
+    assert(p > 1) // p = 1 admits the whole half-space at bg: fp-rejected
+    // sign-bit LSH cannot hold 90% recall at cos 0.4 against a 1% fp
+    // ceiling within any sane budget: the advisor must refuse, loudly
+    intercept[IllegalArgumentException] {
+      Similarity.cosineLshGeometryFor(400000L, 900000L, bgCosMicro = 0L, maxFpMicro = 10000L)
+    }
+  }
+
+  test("nearDupByLshMulti: table 0 reproduces the single-table pairs; more tables only add") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val single = Similarity.nearDupByLsh(emb, planes = 8, dim = 64, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.nearDupByLshMulti(emb, planes = 8, tables = 3, dim = 64,
+      threshold = 0.25).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // table 0 uses planes [0, 8) = exactly the single-table bucket
+    assert(single.subsetOf(multi), s"missing: ${single -- multi}")
+    assert(multi.size >= single.size)
+  }
+
+  test("cosineLshRecallAudit: ladder buckets populated, contract lifts the top decile") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings").limit(50)
+    def byBucket(planes: Int, tables: Int) =
+      Similarity.cosineLshRecallAudit(emb, planes, tables, dim = 64).collect()
+        .map(r => r.getAs[Int]("c_bucket") ->
+          (r.getAs[Long]("n_truth"), r.getAs[Long]("n_caught"))).toMap
+    val one = byBucket(8, 1)
+    val amp = byBucket(8, 4)
+    assert(one.keySet.size >= 3) // the blend ladder spreads cosines over deciles
+    assert(amp.keySet === one.keySet)
+    amp.foreach { case (b, (nt, nc)) =>
+      assert(nt === one(b)._1, s"truth stratum moved at bucket $b")
+      assert(nc >= one(b)._2, s"amplification caught fewer at bucket $b")
+    }
+    assert(amp.values.map(_._2).sum > one.values.map(_._2).sum)
+  }
+
   // ------------------------------------------------------------ PQ/ADC
 
   /** 16 distinct 8-dim ramp vectors: with ksub = 16 and iters = 0 every
