@@ -73,14 +73,15 @@ object ScaleSoak {
     "q123_pipe_wordcount", "q124_index_union", "q126_sink_roundtrip",
     "q127_zorder_layout", "q129_versioned_upsert", "q130_semantic_dedup_lsh",
     "q131_bpe_train", "q132_bpe_segment", "q133_zorder3", "q134_corpus_refresh",
-    // round-9 additions (q143 ppr is star-schema → bench ladder)
+    // round-9 additions (q143 joined the ladder in r12: its
+    // orders/lineitem inputs replicate as disjoint trade-graph copies)
     "q136_pmi_pairs", "q137_weighted_sample", "q138_train_shards",
     "q139_gopher_rep", "q140_ccnet_buckets", "q141_kmeans",
     "q142_triangles", "q144_hll_overlap", "q145_containment",
     // graph pack over the replicated trade graph (VERDICT r9 item 7):
     // orders/lineitem replicate as DISJOINT per-replica copies, so
     // edge count and component structure scale linearly
-    "q135_pagerank", "q148_kcore", "q152_bfs", "q205_assortativity",
+    "q135_pagerank", "q143_ppr", "q148_kcore", "q152_bfs", "q205_assortativity",
     "q216_kcore_fixpoint", "q217_weighted_pagerank", "q218_stats_drift",
     "q219_common_neighbors",
     // round-10 additions: clustering coefficient rides the simhash
@@ -105,6 +106,11 @@ object ScaleSoak {
     "q249_governance_report", "q250_embedding_release", "q251_text_skipgrams",
     "q252_leakage_split", "q253_lsh_recall", "q254_contract_neardup",
     "q255_lsh_recall_contract",
+    // round-12: the simhash/cosine recall-contract family (q257/q259
+    // re-run q100/q258's corpus work at contract geometry; q261's
+    // ladder corpus is 8x the embedding table — graded at the gate,
+    // soak evidence rides q258/q260's shared operators)
+    "q256_simhash_recall", "q258_cosine_lsh_recall", "q260_cosine_lsh_multi",
     // event-sequence family (events replicated as disjoint user
     // populations on the same calendar)
     "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",

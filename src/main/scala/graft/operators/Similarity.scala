@@ -547,12 +547,9 @@ object Similarity {
     val cents = kmeansCellsLocal(embD, cells, iters)
     val assigned = assignCells(embD, cents)
       .select(col("vec_id"), col("cell").as("label"), col("e").as("embedding"))
-    val pairs = nearDupExactBlocked(assigned, "label", threshold)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val drop = Dedup.connectedComponents(pairs)
-      .filter(col("doc") =!= col("label"))
-      .select(col("doc").as("vec_id"))
-    emb.join(drop, Seq("vec_id"), "left_anti")
+    keepMinOfComponents(emb,
+      nearDupExactBlocked(assigned, "label", threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
   }
 
   /** The scale path for semantic dedup: same contract as
@@ -565,13 +562,82 @@ object Similarity {
     * k-means-cell variant exists for its oracle-replayable quantizer
     * and for corpora where cells are sized to the data.
     */
-  def semanticDedupLsh(emb: DataFrame, dim: Int, threshold: Double): DataFrame = {
-    val pairs = nearDupByLshAuto(emb, dim, threshold)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+  def semanticDedupLsh(emb: DataFrame, dim: Int, threshold: Double): DataFrame =
+    keepMinOfComponents(emb,
+      nearDupByLshAuto(emb, dim, threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+
+  /** Shared dedup tail: exact connected components over the verified
+    * pair graph, drop every member but the min-id one, return the KEPT
+    * input rows (all columns). The pair stage is the only thing the
+    * dedup variants differ in.
+    */
+  private def keepMinOfComponents(emb: DataFrame, pairs: DataFrame): DataFrame = {
     val drop = Dedup.connectedComponents(pairs)
       .filter(col("doc") =!= col("label"))
       .select(col("doc").as("vec_id"))
     emb.join(drop, Seq("vec_id"), "left_anti")
+  }
+
+  /** Semantic dedup under an explicit RECALL CONTRACT — the production
+    * adoption of [[cosineLshGeometryFor]], mirroring what
+    * `Dedup.minhashPairsContract` did for the MinHash family: the
+    * caller states "catch cosine ≥ threshold pairs at ≥ targetRecall,
+    * admit ≤ maxFp of background pairs" and the geometry (planes,
+    * tables) is DERIVED from the exact S-curve instead of configured.
+    * Candidates come from [[nearDupByLshMulti]] (the OR over tables is
+    * what makes a ≥ 80% floor reachable — one auto-sized table is a
+    * single S-curve draw, 1.6% at cos 0.9 for 8 planes, which is why
+    * [[semanticDedupLsh]] alone is a bucket-load contract, not a recall
+    * contract). Infeasible contracts (threshold too close to
+    * background for sign-bit LSH) throw at plan time with the binding
+    * constraint — the refusal posture of the blocked self-joins,
+    * applied to recall.
+    */
+  def semanticDedupLshContract(emb: DataFrame, dim: Int,
+      thresholdCosMicro: Long, targetRecallMicro: Long,
+      bgCosMicro: Long = 200000L, maxFpMicro: Long = 20000L): DataFrame = {
+    val (p, tb) = cosineLshGeometryFor(thresholdCosMicro, targetRecallMicro,
+      bgCosMicro, maxFpMicro)
+    keepMinOfComponents(emb,
+      nearDupByLshMulti(emb, p, tb, dim, thresholdCosMicro / 1e6)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+  }
+
+  /** Deterministic near-dup ladder corpus: each input vector spawns 8
+    * blend units (unit j = first j·dim/8 coordinates replaced by a
+    * PER-VECTOR md5 anchor), unit id = vec_id·8 + j. Adjacent rungs
+    * share 7/8 of their coordinates, so every vector contributes a
+    * deterministic chain of genuine high-cosine near-dups — the graded
+    * input for [[semanticDedupLshContract]], since the raw embeddings
+    * table has no pairs above cos ~0.51 at any SF. Unlike
+    * [[cosineLshRecallAudit]]'s shared anchor (fine for an audit that
+    * only compares rungs WITHIN a vector), the anchor here is keyed by
+    * vec_id: a shared anchor would make every vector's rung-7 unit
+    * mutually near-identical — one corpus-sized component and a
+    * quadratic hot bucket at scale — while per-vector anchors keep
+    * components vector-local, so the corpus (and the dedup over it)
+    * scales linearly.
+    */
+  def blendLadder(emb: DataFrame, dim: Int): DataFrame = {
+    require(dim % 8 == 0, s"dim must be divisible by 8 (the blend ladder), got $dim")
+    // registered: the 8 rung branches re-execute the upstream once
+    // each otherwise — both a 8x scan and, for nondeterministic
+    // upstreams (an unordered limit/sample), a CORRECTNESS hazard:
+    // rungs of one vector could blend different source rows
+    val base = graft.GraftCache.registered(
+      emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
+    val anchor = transform(sequence(lit(0), lit(dim - 1)), d =>
+      (graft.plans.Md5Prefix32.md5prefix32(
+        concat(lit("anchor_"), col("vec_id").cast("string"), lit("_"), d.cast("string")))
+        % 2001L - 1000L).cast("double") / lit(1000.0))
+    (0 until 8).map { j =>
+      val cut = j * dim / 8
+      base.withColumn("a", anchor)
+        .select((col("vec_id") * 8 + lit(j.toLong)).as("vec_id"),
+          transform(col("e"), (x, i) =>
+            when(i < cut, element_at(col("a"), i + 1)).otherwise(x)).as("embedding"))
+    }.reduce(_.union(_))
   }
 
   /** Per-vector symmetric int8 scalar quantization: scale =

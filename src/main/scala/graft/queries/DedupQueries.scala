@@ -398,6 +398,46 @@ object DedupQueries {
         WHERE round(list_cosine_similarity(le.e, re.e), 6) >= $threshold
         ORDER BY vec_a, vec_b"""
 
+  /** The q261 oracle: blend-ladder units with PER-VECTOR md5 anchors
+    * (unit id = vec_id·8 + rung), multi-table buckets from the global
+    * plane family, candidates = per-table cohabitation, exact rounded
+    * cosine ≥ threshold, recursive-CC keep-min tail (the q130 shape).
+    * Mirrors [[graft.operators.Similarity.blendLadder]] +
+    * [[graft.operators.Similarity.semanticDedupLshContract]].
+    */
+  private[queries] def sqlSemanticDedupContract(planes: Int, tables: Int,
+      threshold: Double): String =
+    s"""WITH RECURSIVE pw AS (SELECT p, d,
+          (((('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0 AS w
+          FROM unnest(generate_series(0, ${planes * tables - 1})) AS tp(p),
+               unnest(generate_series(0, 63)) AS td(d)),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
+        units AS (SELECT vec_id * 8 + j AS uid,
+            list_transform(generate_series(1, 64),
+              i -> CASE WHEN i <= j * 8 THEN
+                  (((('0x' || substr(md5('anchor_' || vec_id || '_' || (i - 1)), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0
+                ELSE e.e[i] END) AS u
+          FROM e, unnest(generate_series(0, 7)) AS tj(j)),
+        proj AS (SELECT uid, p, sum(u[d + 1] * pw.w) AS proj
+          FROM units CROSS JOIN pw GROUP BY 1, 2),
+        bk AS (SELECT uid, p // $planes AS tbl,
+            CAST(sum(CASE WHEN round(proj, 9) > 0 THEN 1::BIGINT << (p % $planes) ELSE 0 END) AS BIGINT) AS bucket
+          FROM proj GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT l.uid AS a, r.uid AS b
+          FROM bk l JOIN bk r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.uid < r.uid),
+        p2 AS (SELECT a, b FROM cand
+          JOIN units ul ON ul.uid = a JOIN units ur ON ur.uid = b
+          WHERE round(list_cosine_similarity(ul.u, ur.u), 6) >= $threshold),
+        edges AS (SELECT a AS src, b AS dst FROM p2 UNION ALL SELECT b AS src, a AS dst FROM p2),
+        reach(src, dst) AS (
+          SELECT src, src AS dst FROM edges
+          UNION
+          SELECT r.src, edges.dst FROM reach r JOIN edges ON r.dst = edges.src),
+        lab AS (SELECT src AS doc, min(dst) AS label FROM reach GROUP BY src)
+        SELECT uid AS vec_id FROM units
+        WHERE uid NOT IN (SELECT doc FROM lab WHERE doc <> label)
+        ORDER BY vec_id"""
+
   private def sqlEmbeddingLshPairsWith(maxPlaneExpr: String, prefixCtes: String): String =
     s"""WITH $prefixCtes pw AS (SELECT p, d,
           (((('0x' || substr(md5('plane_' || p || '_' || d), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0 AS w
@@ -706,6 +746,19 @@ object DedupQueries {
       Similarity.nearDupByLshMulti(t(s, dir, "embeddings"), p, tb, dim = 64,
         threshold = 0.25).orderBy(col("vec_a"), col("vec_b"))
     }),
+
+    // the PRODUCTION adoption of the cosine contract (the de739ea
+    // pattern applied to SemDeDup): dedup the blend-ladder corpus —
+    // the raw table has no pairs above cos ~0.51, so the ladder's
+    // per-vector rung chains are the genuine high-cosine near-dups —
+    // under "catch cos >= 0.9 at >= 80% recall, <= 2% background".
+    // Geometry is advisor-derived, candidates are the multi-table OR,
+    // kept set = min-id survivor per exact-CC component.
+    "q261_semantic_dedup_contract" -> ((s, dir) =>
+      Similarity.semanticDedupLshContract(
+          Similarity.blendLadder(t(s, dir, "embeddings"), dim = 64),
+          dim = 64, thresholdCosMicro = 900000L, targetRecallMicro = 800000L)
+        .select(col("vec_id")).orderBy(col("vec_id"))),
 
     // the auto-sizing family's MinHash member: rows-per-band sized
     // from the document count (minhashRowsFor: smallest r >= 4 with
@@ -1350,6 +1403,10 @@ object DedupQueries {
     "q260_cosine_lsh_multi" -> {
       val (p, tb) = Similarity.cosineLshGeometryFor(900000L, 800000L)
       sqlCosineLshPairsMulti(p, tb, 0.25)
+    },
+    "q261_semantic_dedup_contract" -> {
+      val (p, tb) = Similarity.cosineLshGeometryFor(900000L, 800000L)
+      sqlSemanticDedupContract(p, tb, 0.9)
     },
     "q55_embedding_neardup" ->
       s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,

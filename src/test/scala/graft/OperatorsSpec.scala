@@ -785,6 +785,46 @@ class OperatorsSpec extends SparkSpec {
     assert(amp.values.map(_._2).sum > one.values.map(_._2).sum)
   }
 
+  test("blendLadder: 8 units per vector, rung 0 is the original, per-vector anchors decorrelate") {
+    // filter, not limit: an unordered limit re-executes per union
+    // branch of the ladder, so rungs of one vector could come from
+    // DIFFERENT 20-vector subsets
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings").filter(col("vec_id") < 20)
+    val ladder = Similarity.blendLadder(emb, dim = 64)
+    assert(ladder.count() === 20L * 8)
+    // rung 0 (uid = 8*vec_id) is the unmodified vector
+    val orig = emb.select(col("vec_id"),
+      Similarity.toDoubleVec(col("embedding")).as("e")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    ladder.filter(col("vec_id") % 8 === 0).collect().foreach { r =>
+      assert(r.getSeq[Double](1) === orig(r.getLong(0) / 8))
+    }
+    // rung-7 units of DIFFERENT vectors share no anchor: their cosine
+    // stays below the dedup threshold (a shared anchor would tie the
+    // whole corpus into one component — the scale failure this guards)
+    val r7 = ladder.filter(col("vec_id") % 8 === 7)
+    val cross = r7.as("l").join(r7.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .select(Similarity.cosine(col("l.embedding"), col("r.embedding")).as("c"))
+      .agg(max(col("c"))).head().getDouble(0)
+    assert(cross < 0.9, s"cross-vector rung-7 cosine reached $cross")
+  }
+
+  test("semanticDedupLshContract: ladder collapses within-vector, kept set honors min-id rule") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings").filter(col("vec_id") < 20)
+    val ladder = Similarity.blendLadder(emb, dim = 64)
+    val kept = Similarity.semanticDedupLshContract(ladder, dim = 64,
+      thresholdCosMicro = 900000L, targetRecallMicro = 800000L)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val all = ladder.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(all))
+    // adjacent rungs share 7/8 coordinates: some true >= 0.9 pairs
+    // exist, and the contract geometry must catch enough to fire
+    assert(kept.size < all.size, "dedup dropped nothing: contract recall failed on the ladder")
+    // each vector's rung 0 survives (it is the min id of any component
+    // it joins: components are vector-local and rung 0 has the least uid)
+    assert(all.filter(_ % 8 == 0).subsetOf(kept))
+  }
+
   // ------------------------------------------------------------ PQ/ADC
 
   /** 16 distinct 8-dim ramp vectors: with ksub = 16 and iters = 0 every
