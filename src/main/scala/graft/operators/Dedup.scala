@@ -610,16 +610,20 @@ object Dedup {
     val sig = graft.GraftCache.registered(
       simhash(texts, "doc_id", "txt", bits)
         .join(texts.select(col("doc_id"), col("m")), "doc_id"))
-    val caught = (0 until bands).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        expr(s"(simhash >> ${b * bandBits}) % ${1L << bandBits}").as("band_key"))
-    }.reduce(_.union(_))
-    val caughtPairs = caught.as("l").join(caught.as("r"),
-        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
-      .withColumn("caught", lit(1L))
+    // "caught" (some band agrees) is a PURE PER-PAIR EXPRESSION over
+    // the two simhashes — the first cut materialized the production
+    // banding self-join over the WHOLE corpus to decide it, which
+    // saturates exactly when the audited geometry does (that is the
+    // thing being measured!): at the x100 soak tier the 32-bit default
+    // put ~2000 docs in every 8-bit band bucket = ~2e9 join rows and
+    // 71 GB of shuffle spill before the run was killed. Deciding band
+    // agreement on the already-blocked candidate pairs keeps the audit
+    // linear in the truth volume AT ANY GEOMETRY — an audit must stay
+    // cheap precisely where the instrument it audits breaks down.
+    val bandAgree = (0 until bands).map { b =>
+      expr(s"(sh_a >> ${b * bandBits}) % ${1L << bandBits}") ===
+        expr(s"(sh_b >> ${b * bandBits}) % ${1L << bandBits}")
+    }.reduce(_ || _)
     val cross = cand
       .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
         col("m").as("m_a")), "doc_a")
@@ -627,10 +631,10 @@ object Dedup {
         col("m").as("m_b")), "doc_b")
       .withColumn("hamming", expr("cast(bit_count(sh_a ^ sh_b) as int)"))
       .filter(col("hamming") <= maxHammingAudit)
-      .join(caughtPairs, Seq("doc_a", "doc_b"), "left_outer")
+      .withColumn("caught", when(bandAgree, 1L).otherwise(0L))
       .groupBy(col("hamming").as("h_bucket"))
       .agg(sum(expr("m_a * m_b")).as("n_truth"),
-        sum(expr("m_a * m_b * coalesce(caught, 0L)")).as("n_caught"))
+        sum(expr("m_a * m_b * caught")).as("n_caught"))
     val within = texts.filter(col("m") >= 2)
       .agg(sum(expr("m * (m - 1) div 2")).as("n_truth"))
       .filter(col("n_truth") > 0)

@@ -481,6 +481,87 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
   }
 
+  /** IVF probe-count recall curve — the EMPIRICAL member of the
+    * recall-contract family. MinHash/SimHash/cosine-LSH have exact
+    * analytic S-curves ([[graft.operators.Dedup.recallAtMicro]] /
+    * `simhashRecallAtMicro` / [[cosineCollisionMicro]]) so their
+    * advisors derive geometry from arithmetic; an IVF quantizer is
+    * DATA-DEPENDENT (cell shapes come from k-means on this corpus), so
+    * the curve must be measured. This measures it exactly and in ONE
+    * pass: for a deterministic sample of queries (the `sampleQ` lowest
+    * vec_ids), true top-k = brute force ([[knnJoin]]); for each true
+    * neighbor, its cell's POSITION in the query's probe order decides
+    * the smallest nprobe that catches it — so recall at EVERY nprobe
+    * falls out of one rank histogram, no per-nprobe re-search. (Recall
+    * at nprobe p really is |{true neighbors in probed cells}| / k:
+    * IVF search is exact within probed cells, and fewer than k corpus
+    * vectors beat any true top-k member, so a probed true neighbor is
+    * always returned.) Output: (nprobe, n_truth, n_caught,
+    * recall_micro) for nprobe = 1..cells, floored integer micros.
+    */
+  def ivfProbeAudit(emb: DataFrame, k: Int, cells: Int, iters: Int,
+      sampleQ: Int): DataFrame = {
+    require(k >= 1 && cells >= 1 && sampleQ >= 1,
+      s"need k, cells, sampleQ >= 1, got ($k, $cells, $sampleQ)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val embD = graft.GraftCache.registered(
+      emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
+    val cents = kmeansCellsLocal(embD, cells, iters)
+    val assigned = assignCells(embD, cents).select(col("vec_id"), col("cell"))
+    // probe order per sample query: cells by (sq9 distance, cell) —
+    // the same rule ivfSearch applies. sampleQ * cells rows, driver-built.
+    val qVecs = embD.filter(col("vec_id") < sampleQ)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val ranks = qVecs.flatMap { case (qid, qv) =>
+      cents.map { case (c, cv) => (sq9(cv, qv), c) }.sorted.zipWithIndex
+        .map { case ((_, c), i) => (qid, c, i + 1) }
+    }.toSeq.toDF("query_id", "cell", "cell_rank")
+    val truth = knnJoin(emb, col("vec_id") < sampleQ, k)
+      .select(col("query_id"), col("vec_id"))
+    val tr = truth.join(assigned, "vec_id")
+      .join(broadcast(ranks), Seq("query_id", "cell"))
+      .select(col("cell_rank"))
+    val levels = spark.range(1, cells + 1).select(col("id").cast("int").as("nprobe"))
+    broadcast(levels).crossJoin(tr)
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("cell_rank") <= col("nprobe"), 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("recall_micro", expr("(n_caught * 1000000) div n_truth"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** Smallest nprobe whose MEASURED sample recall meets the contract —
+    * the advisor over [[ivfProbeAudit]]'s curve. Unlike the LSH
+    * advisors this can never refuse: nprobe = cells probes everything
+    * (exact search), so recall reaches 1e6 at the top of the curve and
+    * the contract degrades to brute force instead of failing. The
+    * audit's collect is `cells` rows — bounded.
+    */
+  def ivfProbesFor(emb: DataFrame, k: Int, cells: Int, iters: Int,
+      sampleQ: Int, targetRecallMicro: Long): Int = {
+    require(targetRecallMicro >= 0 && targetRecallMicro <= 1000000,
+      s"targetRecallMicro must be in [0, 1e6], got $targetRecallMicro")
+    val curve = ivfProbeAudit(emb, k, cells, iters, sampleQ)
+      .select(col("nprobe"), col("recall_micro"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    curve.collectFirst { case (p, r) if r >= targetRecallMicro => p }
+      .getOrElse(cells)
+  }
+
+  /** [[ivfSearch]] under a recall CONTRACT: nprobe derived from the
+    * measured sample curve by [[ivfProbesFor]] instead of configured —
+    * the production adoption, as `minhashPairsContract` /
+    * `semanticDedupLshContract` for the analytic families. The sample
+    * audit shares the corpus scan/quantizer with the search itself
+    * (both GraftCache-registered).
+    */
+  def ivfSearchContract(emb: DataFrame, queryId: Long, k: Int, cells: Int,
+      iters: Int, targetRecallMicro: Long, sampleQ: Int): DataFrame = {
+    val nprobe = ivfProbesFor(emb, k, cells, iters, sampleQ, targetRecallMicro)
+    ivfSearch(emb, queryId, k, cells, iters, nprobe)
+  }
+
   /** Train and WRITE an IVF index: the corpus assigned to k-means cells,
     * stored `partitionBy("cell")` so a probe's scan reads only the
     * probed cells' files — at rest, a probe touches nprobe/cells of the

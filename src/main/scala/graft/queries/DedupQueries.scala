@@ -278,19 +278,17 @@ object DedupQueries {
         bl AS (SELECT doc_id, h FROM shall JOIN rare USING (h)),
         cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
           FROM bl l JOIN bl r ON l.h = r.h AND l.doc_id < r.doc_id),
-        banded AS (SELECT doc_id, b AS band, (simhash >> (b * $bandBits)) % ${1L << bandBits} AS band_key
-          FROM sim, unnest(generate_series(0, ${bands - 1})) AS u(b)),
-        cp AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b FROM banded l JOIN banded r
-          ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
         j AS (SELECT CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS h_bucket,
             ua.mt * ub.mt AS w,
-            CASE WHEN cp.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+            list_max(list_transform(generate_series(0, ${bands - 1}), b ->
+              CASE WHEN (sa.simhash >> (b * $bandBits)) % ${1L << bandBits}
+                      = (sb.simhash >> (b * $bandBits)) % ${1L << bandBits}
+                THEN 1 ELSE 0 END)) AS caught
           FROM cand
           JOIN sim sa ON sa.doc_id = cand.doc_a
           JOIN sim sb ON sb.doc_id = cand.doc_b
           JOIN ut ua ON ua.doc_id = cand.doc_a
           JOIN ut ub ON ub.doc_id = cand.doc_b
-          LEFT JOIN cp ON cp.doc_a = cand.doc_a AND cp.doc_b = cand.doc_b
           WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $maxHammingAudit),
         crossb AS (SELECT h_bucket, CAST(sum(w) AS BIGINT) AS n_truth,
             CAST(sum(w * caught) AS BIGINT) AS n_caught FROM j GROUP BY 1),
@@ -760,6 +758,23 @@ object DedupQueries {
           dim = 64, thresholdCosMicro = 900000L, targetRecallMicro = 800000L)
         .select(col("vec_id")).orderBy(col("vec_id"))),
 
+    // the EMPIRICAL recall-contract member: IVF cell shapes are
+    // k-means-trained on this corpus, so the probe-recall curve must
+    // be MEASURED, not derived — one rank-histogram pass gives recall
+    // at every nprobe (no per-nprobe re-search). iters = 0 is the
+    // oracle-replayable quantizer (q59's), sample = the 16 lowest
+    // vec_ids, truth = brute-force top-10 per sample query.
+    "q262_ivf_probe_audit" -> ((s, dir) =>
+      Similarity.ivfProbeAudit(t(s, dir, "embeddings"),
+        k = 10, cells = 8, iters = 0, sampleQ = 16)),
+
+    // the production adoption: nprobe = the smallest value whose
+    // MEASURED sample recall meets 90% (never refuses — nprobe = cells
+    // is exact search), then q59's probed search runs at that nprobe.
+    "q263_ivf_search_contract" -> ((s, dir) =>
+      Similarity.ivfSearchContract(t(s, dir, "embeddings"), 0L,
+        k = 10, cells = 8, iters = 0, targetRecallMicro = 900000L, sampleQ = 16)),
+
     // the auto-sizing family's MinHash member: rows-per-band sized
     // from the document count (minhashRowsFor: smallest r >= 4 with
     // n/2^r <= 250, cap 16, 2 bands), permutations from the affine
@@ -1121,6 +1136,41 @@ object DedupQueries {
     * search) and q101 (persisted-index probe — same quantizer, same
     * probes, so the same top-10 by construction).
     */
+  /** Shared CTE chain for the q262/q263 IVF probe-contract oracles:
+    * q59's iters = 0 quantizer (cents = the 8 lowest vec_ids), probe
+    * rank per sample query by (rounded sq distance, cell), truth =
+    * brute-force top-k per sample query, `tr` = each true neighbor's
+    * cell rank — recall at nprobe p is then just COUNT(cell_rank <= p).
+    * Mirrors [[graft.operators.Similarity.ivfProbeAudit]].
+    */
+  private def sqlIvfProbeCtes(k: Int, cells: Int, sampleQ: Int): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
+        cents AS (SELECT CAST(vec_id AS INT) AS cell, e AS c FROM e ORDER BY vec_id LIMIT $cells),
+        d AS (SELECT e.vec_id, cents.cell,
+            round(list_sum(list_transform(generate_series(1, 64),
+              i -> (e.e[i] - cents.c[i]) * (e.e[i] - cents.c[i]))), 9) AS d
+          FROM e CROSS JOIN cents),
+        assigned AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d)
+          WHERE rn = 1),
+        prank AS (SELECT vec_id AS query_id, cell,
+            CAST(row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS INT) AS cell_rank
+          FROM d WHERE vec_id < $sampleQ),
+        qs AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < $sampleQ),
+        truth AS (SELECT query_id, vec_id FROM (
+            SELECT qs.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY qs.query_id
+                ORDER BY round(list_cosine_similarity(e.e, qs.qe), 6) DESC, e.vec_id) AS rn
+            FROM e, qs WHERE e.vec_id <> qs.query_id)
+          WHERE rn <= $k),
+        tr AS (SELECT pr.cell_rank FROM truth t
+          JOIN assigned a ON a.vec_id = t.vec_id
+          JOIN prank pr ON pr.query_id = t.query_id AND pr.cell = a.cell),
+        curve AS (SELECT CAST(p AS INT) AS nprobe,
+            CAST(count(*) AS BIGINT) AS n_truth,
+            CAST(sum(CASE WHEN cell_rank <= p THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+          FROM unnest(generate_series(1, $cells)) AS tp(p), tr GROUP BY 1)"""
+
   private val oracleQ59: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
         cents AS (SELECT CAST(vec_id AS INT) AS cell, e AS c FROM e ORDER BY vec_id LIMIT 8),
@@ -1408,6 +1458,25 @@ object DedupQueries {
       val (p, tb) = Similarity.cosineLshGeometryFor(900000L, 800000L)
       sqlSemanticDedupContract(p, tb, 0.9)
     },
+    "q262_ivf_probe_audit" ->
+      s"""WITH ${sqlIvfProbeCtes(10, 8, 16)}
+          SELECT nprobe, n_truth, n_caught,
+            CAST((n_caught * 1000000) // n_truth AS BIGINT) AS recall_micro
+          FROM curve ORDER BY nprobe""",
+    // the advisor replayed in SQL: np = min nprobe meeting the 90%
+    // floor over the same measured curve, then q59's probed search at
+    // that nprobe
+    "q263_ivf_search_contract" ->
+      s"""WITH ${sqlIvfProbeCtes(10, 8, 16)},
+          np AS (SELECT coalesce(min(nprobe), 8) AS np FROM curve
+                 WHERE (n_caught * 1000000) // n_truth >= 900000),
+          probes AS (SELECT cell FROM prank
+                     WHERE query_id = 0 AND cell_rank <= (SELECT np FROM np)),
+          q AS (SELECT e AS qe FROM e WHERE vec_id = 0)
+          SELECT e.vec_id, round(list_cosine_similarity(e.e, q.qe), 6) AS cos_sim
+          FROM e JOIN assigned USING (vec_id) JOIN probes USING (cell), q
+          WHERE e.vec_id <> 0
+          ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
     "q55_embedding_neardup" ->
       s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
           round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos_sim

@@ -395,6 +395,32 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.2) // nprobe=4 of 8 cells on weakly-clustered data
   }
 
+  test("ivfProbeAudit: monotone curve, exact 1e6 at nprobe = cells, constant truth mass") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val curve = Similarity.ivfProbeAudit(emb, k = 10, cells = 8, iters = 0, sampleQ = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(curve.map(_._1).toSeq === (1 to 8))
+    assert(curve.forall(_._2 === 160L)) // 16 queries x top-10 truth
+    // catching is monotone in probes; probing every cell is exact search
+    curve.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._3) }
+    assert(curve.last._4 === 1000000L)
+    assert(curve.head._4 < 1000000L, "1 probe of 8 cells should miss some truth")
+  }
+
+  test("ivfProbesFor honors the floor; contract search at 1e6 equals brute force") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val npLow = Similarity.ivfProbesFor(emb, 10, 8, 0, 16, targetRecallMicro = 1L)
+    val npFull = Similarity.ivfProbesFor(emb, 10, 8, 0, 16, targetRecallMicro = 1000000L)
+    assert(npLow >= 1 && npLow <= npFull && npFull <= 8)
+    // measured sample recall 1e6 means every sample query's true top-k
+    // sit in probed cells — and query 0 is in the sample, so the
+    // contract search must reproduce the exact answer
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSeq
+    val got = Similarity.ivfSearchContract(emb, 0L, 10, 8, 0,
+      targetRecallMicro = 1000000L, sampleQ = 16).collect().map(_.getLong(0)).toSeq
+    assert(got === exact)
+  }
+
   test("labelPropagate assigns component minimum within round bound") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
     val labels = Dedup.labelPropagate(pairs, 3)
