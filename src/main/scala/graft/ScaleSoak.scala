@@ -357,8 +357,18 @@ object ScaleSoak {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "8g")
       .config("spark.ui.enabled", "false")
+      // Iterative queries pin (localCheckpoint) each superstep, which
+      // makes the PREVIOUS superstep's shuffle files unreferenced —
+      // but Spark's ContextCleaner only deletes them after a JVM GC,
+      // and its safety-net System.gc() fires every 30 MINUTES by
+      // default. On a single box that is the difference between ~1
+      // superstep of retained spill and all of them at once: the
+      // x1000 pagerank cold run accumulated 42+ GB of dead shuffle
+      // files and hit 96% disk before any GC ran. One minute keeps
+      // the soak honest about STEADY-STATE disk, which is what a
+      // cluster executor would see.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

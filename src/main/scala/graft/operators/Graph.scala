@@ -43,21 +43,29 @@ object Graph {
     * rank frame, so each superstep shuffles (a) the rank frame by
     * node and (b) the contribution stream by dst — both keyed hash
     * shuffles with map-side partial sums on (b). The edge frame is
-    * cached and re-read per superstep; on a real cluster persist it
-    * partitioned by src so the rank⋈edges join co-locates. Lineage is
-    * cut every `checkpointEvery` supersteps ([[Iterative.pin]] — eager
-    * localCheckpoint by default, reliable `.checkpoint()` into
-    * `checkpointDir` for preemption-survivable cluster runs) so deep
-    * iteration counts do not accumulate a plan of unbounded depth.
+    * cached HASH-PARTITIONED BY src, so (a) reuses the cache's layout
+    * every superstep and only the node-sized rank frame moves — the
+    * x1000 soak measured the difference as the whole ballgame: the
+    * unpartitioned cache re-shuffled ~1.2B edge rows per superstep
+    * (~20 GB of shuffle files each), and with checkpointEvery = 5 a
+    * 3-superstep run never pinned, so every superstep's files stayed
+    * retained at once: 59 GB of spill before the run was killed at
+    * 96% disk. Lineage is therefore cut EVERY superstep by default
+    * ([[Iterative.pin]] — eager localCheckpoint, reliable
+    * `.checkpoint()` into `checkpointDir` for preemption-survivable
+    * cluster runs): the pin is semantics-free and node-frame cheap,
+    * and it makes each superstep's shuffle files collectible as soon
+    * as the next one is pinned, bounding retained spill to ~one
+    * superstep regardless of depth.
     */
   def pageRankInt(edges: DataFrame, iters: Int,
       initMass: Long = 1000000L, dampNum: Int = 85, dampDen: Int = 100,
-      checkpointEvery: Int = 5, checkpointDir: Option[String] = None): DataFrame = {
+      checkpointEvery: Int = 1, checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val pin = Iterative.pin(edges.sparkSession, checkpointDir)
     val e = graft.GraftCache.registered(
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")))
+        col("dst").cast("long").as("dst")).repartition(col("src")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val baseMass = initMass * (dampDen - dampNum) / dampDen
     var ranks = deg.select(col("src").as("node"), lit(initMass).as("rank"))
@@ -95,12 +103,14 @@ object Graph {
     */
   def pageRankWeightedInt(edges: DataFrame, iters: Int,
       initMass: Long = 1000000L, dampNum: Int = 85, dampDen: Int = 100,
-      checkpointEvery: Int = 5, checkpointDir: Option[String] = None): DataFrame = {
+      checkpointEvery: Int = 1, checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val pin = Iterative.pin(edges.sparkSession, checkpointDir)
+    // src-partitioned cache + per-superstep pin: see [[pageRankInt]]
     val e = graft.GraftCache.registered(
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"), col("w").cast("long").as("w")))
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+        .repartition(col("src")))
     val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("ws"))
     val baseMass = initMass * (dampDen - dampNum) / dampDen
     var ranks = wdeg.select(col("src").as("node"), lit(initMass).as("rank"))
@@ -182,12 +192,13 @@ object Graph {
     */
   def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame, iters: Int,
       initMass: Long = 1000000L, dampNum: Int = 85, dampDen: Int = 100,
-      checkpointEvery: Int = 5, checkpointDir: Option[String] = None): DataFrame = {
+      checkpointEvery: Int = 1, checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val pin = Iterative.pin(edges.sparkSession, checkpointDir)
+    // src-partitioned cache + per-superstep pin: see [[pageRankInt]]
     val e = graft.GraftCache.registered(
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")))
+        col("dst").cast("long").as("dst")).repartition(col("src")))
     val sd = broadcast(seeds.select(col("node").cast("long").as("node")).distinct())
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val baseMass = initMass * (dampDen - dampNum) / dampDen
