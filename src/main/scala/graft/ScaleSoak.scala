@@ -111,6 +111,13 @@ object ScaleSoak {
     // ladder corpus is 8x the embedding table — graded at the gate,
     // soak evidence rides q258/q260's shared operators)
     "q256_simhash_recall", "q258_cosine_lsh_recall", "q260_cosine_lsh_multi",
+    // PQ rerank contract: the audit is a code-only projection + one
+    // window over n·sampleQ rows — the family's cheapest member at
+    // scale (q265's contract search shares its scan, gate-graded)
+    "q264_pq_rerank_audit",
+    // contract-geometry at-rest index round trip (q115's shape at the
+    // persisted advisor geometry: 30 affine mins vs 8 fixed)
+    "q266_incremental_dedup_contract",
     // event-sequence family (events replicated as disjoint user
     // populations on the same calendar)
     "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",

@@ -346,10 +346,7 @@ object Dedup {
     */
   def pairsFromHashesAffine(sh: DataFrame, rows: Int, bands: Int, threshold: Double): DataFrame = {
     val k = rows * bands
-    val sigSets = graft.GraftCache.registered(sh.groupBy(col("doc_id"))
-      .agg(min(permutedAffine(col("h"), 0)).as("mh0"),
-        (1 until k).map(i => min(permutedAffine(col("h"), i)).as(s"mh$i")) :+
-          sort_array(collect_set(col("h"))).as("hs"): _*))
+    val sigSets = graft.GraftCache.registered(sigSetsAffine(sh, k))
     verifyCandidatesWithSets(minhashCandidates(sigSets, k, bands),
       sigSets.select(col("doc_id"), col("hs")), threshold)
   }
@@ -1226,17 +1223,27 @@ object Dedup {
     */
   def dedupAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String, path: String,
       threshold: Double = 0.6, k: Int = 8, bands: Int = 2): DataFrame = {
+    val sigSets = graft.GraftCache.registered(
+      shingleHashes(newDocs, idCol, textCol).groupBy(col("doc_id"))
+        .agg(min(permuted(col("h"), 0)).as("mh0"),
+          (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")) :+
+            sort_array(collect_set(col("h"))).as("hs"): _*))
+    dedupAgainstIndexCore(newDocs, idCol, textCol, path, sigSets, k, bands, threshold)
+  }
+
+  /** The probe side shared by [[dedupAgainstIndex]] (fixed-table
+    * signatures) and [[dedupAgainstIndexContract]] (affine signatures
+    * at the index's persisted geometry): exact fingerprint semi-join,
+    * band-keyed candidate join, sorted-intersect verify.
+    */
+  private def dedupAgainstIndexCore(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, sigSets: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
     val spark = newDocs.sparkSession
     val idxFp = spark.read.parquet(s"$path/fingerprints")
     val idxBands = spark.read.parquet(s"$path/bands")
       .select(col("doc_id").as("corpus_id"), col("band"), col("band_key"))
     val idxSets = spark.read.parquet(s"$path/sets")
       .select(col("doc_id").as("corpus_id"), col("hs").as("corpus_hs"))
-    val sigSets = graft.GraftCache.registered(
-      shingleHashes(newDocs, idCol, textCol).groupBy(col("doc_id"))
-        .agg(min(permuted(col("h"), 0)).as("mh0"),
-          (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")) :+
-            sort_array(collect_set(col("h"))).as("hs"): _*))
     val base = newDocs.select(col(idCol).cast("long").as("doc_id"),
       fingerprint(col(textCol)).as("fp"))
     val exactIds = base.join(idxFp, Seq("fp"), "left_semi")
@@ -1259,6 +1266,76 @@ object Dedup {
       .join(nearIds, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("v_exact"), col("v_near"), lit("kept")).as("verdict"))
+  }
+
+  /** Affine-family signature/set aggregate at width `k` — the builder
+    * shared by [[pairsFromHashesAffine]]-style in-session pairing and
+    * the contract index write/probe sides (ONE definition, so an index
+    * written today always agrees with a batch signed tomorrow).
+    */
+  private def sigSetsAffine(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(min(permutedAffine(col("h"), 0)).as("mh0"),
+        (1 until k).map(i => min(permutedAffine(col("h"), i)).as(s"mh$i")) :+
+          sort_array(collect_set(col("h"))).as("hs"): _*)
+
+  /** [[writeDedupIndex]] at a CONTRACT-derived geometry, with the
+    * geometry PERSISTED: (rows, bands) come from [[minhashGeometryFor]]
+    * — not the legacy (4, 2) whose measured curve (q253) misses ~80%
+    * of pairs at J ≈ 0.55 — and are written to `_geometry/` inside the
+    * index (underscore-prefixed, invisible to partition discovery —
+    * the [[graft.operators.Similarity.writeIvfIndex]] `_centroids`
+    * convention). The legacy pair trusted the CALLER to re-supply the
+    * writer's (k, bands) at probe time — a silent recall hole when
+    * they drift (a batch signed at a different width simply never
+    * cohabits a band). [[dedupAgainstIndexContract]] reads the
+    * persisted geometry instead, so writer and prober cannot disagree.
+    * Signatures use the index-generated affine family, which replays
+    * at any contract width.
+    */
+  def writeDedupIndexContract(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, threshold: Double = 0.6, targetRecallMicro: Long = 900000L,
+      bgMicro: Long = 100000L, maxFpMicro: Long = 10000L): Unit = {
+    val thresholdMicro = math.round(threshold * 1000000L)
+    val (r, b) = minhashGeometryFor(thresholdMicro, targetRecallMicro, bgMicro, maxFpMicro)
+    val k = r * b
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sigSets = graft.GraftCache.registered(
+      sigSetsAffine(shingleHashes(corpus, idCol, textCol), k))
+    corpus.select(fingerprint(col(textCol)).as("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
+    bandKeys(sigSets, k, b)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    sigSets.select(col("doc_id"), col("hs"))
+      .write.mode("overwrite").parquet(s"$path/sets")
+    Seq((r, b, thresholdMicro))
+      .toDF("rows", "bands", "threshold_micro")
+      .write.mode("overwrite").parquet(s"$path/_geometry")
+  }
+
+  /** [[dedupAgainstIndex]] against a [[writeDedupIndexContract]] index:
+    * the batch is signed at the geometry READ FROM the index's
+    * `_geometry/` metadata — the caller supplies no (k, bands) at all,
+    * so the write-time contract governs every future probe. Verdict
+    * semantics identical to the legacy prober (exact wins over near
+    * wins over kept); probe cost tracks the batch and its band
+    * collisions, never corpus text bytes.
+    */
+  def dedupAgainstIndexContract(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val g = spark.read.parquet(s"$path/_geometry").collect()
+    require(g.length == 1,
+      s"dedupAgainstIndexContract: $path/_geometry must hold exactly one geometry row " +
+        s"(found ${g.length}) — was the index written by writeDedupIndexContract?")
+    val r = g.head.getAs[Int]("rows")
+    val b = g.head.getAs[Int]("bands")
+    val threshold = g.head.getAs[Long]("threshold_micro").toDouble / 1000000.0
+    val k = r * b
+    val sigSets = graft.GraftCache.registered(
+      sigSetsAffine(shingleHashes(newDocs, idCol, textCol), k))
+    dedupAgainstIndexCore(newDocs, idCol, textCol, path, sigSets, k, b, threshold)
   }
 
   /** Substring-level dedup: drop every token covered by a

@@ -258,7 +258,11 @@ object Graph {
     * the shortest path to any seed. Each round expands the frontier
     * through one keyed join and subtracts already-visited nodes with
     * a left-anti join — the textbook iterative-frontier shape whose
-    * per-round cost tracks the FRONTIER, not the graph. Lineage is
+    * per-round cost tracks the FRONTIER, not the graph. The fixed
+    * edge frame is cached `repartition(src)` so every hop's expansion
+    * join reuses the cache's HashPartitioning — only the frontier
+    * moves per hop (the pageRank-family lesson: an unpartitioned
+    * cache re-exchanged the full edge set every round). Lineage is
     * cut per round ([[Iterative.pin]]; visited feeds every later
     * round), reliably into `checkpointDir` when given.
     */
@@ -267,7 +271,7 @@ object Graph {
     val pin = Iterative.pin(edges.sparkSession, checkpointDir)
     val e = graft.GraftCache.registered(
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")))
+        col("dst").cast("long").as("dst")).repartition(col("src")))
     var visited = pin(seeds.select(col("node").cast("long").as("node"),
       lit(0).as("dist")).distinct())
     var frontier = visited.select(col("node"))
@@ -382,9 +386,13 @@ object Graph {
   def ssspWeighted(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
     val pin = Iterative.pin(edges.sparkSession, checkpointDir)
+    // fixed edge frame, joined on src every relaxation round: cache it
+    // src-partitioned so each round reuses the layout and only the
+    // frontier shuffles (the pageRank-family lesson)
     val e = graft.GraftCache.registered(
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"), col("w").cast("long").as("w")))
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+        .repartition(col("src")))
     val bad = e.filter(col("w") <= 0).limit(1).collect()
     require(bad.isEmpty,
       s"ssspWeighted requires strictly positive integer weights; found w=" +

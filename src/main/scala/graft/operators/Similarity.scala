@@ -911,6 +911,128 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
   }
 
+  /** PQ rerank-depth recall curve — the second EMPIRICAL member of the
+    * recall-contract family (the first is [[ivfProbeAudit]]). A PQ
+    * codebook is data-dependent (trained on this corpus), so the
+    * shortlist depth that [[pqSearchRerank]] needs to reach a recall
+    * floor must be MEASURED, not derived. Measured exactly and in ONE
+    * pass by the same rank-histogram argument as the IVF audit: for a
+    * deterministic sample of queries (the `sampleQ` lowest vec_ids),
+    * true top-k = brute force ([[knnJoin]]); each true neighbor's ADC
+    * RANK (position by `(adc_dist asc, vec_id)` among all non-query
+    * vectors — exactly the order the shortlist truncates) decides the
+    * smallest depth that shortlists it, so recall at EVERY depth falls
+    * out of one histogram, no per-depth re-search. (Recall at depth c
+    * really is |{true neighbors at rank <= c}| / k: the rerank is
+    * exact within the shortlist and fewer than k corpus vectors beat
+    * any true top-k member, so a shortlisted true neighbor is always
+    * returned.) Output: (depth, n_truth, n_caught, recall_micro) over
+    * the geometric grid k·2^j — data-independent so an external oracle
+    * can replay it; depths past the corpus size just saturate at 1e6.
+    *
+    * Scale: the ADC scoring is a code-only projection (the corpus
+    * floats are never re-read), the per-query rank is one window over
+    * n·sampleQ code rows, truth is `sampleQ` brute-force rows — the
+    * audit costs a few code scans where the search it calibrates costs
+    * one, the same affordability contract as the IVF audit.
+    */
+  def pqRerankAudit(emb: DataFrame, k: Int, m: Int, ksub: Int, iters: Int,
+      sampleQ: Int, maxDepthExp: Int = 8): DataFrame = {
+    require(k >= 1 && sampleQ >= 1 && maxDepthExp >= 0,
+      s"need k, sampleQ >= 1 and maxDepthExp >= 0, got ($k, $sampleQ, $maxDepthExp)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ranks = pqAdcRanks(emb, m, ksub, iters, sampleQ)
+    val truth = knnJoin(emb, col("vec_id") < sampleQ, k)
+      .select(col("query_id"), col("vec_id"))
+    val tr = truth.join(ranks, Seq("query_id", "vec_id")).select(col("adc_rank"))
+    val levels = (0 to maxDepthExp).map(j => k.toLong << j)
+      .toDF("depth").select(col("depth").cast("int").as("depth"))
+    broadcast(levels).crossJoin(tr)
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("adc_rank") <= col("depth"), 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("recall_micro", expr("(n_caught * 1000000) div n_truth"))
+      .orderBy(col("depth"))
+  }
+
+  /** Every (sample query, corpus vector) pair's ADC rank — the shared
+    * scan behind [[pqRerankAudit]] and [[pqRerankDepthFor]]. Codes are
+    * assigned once; each query's m·ksub ADC table rides in as one
+    * literal (the tables for ALL sample queries explode from a single
+    * array literal, so the scoring stays one code-only projection, not
+    * `sampleQ` plan copies). Rank is `row_number` by `(adc_dist asc,
+    * vec_id)` per query — the exact truncation order of
+    * [[pqSearchRerank]]'s shortlist.
+    */
+  private def pqAdcRanks(emb: DataFrame, m: Int, ksub: Int, iters: Int,
+      sampleQ: Int): DataFrame = {
+    val embD = graft.GraftCache.registered(
+      emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
+    val books = pqTrainLocal(embD, m, ksub, iters)
+    val sub = books.head.head.length
+    val qVecs = embD.filter(col("vec_id") < sampleQ)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    require(qVecs.nonEmpty, s"pqAdcRanks: no sample queries with vec_id < $sampleQ")
+    val qStructs = qVecs.map { case (qid, qv) =>
+      val tabs = books.zipWithIndex.map { case (book, j) =>
+        array(book.map(cvec => lit(sq9(qv.slice(j * sub, (j + 1) * sub), cvec))): _*)
+      }
+      struct(lit(qid).as("query_id"), array(tabs: _*).as("tab"))
+    }
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("q.tab"), j + 1), col("code").getItem(j) + 1))
+      .reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    assignPqCodes(embD, books)
+      .select(col("vec_id"), col("code"),
+        explode(array(qStructs.toSeq: _*)).as("q"))
+      .filter(col("vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id").as("query_id"), col("vec_id"),
+        round(adc, 6).as("adc_dist"))
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist").asc, col("vec_id").asc)))
+      .select(col("query_id"), col("vec_id"), col("adc_rank"))
+  }
+
+  /** Smallest shortlist depth whose MEASURED sample recall meets the
+    * contract — the advisor over [[pqRerankAudit]]'s rank histogram,
+    * read as an ORDER STATISTIC rather than a depth grid: the depth
+    * that catches a `target` fraction of true neighbors is exactly the
+    * ceil(target·n_truth)-th smallest true-neighbor ADC rank. Like
+    * [[ivfProbesFor]] it can never refuse: depth = corpus size
+    * shortlists everything and the contract degrades to exact search.
+    * Floored at k (a shortlist below k cannot return k rows). The
+    * collect is the true-neighbor rank list — at most k·sampleQ rows.
+    */
+  def pqRerankDepthFor(emb: DataFrame, k: Int, m: Int, ksub: Int, iters: Int,
+      sampleQ: Int, targetRecallMicro: Long): Int = {
+    require(targetRecallMicro >= 0 && targetRecallMicro <= 1000000,
+      s"targetRecallMicro must be in [0, 1e6], got $targetRecallMicro")
+    val ranks = pqAdcRanks(emb, m, ksub, iters, sampleQ)
+    val truth = knnJoin(emb, col("vec_id") < sampleQ, k)
+      .select(col("query_id"), col("vec_id"))
+    val tr = truth.join(ranks, Seq("query_id", "vec_id"))
+      .select(col("adc_rank")).collect().map(_.getInt(0)).sorted
+    val need = math.ceil(targetRecallMicro.toDouble * tr.length / 1000000.0).toInt
+    if (need <= 0) k else math.max(k, tr(need - 1))
+  }
+
+  /** [[pqSearchRerank]] under a recall CONTRACT: shortlist depth
+    * derived from the measured sample rank histogram by
+    * [[pqRerankDepthFor]] instead of configured — the production
+    * adoption for the PQ family, as [[ivfSearchContract]] for IVF.
+    * The audit shares the corpus scan and codebooks with the search
+    * (both GraftCache-registered).
+    */
+  def pqSearchRerankContract(emb: DataFrame, queryId: Long, k: Int, m: Int,
+      ksub: Int, iters: Int, targetRecallMicro: Long, sampleQ: Int): DataFrame = {
+    val depth = pqRerankDepthFor(emb, k, m, ksub, iters, sampleQ, targetRecallMicro)
+    pqSearchRerank(emb, queryId, k, depth, m, ksub, iters)
+  }
+
   // ------------------------------------------------------------- IVF-PQ
 
   /** The corpus IVF-PQ-encoded (Jégou et al. 2011 §IV: coarse k-means

@@ -775,6 +775,50 @@ object DedupQueries {
       Similarity.ivfSearchContract(t(s, dir, "embeddings"), 0L,
         k = 10, cells = 8, iters = 0, targetRecallMicro = 900000L, sampleQ = 16)),
 
+    // the second empirical contract member: a PQ codebook is trained
+    // on this corpus, so the shortlist depth pqSearchRerank needs is
+    // MEASURED — each true neighbor's ADC rank decides the smallest
+    // depth that shortlists it, recall at every depth from one rank
+    // histogram (no per-depth re-search). iters = 0 is the
+    // oracle-replayable codebook (q105's: the 16 lowest vec_ids'
+    // subvectors), sample = the 16 lowest vec_ids, truth = brute-force
+    // top-10, depth grid = 10·2^j (data-independent, saturates at 1e6
+    // past the corpus size).
+    "q264_pq_rerank_audit" -> ((s, dir) =>
+      Similarity.pqRerankAudit(t(s, dir, "embeddings"),
+        k = 10, m = 8, ksub = 16, iters = 0, sampleQ = 16)),
+
+    // the production adoption: depth = the ceil(0.9·n_truth)-th
+    // smallest true-neighbor ADC rank (an order statistic, exact —
+    // never refuses: depth = corpus size degrades to exact search),
+    // floored at k, then q105's ADC scan shortlists at that depth and
+    // the exact cosine rerank returns the final 10.
+    "q265_pq_rerank_contract" -> ((s, dir) =>
+      Similarity.pqSearchRerankContract(t(s, dir, "embeddings"), 0L,
+        k = 10, m = 8, ksub = 16, iters = 0,
+        targetRecallMicro = 900000L, sampleQ = 16)),
+
+    // q115's at-rest round trip under the CONTRACT: the index is
+    // written at the advisor-derived geometry AND persists it
+    // (_geometry/ metadata, the writeIvfIndex _centroids convention),
+    // and the probe side reads it back — the caller supplies no
+    // (k, bands), so writer and prober cannot drift (the legacy pair
+    // trusted the caller to re-supply the writer's width; a batch
+    // signed at a different width never cohabits a band and the
+    // recall loss is silent). Same graded construction as q115: the
+    // batch re-ingests corpus doc 5 under a fresh id so the
+    // exact-verdict path is exercised.
+    "q266_incremental_dedup_contract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_dedup_idxc").toString
+      Dedup.writeDedupIndexContract(docs.filter(col("doc_id") < 400), "doc_id", "text", path)
+      val batch = docs.filter(col("doc_id") >= 400)
+        .unionByName(docs.filter(col("doc_id") === 5)
+          .withColumn("doc_id", lit(9001L)))
+      Dedup.dedupAgainstIndexContract(batch, "doc_id", "text", path)
+        .orderBy(col("doc_id"))
+    }),
+
     // the auto-sizing family's MinHash member: rows-per-band sized
     // from the document count (minhashRowsFor: smallest r >= 4 with
     // n/2^r <= 250, cap 16, 2 bands), permutations from the affine
@@ -1171,6 +1215,45 @@ object DedupQueries {
             CAST(sum(CASE WHEN cell_rank <= p THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
           FROM unnest(generate_series(1, $cells)) AS tp(p), tr GROUP BY 1)"""
 
+  /** Shared CTE chain for the q264/q265 PQ rerank-contract oracles:
+    * q105's iters = 0 codebooks (per-subspace subvectors of the `ksub`
+    * lowest vec_ids), codes by 9-decimal-rounded argmin, per-sample-
+    * query ADC tables = the query row's own d values, `rnk` = each
+    * corpus vector's position by (adc_dist, vec_id) per query — the
+    * exact truncation order of the shortlist — and `tr` = the true
+    * top-k neighbors' ADC ranks. Recall at depth c is then just
+    * COUNT(adc_rank <= c). Mirrors
+    * [[graft.operators.Similarity.pqRerankAudit]].
+    */
+  private def sqlPqRerankCtes(k: Int, m: Int, ksub: Int, sub: Int, sampleQ: Int): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
+        b AS (SELECT CAST(vec_id AS INT) AS code, e AS c
+          FROM (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT $ksub)),
+        books AS (SELECT j, code, c FROM b, unnest(generate_series(0, ${m - 1})) AS u(j)),
+        d AS (SELECT e.vec_id, bk.j, bk.code,
+            round(list_sum(list_transform(generate_series(1, $sub),
+              i -> (e.e[bk.j*$sub+i] - bk.c[bk.j*$sub+i]) * (e.e[bk.j*$sub+i] - bk.c[bk.j*$sub+i]))), 9) AS d
+          FROM e CROSS JOIN books bk),
+        codes AS (SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+            FROM d) WHERE rn = 1),
+        tab AS (SELECT vec_id AS query_id, j, code, d AS t FROM d WHERE vec_id < $sampleQ),
+        adc AS (SELECT t.query_id, c.vec_id, round(list_sum(list(t.t ORDER BY c.j)), 6) AS adc_dist
+          FROM codes c JOIN tab t ON t.j = c.j AND t.code = c.code
+          WHERE c.vec_id <> t.query_id GROUP BY t.query_id, c.vec_id),
+        rnk AS (SELECT query_id, vec_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INT) AS adc_rank
+          FROM adc),
+        qs AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < $sampleQ),
+        truth AS (SELECT query_id, vec_id FROM (
+            SELECT qs.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY qs.query_id
+                ORDER BY round(list_cosine_similarity(e.e, qs.qe), 6) DESC, e.vec_id) AS rn
+            FROM e, qs WHERE e.vec_id <> qs.query_id)
+          WHERE rn <= $k),
+        tr AS (SELECT r.adc_rank FROM truth t
+          JOIN rnk r ON r.query_id = t.query_id AND r.vec_id = t.vec_id)"""
+
   private val oracleQ59: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
         cents AS (SELECT CAST(vec_id AS INT) AS cell, e AS c FROM e ORDER BY vec_id LIMIT 8),
@@ -1355,6 +1438,43 @@ object DedupQueries {
                  ELSE 'kept' END AS verdict
           FROM nfp ORDER BY nfp.doc_id"""
     },
+    // q115's replay at the CONTRACT geometry: (rows, bands) resolved
+    // by the SAME minhashGeometryFor call the index writer makes,
+    // signatures from the index-generated affine family — query and
+    // oracle cannot drift on width
+    "q266_incremental_dedup_contract" -> {
+      val (r, b) = Dedup.minhashGeometryFor(600000L, 900000L)
+      val k = r * b
+      val bandCond = (0 until b).map(bb => bandEq("", bb, r)).mkString(" OR ")
+      s"""WITH corpus AS (SELECT doc_id, text FROM $DocsPq WHERE doc_id < 400),
+          nw AS (SELECT doc_id, text FROM $DocsPq WHERE doc_id >= 400
+                 UNION ALL
+                 SELECT 9001 AS doc_id, text FROM $DocsPq WHERE doc_id = 5),
+          cfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+                  FROM corpus),
+          nfp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+                  FROM nw),
+          csh AS (SELECT doc_id, ${sqlH31("shingle")} AS h
+                  FROM (${sqlShingles("SELECT doc_id, text FROM corpus")})),
+          nsh AS (SELECT doc_id, ${sqlH31("shingle")} AS h
+                  FROM (${sqlShingles("SELECT doc_id, text FROM nw")})),
+          csig AS (SELECT doc_id, ${(0 until k).map(sqlPermAffine).mkString(", ")} FROM csh GROUP BY doc_id),
+          nsig AS (SELECT doc_id, ${(0 until k).map(sqlPermAffine).mkString(", ")} FROM nsh GROUP BY doc_id),
+          cand AS (SELECT l.doc_id AS new_id, r.doc_id AS corpus_id
+                   FROM nsig l JOIN csig r ON ($bandCond)),
+          csets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM csh GROUP BY doc_id),
+          nsets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM nsh GROUP BY doc_id),
+          near AS (SELECT DISTINCT new_id AS doc_id FROM cand
+                   JOIN nsets a ON a.doc_id = cand.new_id
+                   JOIN csets b ON b.doc_id = cand.corpus_id
+                   WHERE round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+                     (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6) >= 0.6)
+          SELECT nfp.doc_id,
+            CASE WHEN nfp.fp IN (SELECT fp FROM cfp) THEN 'exact_dup'
+                 WHEN nfp.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+                 ELSE 'kept' END AS verdict
+          FROM nfp ORDER BY nfp.doc_id"""
+    },
     // q115's verdict replay (no synthetic re-ingest row) + the merge:
     // final corpus = base ∪ kept batch rows
     "q134_corpus_refresh" -> {
@@ -1476,6 +1596,33 @@ object DedupQueries {
           SELECT e.vec_id, round(list_cosine_similarity(e.e, q.qe), 6) AS cos_sim
           FROM e JOIN assigned USING (vec_id) JOIN probes USING (cell), q
           WHERE e.vec_id <> 0
+          ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    "q264_pq_rerank_audit" -> {
+      val depths = (0 to 8).map(j => 10L << j)
+      s"""WITH ${sqlPqRerankCtes(10, 8, 16, 8, 16)},
+          curve AS (SELECT CAST(depth AS INT) AS depth,
+              CAST(count(*) AS BIGINT) AS n_truth,
+              CAST(sum(CASE WHEN adc_rank <= depth THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+            FROM unnest(${depths.mkString("[", ", ", "]")}) AS tp(depth), tr GROUP BY 1)
+          SELECT depth, n_truth, n_caught,
+            CAST((n_caught * 1000000) // n_truth AS BIGINT) AS recall_micro
+          FROM curve ORDER BY depth"""
+    },
+    // the advisor replayed in SQL: depth = the ceil(0.9·n_truth)-th
+    // smallest true-neighbor ADC rank (min rank at sorted index >=
+    // need), floored at k, then the query-0 shortlist at that depth
+    // is exact-cosine reranked to the final 10
+    "q265_pq_rerank_contract" ->
+      s"""WITH ${sqlPqRerankCtes(10, 8, 16, 8, 16)},
+          need AS (SELECT CAST(ceil(900000.0 * count(*) / 1000000.0) AS BIGINT) AS need FROM tr),
+          dep AS (SELECT GREATEST(10, CAST(min(adc_rank) AS INT)) AS depth FROM (
+              SELECT adc_rank, row_number() OVER (ORDER BY adc_rank) AS idx FROM tr)
+            WHERE idx >= (SELECT need FROM need)),
+          short AS (SELECT vec_id FROM rnk
+            WHERE query_id = 0 AND adc_rank <= (SELECT depth FROM dep)),
+          q AS (SELECT e AS qe FROM e WHERE vec_id = 0)
+          SELECT e.vec_id, round(list_cosine_similarity(e.e, q.qe), 6) AS cos_sim
+          FROM e JOIN short USING (vec_id), q
           ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
     "q55_embedding_neardup" ->
       s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,

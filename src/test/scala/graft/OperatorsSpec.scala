@@ -421,6 +421,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("pqRerankAudit: monotone curve, saturates past corpus size, constant truth mass") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val curve = Similarity.pqRerankAudit(emb, k = 10, m = 8, ksub = 16,
+        iters = 0, sampleQ = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(curve.map(_._1).toSeq === (0 to 8).map(10 << _))
+    assert(curve.forall(_._2 === 160L)) // 16 queries x top-10 truth
+    curve.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._3) }
+    // sf0.001 has 500 vectors: every depth >= 499 shortlists the whole
+    // corpus, so the top grid rows are exact search
+    assert(curve.filter(_._1 >= 640).forall(_._4 === 1000000L))
+    assert(curve.head._4 < 1000000L,
+      "a 10-deep shortlist on 16^8-codeword ADC should miss some truth")
+  }
+
+  test("pqRerankDepthFor honors the floor; contract search at 1e6 equals brute force") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val dLow = Similarity.pqRerankDepthFor(emb, 10, 8, 16, 0, 16, targetRecallMicro = 1L)
+    val dFull = Similarity.pqRerankDepthFor(emb, 10, 8, 16, 0, 16, targetRecallMicro = 1000000L)
+    assert(dLow >= 10 && dLow <= dFull) // floored at k, monotone in the target
+    // a 1e6 sample floor shortlists past every true-neighbor ADC rank —
+    // and query 0 is in the sample, so the contract search reproduces
+    // the exact answer
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSeq
+    val got = Similarity.pqSearchRerankContract(emb, 0L, 10, 8, 16, 0,
+      targetRecallMicro = 1000000L, sampleQ = 16).collect().map(_.getLong(0)).toSeq
+    assert(got === exact)
+  }
+
   test("labelPropagate assigns component minimum within round bound") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
     val labels = Dedup.labelPropagate(pairs, 3)
@@ -1064,6 +1093,39 @@ class OperatorsSpec extends SparkSpec {
     val out = Dedup.dedupAgainstIndex(batch, "doc_id", "text", path, threshold = 0.5)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "kept"))
+    graft.GraftCache.releaseAll()
+  }
+
+  test("contract dedup index persists its geometry and the prober reads it back") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "completely different corpus content in this document here"),
+      (2L, "a third unrelated text about spark plans and shuffles")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "The  quick brown fox jumps over the lazy dog tonight"), // exact after normalization
+      (11L, "the quick brown fox jumps over the lazy dog this evening"), // near-dup of doc 0
+      (12L, "entirely fresh material nothing like the indexed corpus att all")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_idxc_spec").toString
+    Dedup.writeDedupIndexContract(corpus, "doc_id", "text", path, threshold = 0.5)
+    // the persisted geometry is the advisor's resolution of the
+    // write-time contract — the prober must NOT need to be told it
+    val g = spark.read.parquet(s"$path/_geometry").collect()
+    assert(g.length === 1)
+    val (r, b) = Dedup.minhashGeometryFor(500000L, 900000L)
+    assert((g.head.getAs[Int]("rows"), g.head.getAs[Int]("bands")) === ((r, b)))
+    assert(g.head.getAs[Long]("threshold_micro") === 500000L)
+    val out = Dedup.dedupAgainstIndexContract(batch, "doc_id", "text", path)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(out === Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "kept"))
+    // a legacy index carries no _geometry — the contract prober refuses
+    // instead of probing at a guessed width
+    val legacy = java.nio.file.Files.createTempDirectory("graft_idxl_spec").toString
+    Dedup.writeDedupIndex(corpus, "doc_id", "text", legacy)
+    intercept[Exception] {
+      Dedup.dedupAgainstIndexContract(batch, "doc_id", "text", legacy).collect()
+    }
     graft.GraftCache.releaseAll()
   }
 
