@@ -316,10 +316,20 @@ object Similarity {
     val e = graft.GraftCache.registered(
       emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
         .withColumn("nrm", norm(col("e"))))
-    val banded = (0 until tables).map { k =>
+    // persisted AND partitioned by the join key: the banded frame is
+    // read three times (both self-join sides + the bounded-blocks
+    // guard) and is skinny (three longs per row — tables x corpus
+    // rows, far below the vectors it indexes), so caching it trades
+    // ~24B/row of storage for two re-computations of planes x dim dot
+    // products per row; repartition(tbl, bucket) makes the cache's
+    // HashPartitioning satisfy BOTH sides of the bucket self-join
+    // (no exchange in the candidate stage) and collapses the
+    // tables x input-partitions union concatenation back to
+    // shuffle-partition width
+    val banded = graft.GraftCache.registered((0 until tables).map { k =>
       e.select(col("vec_id"), lit(k).as("tbl"),
         lshBucketAt(col("e"), planes, dim, k * planes).as("bucket"))
-    }.reduce(_.union(_))
+    }.reduce(_.union(_)).repartition(col("tbl"), col("bucket")))
     Dedup.requireBoundedBlocks(banded, Seq(col("tbl"), col("bucket")),
       s"more hyperplanes per table (planes > $planes: buckets/table = 2^planes, " +
         s"currently ${1L << planes})")
@@ -706,8 +716,17 @@ object Similarity {
     // each otherwise — both a 8x scan and, for nondeterministic
     // upstreams (an unordered limit/sample), a CORRECTNESS hazard:
     // rungs of one vector could blend different source rows
+    // spread the base to defaultParallelism/8 partitions before the
+    // persist: the raw table is often a single parquet file (one input
+    // partition) and every rung branch pays dim md5 digests per row
+    // for the anchor, so an unspread base serializes 8 x dim x rows
+    // digest work onto 8 tasks; /8 (not full parallelism) because the
+    // 8-branch union CONCATENATES partitions — a full-width base would
+    // explode downstream unions into hundreds of near-empty tasks
+    val targetParts = math.max(1, emb.sparkSession.sparkContext.defaultParallelism / 8)
     val base = graft.GraftCache.registered(
-      emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
+      emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+        .repartition(targetParts, col("vec_id")))
     val anchor = transform(sequence(lit(0), lit(dim - 1)), d =>
       (graft.plans.Md5Prefix32.md5prefix32(
         concat(lit("anchor_"), col("vec_id").cast("string"), lit("_"), d.cast("string")))

@@ -752,9 +752,15 @@ object DedupQueries {
     // under "catch cos >= 0.9 at >= 80% recall, <= 2% background".
     // Geometry is advisor-derived, candidates are the multi-table OR,
     // kept set = min-id survivor per exact-CC component.
+    // the ladder is registered here because it is read twice inside
+    // the contract dedup (signature derivation + the keep-set
+    // anti-join) and is COMPUTED (8 rungs x dim md5 anchors per row),
+    // not scanned — for a plain table input the re-read would be a
+    // cheap scan and no cache would be warranted
     "q261_semantic_dedup_contract" -> ((s, dir) =>
       Similarity.semanticDedupLshContract(
-          Similarity.blendLadder(t(s, dir, "embeddings"), dim = 64),
+          graft.GraftCache.registered(
+            Similarity.blendLadder(t(s, dir, "embeddings"), dim = 64)),
           dim = 64, thresholdCosMicro = 900000L, targetRecallMicro = 800000L)
         .select(col("vec_id")).orderBy(col("vec_id"))),
 
