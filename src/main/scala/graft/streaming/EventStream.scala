@@ -320,6 +320,27 @@ object EventStream {
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
 
+  /** [[incrementalDedupStream]] against a CONTRACT index: the probe
+    * geometry is read from the `_geometry/` metadata
+    * [[graft.operators.Dedup.writeDedupIndexContract]] persisted, so a
+    * stream can never sign its batches at a different signature width
+    * than the index was written at — the silent-recall-loss hazard the
+    * legacy path leaves to caller discipline (every batch signed at a
+    * mismatched k cohabits NO band and every near-dup is "kept").
+    * Same foreachBatch/idempotent-sink harness; refuses an index
+    * without geometry metadata at the first micro-batch.
+    */
+  def incrementalDedupContractStream(newDocs: DataFrame, indexPath: String,
+      outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .dedupAgainstIndexContract(batch, "doc_id", "text", indexPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+
   /** Streaming CDC into a [[graft.operators.Versioned]] table: each
     * micro-batch upserts by `key` as one new committed snapshot, so a
     * reader at any moment sees some complete prefix of the batch

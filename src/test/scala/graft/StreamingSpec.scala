@@ -255,6 +255,61 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(11L) === "kept" && streamed(13L) === "kept")
   }
 
+  test("streaming contract-index dedup equals the batch contract probe and refuses a legacy index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val base = java.nio.file.Files.createTempDirectory("graft_scdedup").toString
+    val corpusText = "the quick brown fox jumps over the lazy dog in the bright morning sun"
+    val corpus = Seq(
+      (1L, corpusText),
+      (2L, "an entirely different corpus document about distributed query engines"),
+      (3L, "yet another unrelated line of plain filler text for the index")).toDF("doc_id", "text")
+    graft.operators.Dedup.writeDedupIndexContract(corpus, "doc_id", "text", s"$base/idx")
+
+    val input = MemoryStream[EventStream.StreamDoc]
+    val q = EventStream.incrementalDedupContractStream(
+      input.toDF(), s"$base/idx", s"$base/out").start()
+    input.addData(
+      EventStream.StreamDoc(10L, corpusText, ts(10)),
+      EventStream.StreamDoc(11L, "completely novel content that matches nothing at all", ts(11)))
+    q.processAllAvailable()
+    input.addData(
+      EventStream.StreamDoc(12L, corpusText + " again tonight", ts(12)),
+      EventStream.StreamDoc(13L, "one more brand new document with its own words", ts(13)))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    val allNew = Seq(
+      (10L, corpusText, ts(10)),
+      (11L, "completely novel content that matches nothing at all", ts(11)),
+      (12L, corpusText + " again tonight", ts(12)),
+      (13L, "one more brand new document with its own words", ts(13))).toDF("doc_id", "text", "ts")
+    val batch = graft.operators.Dedup
+      .dedupAgainstIndexContract(allNew, "doc_id", "text", s"$base/idx")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(streamed === batch)
+    assert(streamed(10L) === "exact_dup")
+    assert(streamed(12L) === "near_dup")
+    assert(streamed(11L) === "kept" && streamed(13L) === "kept")
+
+    // a legacy index (no _geometry/) must refuse at the first batch,
+    // not silently probe at a guessed width
+    graft.operators.Dedup.writeDedupIndex(corpus, "doc_id", "text", s"$base/legacy")
+    val input2 = MemoryStream[EventStream.StreamDoc]
+    val q2 = EventStream.incrementalDedupContractStream(
+      input2.toDF(), s"$base/legacy", s"$base/out2").start()
+    input2.addData(EventStream.StreamDoc(20L, corpusText, ts(20)))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(err.getMessage.contains("_geometry") ||
+      Option(err.getCause).exists(_.getMessage.contains("_geometry")))
+  }
+
   test("streaming CDC upserts into a Versioned table equal the sequential batch upserts") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
