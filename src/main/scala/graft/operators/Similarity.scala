@@ -740,6 +740,130 @@ object Similarity {
     }.reduce(_.union(_))
   }
 
+  /** Per-unit cell probe ORDER against driver-held centroids, as a rank
+    * array: element c+1 = the 1-based rank of cell c by (round-9
+    * squared distance, cell) — the same (d, cell) rule [[assignCells]]
+    * and [[ivfSearch]] apply, so rank 1 IS the plain assignment.
+    * Shared by the cell-recall audit (pair catch depth) and the
+    * multi-probe contract dedup (top-p cells = ranks <= p).
+    */
+  private def cellRankArray(cents: Seq[(Int, Seq[Double])]): Column = {
+    val scored = array(cents.map { case (cell, cvec) =>
+      val carr = array(cvec.map(lit): _*)
+      val d = aggregate(zip_with(col("e"), carr, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(round(d, 9).as("d"), lit(cell).as("cell"))
+    }: _*)
+    val order = transform(array_sort(scored), x => x.getField("cell"))
+    transform(sequence(lit(0), lit(cents.size - 1)),
+      c => array_position(order, c.cast("int")))
+  }
+
+  /** Cell-cohabitation recall curve for the SemDeDup family — the
+    * empirical contract member for [[semanticDedup]], closing the one
+    * dedup path that still had NO measured recall: a k-means quantizer
+    * is data-dependent (like q262's IVF cells), and a near-dup pair
+    * split across a cell boundary is missed ENTIRELY by within-cell
+    * candidate generation — the boundary loss the SemDeDup paper
+    * accepts and never measures. This measures it exactly and in ONE
+    * pass: the quantizer is trained on the REAL corpus; the probe set
+    * is a [[blendLadder]] over the `sampleQ` lowest vec_ids (truth =
+    * within-vector rung pairs with exact cosine >= the threshold —
+    * deterministic genuine near-dups, linear, never retraining or
+    * re-searching per depth); a pair's catch depth is the smallest p
+    * at which the two units' p nearest cells INTERSECT
+    * (min over cells of max(rank_a, rank_b) — one zip_with per pair),
+    * so recall at EVERY probe depth falls out of one histogram.
+    * Depth 1 is plain SemDeDup (same nearest cell); depth = cells
+    * catches every pair by construction, so the curve always tops out
+    * at 1e6. Output: (nprobe, n_truth, n_caught, recall_micro) for
+    * nprobe = 1..cells, floored integer micros.
+    */
+  def semanticCellRecallAudit(emb: DataFrame, dim: Int, cells: Int, iters: Int,
+      thresholdMicro: Long = 400000L, sampleQ: Int = 16): DataFrame = {
+    require(cells >= 1 && iters >= 0 && sampleQ >= 1,
+      s"need cells >= 1, iters >= 0, sampleQ >= 1, got ($cells, $iters, $sampleQ)")
+    val spark = emb.sparkSession
+    val embD = graft.GraftCache.registered(
+      emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
+    val cents = kmeansCellsLocal(embD, cells, iters)
+    val probes = graft.GraftCache.registered(
+      blendLadder(emb.filter(col("vec_id") < sampleQ), dim)
+        .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+        .select(col("vec_id"), col("e"), cellRankArray(cents).as("rk"),
+          expr("vec_id div 8").as("grp")))
+    val tr = probes.as("l").join(probes.as("r"),
+        col("l.grp") === col("r.grp") && col("l.vec_id") < col("r.vec_id"))
+      .select(round(cosine(col("l.e"), col("r.e")), 6).as("cos_sim"),
+        array_min(zip_with(col("l.rk"), col("r.rk"), (x, y) => greatest(x, y))).as("depth"))
+      .filter(col("cos_sim") >= lit(thresholdMicro.toDouble / 1e6))
+    val levels = spark.range(1, cells + 1).select(col("id").cast("int").as("nprobe"))
+    broadcast(levels).crossJoin(tr)
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("depth") <= col("nprobe"), 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("recall_micro", expr("(n_caught * 1000000) div n_truth"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** Smallest probe depth whose MEASURED sample recall meets the
+    * contract — the advisor over [[semanticCellRecallAudit]]'s curve.
+    * Like [[ivfProbesFor]] it can never refuse: depth = cells puts
+    * every unit in every cell (candidate stage = all pairs), so the
+    * contract degrades to exact brute-force dedup instead of failing.
+    */
+  def semanticCellProbesFor(emb: DataFrame, dim: Int, cells: Int, iters: Int,
+      thresholdMicro: Long, targetRecallMicro: Long, sampleQ: Int = 16): Int = {
+    require(targetRecallMicro >= 0 && targetRecallMicro <= 1000000,
+      s"targetRecallMicro must be in [0, 1e6], got $targetRecallMicro")
+    val curve = semanticCellRecallAudit(emb, dim, cells, iters, thresholdMicro, sampleQ)
+      .select(col("nprobe"), col("recall_micro"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    curve.collectFirst { case (p, r) if r >= targetRecallMicro => p }
+      .getOrElse(cells)
+  }
+
+  /** [[semanticDedup]] under a recall CONTRACT — the production
+    * adoption of the measured cell curve: each vector is assigned to
+    * its `nprobe` NEAREST cells (multi-probe, nprobe from
+    * [[semanticCellProbesFor]]) instead of exactly one, so a pair
+    * split by a cell boundary still cohabits a probed cell with
+    * probability the AUDIT measured, not hoped. Candidates are
+    * deduped across cells before the exact-cosine verify; the tail
+    * (CC + keep-min) is [[keepMinOfComponents]], shared with every
+    * other dedup variant. Cost scales ~nprobe^2 in the within-cell
+    * quadratic step — the measured price of the recall floor, bounded
+    * by the same `graft.block.maxBucket` refusal as the plain path.
+    */
+  def semanticDedupCellsContract(emb: DataFrame, dim: Int, cells: Int,
+      iters: Int, thresholdMicro: Long, targetRecallMicro: Long,
+      sampleQ: Int = 16): DataFrame = {
+    val nprobe = semanticCellProbesFor(emb, dim, cells, iters,
+      thresholdMicro, targetRecallMicro, sampleQ)
+    val embD = graft.GraftCache.registered(
+      emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
+    val cents = kmeansCellsLocal(embD, cells, iters)
+    val assigned = graft.GraftCache.registered(
+      embD.select(col("vec_id"), col("e"), cellRankArray(cents).as("rk"))
+        .select(col("vec_id"), col("e"),
+          explode(filter(sequence(lit(0), lit(cells - 1)),
+            c => element_at(col("rk"), c.cast("int") + 1) <= nprobe)).as("cell")))
+    Dedup.requireBoundedBlocks(assigned, Seq(col("cell")),
+      s"more cells (cells > $cells: cell population ~ nprobe*N/cells) or semanticDedupLshContract")
+    val cand = assigned.as("l").join(assigned.as("r"),
+        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+      .distinct()
+    val e2 = embD.withColumn("nrm", norm(col("e")))
+    val pairs = cand
+      .join(e2.select(col("vec_id").as("a"), col("e").as("e_a"), col("nrm").as("n_a")), "a")
+      .join(e2.select(col("vec_id").as("b"), col("e").as("e_b"), col("nrm").as("n_b")), "b")
+      .filter(round(cosineWithNorms(col("e_a"), col("e_b"), col("n_a"), col("n_b")), 6)
+        >= lit(thresholdMicro.toDouble / 1e6))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    keepMinOfComponents(emb, pairs)
+  }
+
   /** Per-vector symmetric int8 scalar quantization: scale =
     * max(|e|)/127 (floored at 1e-12 so a zero vector quantizes to zeros
     * instead of NaN), q[i] = floor(e[i]/scale + 0.5) — round-half-up

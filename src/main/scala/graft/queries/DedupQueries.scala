@@ -825,6 +825,34 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the third empirical contract member, closing the LAST
+    // uncontracted dedup path (q125's k-means cells): a near-dup pair
+    // split across a cell boundary is missed ENTIRELY by within-cell
+    // candidate generation, and the quantizer is data-dependent, so
+    // the boundary-loss curve must be MEASURED. Quantizer trained on
+    // the real corpus (q125's iters = 0 cells); probes = blend-ladder
+    // units over the 16 lowest vec_ids; truth = within-vector rung
+    // pairs with exact cosine >= 0.4 (q125's threshold); a pair's
+    // catch depth = min over cells of max(rank_a, rank_b), so recall
+    // at every probe depth falls out of ONE histogram — no per-depth
+    // re-clustering or re-pairing.
+    "q267_cell_probe_audit" -> ((s, dir) =>
+      Similarity.semanticCellRecallAudit(t(s, dir, "embeddings"),
+        dim = 64, cells = 8, iters = 0, thresholdMicro = 400000L, sampleQ = 16)),
+
+    // the production adoption — q125 under a measured recall contract:
+    // every vector is assigned to its nprobe NEAREST cells (nprobe =
+    // the smallest depth whose measured sample recall meets 90%;
+    // never refuses — depth = cells degrades to brute force),
+    // candidates deduped across cells, exact-cosine verify, shared
+    // CC + keep-min tail. The ~nprobe^2 within-cell growth is the
+    // measured price of the floor.
+    "q268_cell_dedup_contract" -> ((s, dir) =>
+      Similarity.semanticDedupCellsContract(t(s, dir, "embeddings"),
+        dim = 64, cells = 8, iters = 0, thresholdMicro = 400000L,
+        targetRecallMicro = 900000L, sampleQ = 16)
+        .select(col("vec_id")).orderBy(col("vec_id"))),
+
     // the auto-sizing family's MinHash member: rows-per-band sized
     // from the document count (minhashRowsFor: smallest r >= 4 with
     // n/2^r <= 250, cap 16, 2 bands), permutations from the affine
@@ -1220,6 +1248,44 @@ object DedupQueries {
             CAST(count(*) AS BIGINT) AS n_truth,
             CAST(sum(CASE WHEN cell_rank <= p THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
           FROM unnest(generate_series(1, $cells)) AS tp(p), tr GROUP BY 1)"""
+
+  /** Shared CTE chain for the q267/q268 cell-probe-contract oracles:
+    * q125's iters = 0 quantizer (cents = the `cells` lowest vec_ids),
+    * probe units = the blend ladder over the `sampleQ` lowest vec_ids
+    * (PER-VECTOR md5 anchors — the q261 construction), per-unit cell
+    * ranks by (round-9 squared distance, cell), truth = within-vector
+    * rung pairs with exact rounded cosine >= `threshold`, and each
+    * pair's catch depth = min over shared cells of max(rank_a,
+    * rank_b). Mirrors
+    * [[graft.operators.Similarity.semanticCellRecallAudit]].
+    */
+  private def sqlCellProbeCtes(cells: Int, sampleQ: Int, threshold: Double): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $EmbPq),
+        cents AS (SELECT CAST(vec_id AS INT) AS cell, e AS c FROM e ORDER BY vec_id LIMIT $cells),
+        units AS (SELECT vec_id * 8 + j AS uid, vec_id AS grp,
+            list_transform(generate_series(1, 64),
+              i -> CASE WHEN i <= j * 8 THEN
+                  (((('0x' || substr(md5('anchor_' || vec_id || '_' || (i - 1)), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0
+                ELSE e.e[i] END) AS u
+          FROM e, unnest(generate_series(0, 7)) AS tj(j) WHERE vec_id < $sampleQ),
+        ud AS (SELECT u.uid, cents.cell,
+            round(list_sum(list_transform(generate_series(1, 64),
+              i -> (u.u[i] - cents.c[i]) * (u.u[i] - cents.c[i]))), 9) AS d
+          FROM units u CROSS JOIN cents),
+        ranks AS (SELECT uid, cell,
+            CAST(row_number() OVER (PARTITION BY uid ORDER BY d, cell) AS BIGINT) AS rnk
+          FROM ud),
+        pr AS (SELECT l.uid AS a, r.uid AS b
+          FROM units l JOIN units r ON l.grp = r.grp AND l.uid < r.uid
+          WHERE round(list_cosine_similarity(l.u, r.u), 6) >= $threshold),
+        dep AS (SELECT pr.a, pr.b, min(greatest(ra.rnk, rb.rnk)) AS depth
+          FROM pr JOIN ranks ra ON ra.uid = pr.a
+            JOIN ranks rb ON rb.uid = pr.b AND ra.cell = rb.cell
+          GROUP BY 1, 2),
+        curve AS (SELECT CAST(p AS INT) AS nprobe,
+            CAST(count(*) AS BIGINT) AS n_truth,
+            CAST(sum(CASE WHEN depth <= p THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+          FROM unnest(generate_series(1, $cells)) AS tp(p), dep GROUP BY 1)"""
 
   /** Shared CTE chain for the q264/q265 PQ rerank-contract oracles:
     * q105's iters = 0 codebooks (per-subspace subvectors of the `ksub`
@@ -1630,6 +1696,41 @@ object DedupQueries {
           SELECT e.vec_id, round(list_cosine_similarity(e.e, q.qe), 6) AS cos_sim
           FROM e JOIN short USING (vec_id), q
           ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    "q267_cell_probe_audit" ->
+      s"""WITH ${sqlCellProbeCtes(8, 16, 0.4)}
+          SELECT nprobe, n_truth, n_caught,
+            CAST((n_caught * 1000000) // n_truth AS BIGINT) AS recall_micro
+          FROM curve ORDER BY nprobe""",
+    // the advisor replayed in SQL: np = min depth meeting the 90%
+    // floor over the same measured curve (coalesce to cells = brute
+    // force), then every corpus vector joins its np nearest cells,
+    // candidates are cross-cell-deduped, verified at q125's 0.4, and
+    // the q125 CC + keep-min tail closes it
+    "q268_cell_dedup_contract" ->
+      s"""WITH RECURSIVE ${sqlCellProbeCtes(8, 16, 0.4)},
+          np AS (SELECT coalesce(min(nprobe), 8) AS np FROM curve
+                 WHERE (n_caught * 1000000) // n_truth >= 900000),
+          d2 AS (SELECT e.vec_id, cents.cell,
+              round(list_sum(list_transform(generate_series(1, 64),
+                i -> (e.e[i] - cents.c[i]) * (e.e[i] - cents.c[i]))), 9) AS d
+            FROM e CROSS JOIN cents),
+          r2 AS (SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rnk FROM d2),
+          asg AS (SELECT vec_id, cell FROM r2 WHERE rnk <= (SELECT np FROM np)),
+          cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+            FROM asg l JOIN asg r ON l.cell = r.cell AND l.vec_id < r.vec_id),
+          p2 AS (SELECT a, b FROM cand
+            JOIN e el ON el.vec_id = a JOIN e er ON er.vec_id = b
+            WHERE round(list_cosine_similarity(el.e, er.e), 6) >= 0.4),
+          edges AS (SELECT a AS src, b AS dst FROM p2 UNION ALL SELECT b AS src, a AS dst FROM p2),
+          reach(src, dst) AS (
+            SELECT src, src AS dst FROM edges
+            UNION
+            SELECT r.src, edges.dst FROM reach r JOIN edges ON r.dst = edges.src),
+          lab AS (SELECT src AS doc, min(dst) AS label FROM reach GROUP BY src)
+          SELECT vec_id FROM e
+          WHERE vec_id NOT IN (SELECT doc FROM lab WHERE doc <> label)
+          ORDER BY vec_id""",
     "q55_embedding_neardup" ->
       s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
           round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos_sim

@@ -421,6 +421,52 @@ class OperatorsSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("semanticCellRecallAudit: monotone curve, exact 1e6 at depth = cells, constant truth mass") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val curve = Similarity.semanticCellRecallAudit(emb, dim = 64, cells = 8,
+        iters = 0, thresholdMicro = 400000L, sampleQ = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(curve.map(_._1).toSeq === (1 to 8))
+    assert(curve.map(_._2).distinct.length === 1 && curve.head._2 > 0,
+      "truth mass must be constant across depths and nonempty")
+    curve.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._3) }
+    // at depth = cells both probe sets span every cell, so every truth
+    // pair cohabits by construction — the degradation-to-brute-force
+    // property the advisor's no-refusal contract rests on
+    assert(curve.last._4 === 1000000L)
+  }
+
+  test("semanticDedupCellsContract: floor 0 equals plain SemDeDup; floor 1e6 equals brute force") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    // depth 1 (any curve meets a 0 floor at p = 1) IS the plain path:
+    // rank-1 cell = assignCells' argmin, same verify, same CC tail
+    val np1 = Similarity.semanticDedupCellsContract(emb, dim = 64, cells = 8,
+      iters = 0, thresholdMicro = 400000L, targetRecallMicro = 0L, sampleQ = 16)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val plain = Similarity.semanticDedup(emb, cells = 8, iters = 0, threshold = 0.4)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(np1 === plain)
+    // a 1e6 floor forces depth = cells: candidates = all pairs, so the
+    // kept set is the exact-threshold brute-force dedup
+    val full = Similarity.semanticDedupCellsContract(emb, dim = 64, cells = 8,
+      iters = 0, thresholdMicro = 400000L, targetRecallMicro = 1000000L, sampleQ = 16)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val allPairs = Similarity.nearDupExactBlocked(
+      emb.withColumn("blk", lit(1)), "blk", 0.4)
+    val brute = emb.join(
+      graft.operators.Dedup.connectedComponents(
+        allPairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .filter(col("doc") =!= col("label")).select(col("doc").as("vec_id")),
+      Seq("vec_id"), "left_anti").select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(full === brute)
+    // the measured floor sits between: never keeps MORE than depth 1
+    // (more candidates can only merge components further)
+    val contract = Similarity.semanticDedupCellsContract(emb, dim = 64, cells = 8,
+      iters = 0, thresholdMicro = 400000L, targetRecallMicro = 900000L, sampleQ = 16)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(contract.subsetOf(np1) && full.subsetOf(contract))
+  }
+
   test("pqRerankAudit: monotone curve, saturates past corpus size, constant truth mass") {
     val emb = graft.queries.Q.t(spark, sf001, "embeddings")
     val curve = Similarity.pqRerankAudit(emb, k = 10, m = 8, ksub = 16,
