@@ -118,6 +118,15 @@ object ScaleSoak {
     // contract-geometry at-rest index round trip (q115's shape at the
     // persisted advisor geometry: 30 affine mins vs 8 fixed)
     "q266_incremental_dedup_contract",
+    // session-3 contract members. q267: sample-sized probe work +
+    // linear corpus scans (the audit never assigns the corpus). q269:
+    // the ladder at x100 is ~1.6M units — the query's own 1e6 DESIGN
+    // size, so this rung measures the budget contract at the scale it
+    // was stated for. q268 (fixed-cell multi-probe) is deliberately
+    // NOT soaked: 8 global cells over a 100x corpus is q125's
+    // within-cell quadratic cliff times nprobe^2 — its scale path is
+    // q269's budget geometry.
+    "q267_cell_probe_audit", "q269_budget_dedup_contract",
     // event-sequence family (events replicated as disjoint user
     // populations on the same calendar)
     "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",

@@ -297,6 +297,54 @@ object Similarity {
     }
   }
 
+  /** [[cosineLshGeometryFor]] with the false-candidate ceiling derived
+    * from a PER-ROW CANDIDATE BUDGET at a stated corpus size, instead
+    * of a fixed fraction of all pairs. A fraction ceiling is quadratic
+    * in the corpus: at fp = 2% of n²/2 background pairs, a 16k-unit
+    * corpus admits ~0.9M false candidates (q261's measured volume) but
+    * a 100x corpus admits ~10,000x more — the x100 soak measured
+    * exactly this blow-up on q260's fixed geometry (376 s, almost all
+    * of it verifying false candidates). The linear budget is the
+    * contract a 100 TB run needs: expected false candidates ≤
+    * `candPerRow`·n, i.e. fp ≤ 2·candPerRow/n, so the ceiling (and
+    * with it the resolved plane count) TIGHTENS as n grows — the
+    * auto-sizing idea of [[nearDupByLshAuto]] expressed as a contract
+    * instead of a bucket-load heuristic. Exact integer arithmetic:
+    * fpMicro = floor(2e6·candPerRow / n), refused when that floor is
+    * 0 but the curve cannot reach measured-zero within `maxPlanes`
+    * (the caller should pre-block or shard). `maxPlanes` defaults
+    * higher than the fraction advisor's because large n is this
+    * advisor's whole point; the executor caps planes at 62.
+    */
+  def cosineLshGeometryForBudget(n: Long, thresholdCosMicro: Long,
+      targetRecallMicro: Long, bgCosMicro: Long = 200000L,
+      candPerRow: Long = 64L, maxPlanes: Int = 40, maxTables: Int = 64): (Int, Int) = {
+    require(n >= 2, s"corpus size n must be >= 2, got $n")
+    require(candPerRow >= 1, s"candPerRow must be >= 1, got $candPerRow")
+    val fpMicro = (BigInt(2) * candPerRow * 1000000L / n).toLong
+    cosineLshGeometryFor(thresholdCosMicro, targetRecallMicro, bgCosMicro,
+      fpMicro, maxPlanes, maxTables)
+  }
+
+  /** [[semanticDedupLshContract]] under the linear candidate budget:
+    * the caller states the design corpus size once ("this geometry
+    * must hold at n rows") and the per-row budget; the geometry is
+    * resolved by [[cosineLshGeometryForBudget]] and is then FIXED —
+    * recall is n-independent (the S-curve is per-pair), so running the
+    * design geometry on a smaller validation corpus still meets the
+    * floor, while the candidate volume at the design scale stays
+    * linear by construction.
+    */
+  def semanticDedupLshBudget(emb: DataFrame, dim: Int, designN: Long,
+      thresholdCosMicro: Long, targetRecallMicro: Long,
+      bgCosMicro: Long = 200000L, candPerRow: Long = 64L): DataFrame = {
+    val (p, tb) = cosineLshGeometryForBudget(designN, thresholdCosMicro,
+      targetRecallMicro, bgCosMicro, candPerRow)
+    keepMinOfComponents(emb,
+      nearDupByLshMulti(emb, p, tb, dim, thresholdCosMicro / 1e6)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+  }
+
   /** Multi-table hyperplane LSH near-dup pairs — the recall-contract
     * execution path: `tables` independent `planes`-bit tables (table k
     * = planes [k·p, (k+1)·p) of the global family), candidates = the
@@ -316,20 +364,22 @@ object Similarity {
     val e = graft.GraftCache.registered(
       emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
         .withColumn("nrm", norm(col("e"))))
-    // persisted AND partitioned by the join key: the banded frame is
-    // read three times (both self-join sides + the bounded-blocks
-    // guard) and is skinny (three longs per row — tables x corpus
-    // rows, far below the vectors it indexes), so caching it trades
-    // ~24B/row of storage for two re-computations of planes x dim dot
-    // products per row; repartition(tbl, bucket) makes the cache's
-    // HashPartitioning satisfy BOTH sides of the bucket self-join
-    // (no exchange in the candidate stage) and collapses the
-    // tables x input-partitions union concatenation back to
-    // shuffle-partition width
-    val banded = graft.GraftCache.registered((0 until tables).map { k =>
-      e.select(col("vec_id"), lit(k).as("tbl"),
-        lshBucketAt(col("e"), planes, dim, k * planes).as("bucket"))
-    }.reduce(_.union(_)).repartition(col("tbl"), col("bucket")))
+    // one scan, posexplode over tables — NOT a union of per-table
+    // branches: a t-way union concatenates partitions (t x input
+    // width in tasks; at the budget advisor's 50+ tables that is
+    // thousands of near-empty tasks), while the explode computes all
+    // t buckets in one pass over each row and keeps partition count
+    // flat. Persisted AND partitioned by the join key: the banded
+    // frame is read three times (both self-join sides + the
+    // bounded-blocks guard) and is skinny (three longs per row), and
+    // repartition(tbl, bucket) makes the cache's HashPartitioning
+    // satisfy BOTH sides of the bucket self-join — no exchange in the
+    // candidate stage.
+    val banded = graft.GraftCache.registered(
+      e.select(col("vec_id"), posexplode(array((0 until tables).map { k =>
+          lshBucketAt(col("e"), planes, dim, k * planes)
+        }: _*)).as(Seq("tbl", "bucket")))
+        .repartition(col("tbl"), col("bucket")))
     Dedup.requireBoundedBlocks(banded, Seq(col("tbl"), col("bucket")),
       s"more hyperplanes per table (planes > $planes: buckets/table = 2^planes, " +
         s"currently ${1L << planes})")
@@ -712,32 +762,30 @@ object Similarity {
     */
   def blendLadder(emb: DataFrame, dim: Int): DataFrame = {
     require(dim % 8 == 0, s"dim must be divisible by 8 (the blend ladder), got $dim")
-    // registered: the 8 rung branches re-execute the upstream once
-    // each otherwise — both a 8x scan and, for nondeterministic
-    // upstreams (an unordered limit/sample), a CORRECTNESS hazard:
-    // rungs of one vector could blend different source rows
-    // spread the base to defaultParallelism/8 partitions before the
-    // persist: the raw table is often a single parquet file (one input
-    // partition) and every rung branch pays dim md5 digests per row
-    // for the anchor, so an unspread base serializes 8 x dim x rows
-    // digest work onto 8 tasks; /8 (not full parallelism) because the
-    // 8-branch union CONCATENATES partitions — a full-width base would
-    // explode downstream unions into hundreds of near-empty tasks
-    val targetParts = math.max(1, emb.sparkSession.sparkContext.defaultParallelism / 8)
+    // One scan, explode over the 8 rungs — NOT a union of per-rung
+    // branches: the explode computes the dim-element md5 anchor ONCE
+    // per input row (a union pays it once per rung = 8x the digests),
+    // keeps partition count flat, and reads the upstream exactly once
+    // — for a nondeterministic upstream (an unordered limit/sample)
+    // the branch form was also a CORRECTNESS hazard, since rungs of
+    // one vector could blend different source rows; the persist keeps
+    // that guarantee for downstream multi-reads. The repartition
+    // spreads the often-single-file input so the digest work
+    // parallelizes.
     val base = graft.GraftCache.registered(
       emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
-        .repartition(targetParts, col("vec_id")))
+        .repartition(col("vec_id")))
     val anchor = transform(sequence(lit(0), lit(dim - 1)), d =>
       (graft.plans.Md5Prefix32.md5prefix32(
         concat(lit("anchor_"), col("vec_id").cast("string"), lit("_"), d.cast("string")))
         % 2001L - 1000L).cast("double") / lit(1000.0))
-    (0 until 8).map { j =>
-      val cut = j * dim / 8
-      base.withColumn("a", anchor)
-        .select((col("vec_id") * 8 + lit(j.toLong)).as("vec_id"),
-          transform(col("e"), (x, i) =>
-            when(i < cut, element_at(col("a"), i + 1)).otherwise(x)).as("embedding"))
-    }.reduce(_.union(_))
+    base.withColumn("a", anchor)
+      .select(col("vec_id"), col("e"), col("a"),
+        explode(sequence(lit(0L), lit(7L))).as("j"))
+      .select((col("vec_id") * 8 + col("j")).as("vec_id"),
+        transform(col("e"), (x, i) =>
+          when(i < col("j") * lit(dim / 8), element_at(col("a"), i + 1)).otherwise(x))
+          .as("embedding"))
   }
 
   /** Per-unit cell probe ORDER against driver-held centroids, as a rank

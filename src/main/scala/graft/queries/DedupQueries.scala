@@ -416,8 +416,9 @@ object DedupQueries {
                   (((('0x' || substr(md5('anchor_' || vec_id || '_' || (i - 1)), 1, 8))::BIGINT) % 2001 - 1000))::DOUBLE / 1000.0
                 ELSE e.e[i] END) AS u
           FROM e, unnest(generate_series(0, 7)) AS tj(j)),
-        proj AS (SELECT uid, p, sum(u[d + 1] * pw.w) AS proj
-          FROM units CROSS JOIN pw GROUP BY 1, 2),
+        pwl AS (SELECT p, list(w ORDER BY d) AS wl FROM pw GROUP BY p),
+        proj AS (SELECT uid, p, list_dot_product(u, wl) AS proj
+          FROM units CROSS JOIN pwl),
         bk AS (SELECT uid, p // $planes AS tbl,
             CAST(sum(CASE WHEN round(proj, 9) > 0 THEN 1::BIGINT << (p % $planes) ELSE 0 END) AS BIGINT) AS bucket
           FROM proj GROUP BY 1, 2),
@@ -824,6 +825,24 @@ object DedupQueries {
       Dedup.dedupAgainstIndexContract(batch, "doc_id", "text", path)
         .orderBy(col("doc_id"))
     }),
+
+    // the cosine contract at CORPUS SCALE: q261's fixed-fraction fp
+    // ceiling admits O(n^2) false candidates as the corpus grows (the
+    // x100 soak measured the blow-up on q260's geometry); here the
+    // ceiling is a linear PER-ROW budget at a stated design size —
+    // "at 1e6 units, <= 64 false candidates per row" — so the advisor
+    // tightens planes as n grows and the candidate stage stays linear
+    // by construction. Recall is n-independent (the S-curve is
+    // per-pair), so the design geometry run on the sf ladder still
+    // meets the 80% floor; the kept set is hash-checked against the
+    // same full DuckDB replay shape as q261 at the budget geometry.
+    "q269_budget_dedup_contract" -> ((s, dir) =>
+      Similarity.semanticDedupLshBudget(
+          graft.GraftCache.registered(
+            Similarity.blendLadder(t(s, dir, "embeddings"), dim = 64)),
+          dim = 64, designN = 1000000L, thresholdCosMicro = 900000L,
+          targetRecallMicro = 800000L)
+        .select(col("vec_id")).orderBy(col("vec_id"))),
 
     // the third empirical contract member, closing the LAST
     // uncontracted dedup path (q125's k-means cells): a near-dup pair
@@ -1696,6 +1715,13 @@ object DedupQueries {
           SELECT e.vec_id, round(list_cosine_similarity(e.e, q.qe), 6) AS cos_sim
           FROM e JOIN short USING (vec_id), q
           ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // same replay shape as q261, at the geometry the BUDGET advisor
+    // resolves for the stated design size — the advisor runs at
+    // oracle-build time too, so query and oracle cannot drift
+    "q269_budget_dedup_contract" -> {
+      val (p, tb) = Similarity.cosineLshGeometryForBudget(1000000L, 900000L, 800000L)
+      sqlSemanticDedupContract(p, tb, 0.9)
+    },
     "q267_cell_probe_audit" ->
       s"""WITH ${sqlCellProbeCtes(8, 16, 0.4)}
           SELECT nprobe, n_truth, n_caught,

@@ -421,6 +421,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("cosineLshGeometryForBudget: planes tighten with corpus size, contract holds, refuses past the frontier") {
+    // the budget is linear in n, so the fp ceiling (and with it the
+    // resolved plane count) must tighten as the design corpus grows
+    val geoms = Seq(10000L, 100000L, 1000000L).map { n =>
+      val (p, t) = Similarity.cosineLshGeometryForBudget(n, 900000L, 800000L)
+      // the resolved geometry meets both sides of its own contract
+      assert(Similarity.cosineCollisionMicro(900000L, p, t) >= 800000L)
+      assert(Similarity.cosineCollisionMicro(200000L, p, t) <=
+        2L * 64L * 1000000L / n)
+      (p, t)
+    }
+    assert(geoms.map(_._1) === geoms.map(_._1).sorted,
+      s"plane count must be nondecreasing in design n, got $geoms")
+    assert(geoms.head._1 < geoms.last._1,
+      s"a 100x corpus must force a strictly steeper curve, got $geoms")
+    // past the feasibility frontier (billions of rows), sign-bit LSH
+    // cannot hold 0.9-vs-0.2 separation at 64 candidates/row within
+    // the table cap — the advisor must refuse, not silently run a
+    // geometry that blows its budget
+    val err = intercept[IllegalArgumentException] {
+      Similarity.cosineLshGeometryForBudget(1000000000L, 900000L, 800000L)
+    }
+    assert(err.getMessage.contains("false candidates") ||
+      err.getMessage.contains("unreachable"))
+  }
+
   test("semanticCellRecallAudit: monotone curve, exact 1e6 at depth = cells, constant truth mass") {
     val emb = graft.queries.Q.t(spark, sf001, "embeddings")
     val curve = Similarity.semanticCellRecallAudit(emb, dim = 64, cells = 8,
