@@ -127,6 +127,10 @@ object ScaleSoak {
     // within-cell quadratic cliff times nprobe^2 — its scale path is
     // q269's budget geometry.
     "q267_cell_probe_audit", "q269_budget_dedup_contract",
+    // q270 runs its n = 1e9 design geometry: at x100 (500k docs) the
+    // budget bound is ~2000x slack, so the rung measures the fixed
+    // k = 312 signature cost, which is the linear term that matters
+    "q270_minhash_budget_pairs",
     // event-sequence family (events replicated as disjoint user
     // populations on the same calendar)
     "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",

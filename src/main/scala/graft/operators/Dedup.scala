@@ -138,19 +138,26 @@ object Dedup {
     */
   def bandKeys(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
-    (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      sigs.select(col("doc_id"), lit(b).as("band"), concat_ws("_", cols: _*).as("band_key"))
-    }.reduce(_.union(_))
+    // posexplode over bands, not a union of per-band branches: one
+    // scan emits every band key per row and partition count stays
+    // flat — a b-way union concatenates partitions, which at the
+    // budget advisor's 39 bands multiplies task count for no work
+    sigs.select(col("doc_id"), posexplode(array((0 until bands).map { b =>
+      concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
+    }: _*)).as(Seq("band", "band_key")))
   }
 
   /** LSH banding: candidate pairs = docs agreeing on an entire band of
     * the signature. Bands are hashed to one key column and self-joined
     * on (band, band_key) — the shuffle key is the bucket, so
-    * cross-corpus pairs never materialize.
+    * cross-corpus pairs never materialize. The banded frame is skinny
+    * (doc_id, band, key), read by both join sides, and persisted
+    * partitioned ON the join key, so the cache's HashPartitioning
+    * satisfies both sides and the candidate stage needs no exchange.
     */
   def minhashCandidates(sigs: DataFrame, k: Int = 8, bands: Int = 2): DataFrame = {
-    val banded = bandKeys(sigs, k, bands)
+    val banded = graft.GraftCache.registered(
+      bandKeys(sigs, k, bands).repartition(col("band"), col("band_key")))
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -337,6 +344,47 @@ object Dedup {
           s"recall >= $targetRecallMicro at J=$thresholdMicro is unreachable within " +
             s"(maxRows=$maxRows, maxBands=$maxBands): relax the recall floor or raise maxBands")
     }
+  }
+
+  /** [[minhashGeometryFor]] with the false-candidate ceiling derived
+    * from a PER-ROW CANDIDATE BUDGET at a stated corpus size — the
+    * MinHash twin of
+    * [[graft.operators.Similarity.cosineLshGeometryForBudget]]: a
+    * fraction ceiling admits O(n²) false candidates as the corpus
+    * grows, a linear budget (fp ≤ 2·candPerRow/n, exact integer
+    * micros) tightens rows-per-band with n so the band join stays
+    * linear by construction. MinHash's feasibility frontier reaches
+    * far beyond sign-bit LSH's: (bg/threshold)^r decays geometrically
+    * in r (vs the cosine family's fixed per-plane agreement ratio),
+    * so "J ≥ 0.7 at 90% recall, ≤ 64 candidates/row at n = 1e9"
+    * RESOLVES here — while the equivalent cosine contract refuses at
+    * that scale — which is why shingle-MinHash, not sign-bit LSH, is
+    * the text-dedup workhorse at 100 TB.
+    */
+  def minhashGeometryForBudget(n: Long, thresholdMicro: Long,
+      targetRecallMicro: Long, bgMicro: Long = 100000L,
+      candPerRow: Long = 64L, maxRows: Int = 16, maxBands: Int = 64): (Int, Int) = {
+    require(n >= 2, s"corpus size n must be >= 2, got $n")
+    require(candPerRow >= 1, s"candPerRow must be >= 1, got $candPerRow")
+    val fpMicro = (BigInt(2) * candPerRow * 1000000L / n).toLong
+    minhashGeometryFor(thresholdMicro, targetRecallMicro, bgMicro, fpMicro,
+      maxRows, maxBands)
+  }
+
+  /** [[minhashPairsContract]] under the linear candidate budget: the
+    * caller states the design corpus size once and the geometry is
+    * FIXED from the exact S-curve — recall is n-independent, so the
+    * design geometry run on a smaller validation corpus still meets
+    * the floor, while candidate volume at the design scale stays
+    * linear by construction.
+    */
+  def minhashPairsBudget(docs: DataFrame, idCol: String, textCol: String,
+      designN: Long, threshold: Double = 0.7,
+      targetRecallMicro: Long = 900000L, bgMicro: Long = 100000L,
+      candPerRow: Long = 64L): DataFrame = {
+    val (r, b) = minhashGeometryForBudget(designN,
+      math.round(threshold * 1000000L), targetRecallMicro, bgMicro, candPerRow)
+    pairsFromHashesAffine(shingleHashes(docs, idCol, textCol), r, b, threshold)
   }
 
   /** [[pairsFromHashes]] over the affine permutation family with

@@ -844,6 +844,18 @@ object DedupQueries {
           targetRecallMicro = 800000L)
         .select(col("vec_id")).orderBy(col("vec_id"))),
 
+    // the MinHash twin of q269 — and the frontier CONTRAST: (bg/J)^r
+    // decays geometrically in r, so "J >= 0.7 at 90% recall, <= 64
+    // candidates/row at n = 1e9" RESOLVES here ((8, 39): k = 312
+    // affine permutations) while the equivalent cosine contract
+    // refuses at that scale — why shingle-MinHash, not sign-bit LSH,
+    // is the text-dedup workhorse at 100 TB. Graded at the design
+    // geometry against the parameterized affine replay.
+    "q270_minhash_budget_pairs" -> ((s, dir) =>
+      Dedup.minhashPairsBudget(t(s, dir, "documents"), "doc_id", "text",
+        designN = 1000000000L, threshold = 0.7)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // the third empirical contract member, closing the LAST
     // uncontracted dedup path (q125's k-means cells): a near-dup pair
     // split across a cell boundary is missed ENTIRELY by within-cell
@@ -1715,6 +1727,15 @@ object DedupQueries {
           SELECT e.vec_id, round(list_cosine_similarity(e.e, q.qe), 6) AS cos_sim
           FROM e JOIN short USING (vec_id), q
           ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // the affine pair replay at the geometry the MinHash BUDGET
+    // advisor resolves for n = 1e9 — the advisor runs at oracle-build
+    // time too, so query and oracle cannot drift
+    "q270_minhash_budget_pairs" -> {
+      val (r, b) = Dedup.minhashGeometryForBudget(1000000000L, 700000L, 900000L)
+      s"""WITH ${sqlPairsCtesFromHashesAffine(
+        s"SELECT doc_id, ${sqlH31("shingle")} AS h FROM ($SqlShingles)", 0.7, r, b)}
+          SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"""
+    },
     // same replay shape as q261, at the geometry the BUDGET advisor
     // resolves for the stated design size — the advisor runs at
     // oracle-build time too, so query and oracle cannot drift

@@ -421,6 +421,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("minhashGeometryForBudget: rows tighten with corpus size, contract holds, frontier beats sign-bit LSH") {
+    import graft.operators.Dedup
+    val geoms = Seq(10000L, 1000000L, 1000000000L).map { n =>
+      val (r, b) = Dedup.minhashGeometryForBudget(n, 700000L, 900000L)
+      assert(Dedup.recallAtMicro(r, b, 700000L) >= 900000L)
+      assert(Dedup.recallAtMicro(r, b, 100000L) <= 2L * 64L * 1000000L / n)
+      (r, b)
+    }
+    assert(geoms.map(_._1) === geoms.map(_._1).sorted,
+      s"rows-per-band must be nondecreasing in design n, got $geoms")
+    assert(geoms.head._1 < geoms.last._1)
+    // the frontier contrast: at n = 1e9 the J >= 0.7 contract RESOLVES
+    // for MinHash ((bg/J)^r decays geometrically in r) while the
+    // same-scale cosine contract refuses (pinned below) — the reason
+    // shingle-MinHash is the text-dedup workhorse at 100 TB
+    assert(geoms.last._1 <= 16 && geoms.last._2 <= 64)
+    // but J = 0.6 at a billion rows genuinely cannot fall fast enough
+    // within the band cap — refuse, don't blow the budget
+    val err = intercept[IllegalArgumentException] {
+      Dedup.minhashGeometryForBudget(1000000000L, 600000L, 900000L)
+    }
+    assert(err.getMessage.contains("false-candidates"))
+  }
+
   test("cosineLshGeometryForBudget: planes tighten with corpus size, contract holds, refuses past the frontier") {
     // the budget is linear in n, so the fp ceiling (and with it the
     // resolved plane count) must tighten as the design corpus grows
