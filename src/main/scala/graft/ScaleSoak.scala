@@ -122,10 +122,13 @@ object ScaleSoak {
     // linear corpus scans (the audit never assigns the corpus). q269:
     // the ladder at x100 is ~1.6M units — the query's own 1e6 DESIGN
     // size, so this rung measures the budget contract at the scale it
-    // was stated for. q268 (fixed-cell multi-probe) is deliberately
-    // NOT soaked: 8 global cells over a 100x corpus is q125's
-    // within-cell quadratic cliff times nprobe^2 — its scale path is
-    // q269's budget geometry.
+    // was stated for; do NOT run q269 above x100 — past its design
+    // size the fixed 128-micro ceiling is again a quadratic admission
+    // (that design-size discipline is the contract's point; x1000
+    // runs pass an explicit subset anyway). q268 (fixed-cell
+    // multi-probe) is deliberately NOT soaked: 8 global cells over a
+    // 100x corpus is q125's within-cell quadratic cliff times
+    // nprobe^2 — its scale path is q269's budget geometry.
     "q267_cell_probe_audit", "q269_budget_dedup_contract",
     // q270 runs its n = 1e9 design geometry: at x100 (500k docs) the
     // budget bound is ~2000x slack, so the rung measures the fixed
