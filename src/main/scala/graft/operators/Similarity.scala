@@ -369,16 +369,25 @@ object Similarity {
     // width in tasks; at the budget advisor's 50+ tables that is
     // thousands of near-empty tasks), while the explode computes all
     // t buckets in one pass over each row and keeps partition count
-    // flat. Persisted AND partitioned by the join key: the banded
-    // frame is read three times (both self-join sides + the
-    // bounded-blocks guard) and is skinny (three longs per row), and
+    // flat. Buckets come from the HyperplaneBuckets kernel, NOT an
+    // array of lshBucketAt trees: at advisor geometries (q269's
+    // 23 x 57 = 1,311 projections) the tree form blows janino's 64 KB
+    // method limit and the whole stage silently drops to interpreted
+    // eval (measured 12.7 s for ~1 GFLOP of arithmetic); the kernel's
+    // generated code is constant-size at any geometry and
+    // bit-identical (same plane order, fold order, round-9 sign).
+    // Persisted AND partitioned by the join key: the banded frame is
+    // read three times (both self-join sides + the bounded-blocks
+    // guard) and is skinny (three longs per row), and
     // repartition(tbl, bucket) makes the cache's HashPartitioning
     // satisfy BOTH sides of the bucket self-join — no exchange in the
     // candidate stage.
+    val allW = Array.tabulate(tables * planes * dim)(i =>
+      planeWeightLocal(i / dim, i % dim))
     val banded = graft.GraftCache.registered(
-      e.select(col("vec_id"), posexplode(array((0 until tables).map { k =>
-          lshBucketAt(col("e"), planes, dim, k * planes)
-        }: _*)).as(Seq("tbl", "bucket")))
+      e.select(col("vec_id"), posexplode(
+          graft.plans.HyperplaneBuckets.buckets(col("e"), allW, dim, planes, tables))
+        .as(Seq("tbl", "bucket")))
         .repartition(col("tbl"), col("bucket")))
     Dedup.requireBoundedBlocks(banded, Seq(col("tbl"), col("bucket")),
       s"more hyperplanes per table (planes > $planes: buckets/table = 2^planes, " +
@@ -427,10 +436,15 @@ object Similarity {
         transform(col("e"), (x, i) =>
           when(i < cut, element_at(anchor, i + 1)).otherwise(x)).as("u"))
     }.reduce(_.union(_))
+    // HyperplaneBuckets kernel, not an array of lshBucketAt trees —
+    // same 64 KB-codegen rationale as nearDupByLshMulti (an audit must
+    // stay cheap at any geometry it is asked to measure)
+    val allW = Array.tabulate(tables * planes * dim)(i =>
+      planeWeightLocal(i / dim, i % dim))
     val withBks = graft.GraftCache.registered(units
       .withColumn("nrm", norm(col("u")))
-      .withColumn("bks", array((0 until tables).map(k =>
-        lshBucketAt(col("u"), planes, dim, k * planes)): _*)))
+      .withColumn("bks",
+        graft.plans.HyperplaneBuckets.buckets(col("u"), allW, dim, planes, tables)))
     withBks.as("l").join(withBks.as("r"),
         col("l.vec_id") === col("r.vec_id") && col("l.rung") < col("r.rung"))
       .select(

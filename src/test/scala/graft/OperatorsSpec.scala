@@ -421,6 +421,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("HyperplaneBuckets kernel is bit-identical to the lshBucketAt expression tree") {
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings")
+    val e = emb.select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
+    // the budget-advisor geometry whose tree form blows janino's 64 KB
+    // method limit — the kernel must agree bucket-for-bucket anyway
+    // (same plane order, fold order, round-9 sign rule)
+    val (planes, tables) = (23, 57)
+    val allW = Array.tabulate(tables * planes * 64)(i =>
+      Similarity.planeWeightLocal(i / 64, i % 64))
+    val kernel = e.select(col("vec_id"),
+      graft.plans.HyperplaneBuckets.buckets(col("e"), allW, 64, planes, tables).as("bks"))
+    val tree = e.select(col("vec_id"),
+      array((0 until tables).map(k =>
+        Similarity.lshBucketAt(col("e"), planes, 64, k * planes)): _*).as("bks"))
+    assert(kernel.exceptAll(tree).isEmpty && tree.exceptAll(kernel).isEmpty)
+  }
+
   test("minhashGeometryForBudget: rows tighten with corpus size, contract holds, frontier beats sign-bit LSH") {
     import graft.operators.Dedup
     val geoms = Seq(10000L, 1000000L, 1000000000L).map { n =>
