@@ -412,7 +412,10 @@ object Dedup {
     * the same shingle frame, map-side combined) traded for a recall
     * floor the geometry can actually honor. The derivation is exact
     * BigInt arithmetic over integer micros, so a SQL oracle resolving
-    * the same contract replays the identical geometry.
+    * the same contract replays the identical geometry. The fp ceiling
+    * is a FRACTION of all pairs — O(n²) admissions as the corpus
+    * grows; for corpus-scale runs use [[minhashPairsBudget]], whose
+    * ceiling is a linear per-row budget at a stated design size.
     */
   def minhashPairsContract(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, targetRecallMicro: Long = 900000L,

@@ -747,7 +747,10 @@ object Similarity {
     * contract). Infeasible contracts (threshold too close to
     * background for sign-bit LSH) throw at plan time with the binding
     * constraint — the refusal posture of the blocked self-joins,
-    * applied to recall.
+    * applied to recall. The fp ceiling here is a FRACTION of all
+    * pairs, which admits O(n²) false candidates as the corpus grows —
+    * for corpus-scale runs use [[semanticDedupLshBudget]], whose
+    * ceiling is a linear per-row budget at a stated design size.
     */
   def semanticDedupLshContract(emb: DataFrame, dim: Int,
       thresholdCosMicro: Long, targetRecallMicro: Long,

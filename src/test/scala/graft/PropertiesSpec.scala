@@ -83,6 +83,23 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("law: HyperplaneKernel.roundPos9 ≡ Spark's round(x, 9) > 0 on adversarial borderline doubles") {
+    // Spark's Round on DoubleType evaluates
+    // BigDecimal(x).setScale(9, HALF_UP).toDouble (decimal-string
+    // semantics); the kernel's fast path only decides |x| outside the
+    // (0, 1e-8] band, so the law must hold ON that band — grid the
+    // half-up boundary at 5e-10 plus random magnitudes across it
+    val boundary = (0 to 40).map(k => k * 2.5e-11) ++
+      Seq(4.9999999e-10, 5.0000001e-10, 1e-9, 9.99e-9, 1.0000001e-8, -5e-10, -1e-12)
+    val random = samples(Gen.chooseNum(-2e-8, 2e-8), 50)
+    for (x <- boundary ++ random) {
+      val spark9 = scala.math.BigDecimal(x)
+        .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble > 0
+      assert(graft.plans.HyperplaneKernel.roundPos9(x) === spark9,
+        s"roundPos9 disagrees with Spark round semantics at x=$x")
+    }
+  }
+
   test("law: union length adds; distinct is idempotent") {
     for ((xs, ys) <- samples(Gen.zip(intsGen, intsGen))) {
       val px = Pipe.memory(spark, xs); val py = Pipe.memory(spark, ys)
