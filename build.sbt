@@ -34,3 +34,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // calibration until this was raised)
   "-XX:ReservedCodeCacheSize=512m",
 )
+
+// The driver's bench harness parses the LAST stdout line as JSON.
+// Two sbt behaviors used to defeat that: the forked run's stdout was
+// re-logged with an "[info] " prefix, and sbt appended its own
+// "[success] Total time: ..." trailer AFTER the program's final line.
+// Raw pass-through + no success banner makes the Bench totals line
+// the literal last line of the sbt process output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

@@ -90,4 +90,28 @@ object CorpusPipeline {
     exactKept.join(winners.select(col("kept_doc").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
   }
+
+  /** The production corpus-REFRESH loop (q134): verdict a new batch
+    * against the at-rest CONTRACT dedup index alone (probe cost tracks
+    * the batch, never corpus text bytes), then upsert the survivors as
+    * ONE committed [[graft.operators.Versioned]] snapshot — readers
+    * never observe a half-applied refresh. Returns the committed
+    * version.
+    *
+    * The index MUST be a [[Dedup.writeDedupIndexContract]] index: the
+    * probe geometry is read from its `_geometry/` metadata, so writer
+    * and prober cannot drift on signature width. Pointing this at a
+    * legacy caller-trusted-geometry index REFUSES (no `_geometry/`)
+    * instead of probing at a guessed width — the silent-recall-loss
+    * hazard the contract family exists to close (a batch signed at a
+    * different width than the writer never cohabits a band, and
+    * nothing in the output says recall was lost).
+    */
+  def refresh(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      indexPath: String, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Long = {
+    val kept = Dedup.dedupAgainstIndexContract(batch, idCol, textCol, indexPath)
+      .filter(col("verdict") === "kept").select(col(idCol))
+    graft.operators.Versioned.upsert(spark, tablePath, batch.join(kept, Seq(idCol)), idCol)
+  }
 }

@@ -763,21 +763,22 @@ object Curation {
     * stand-in for CCNet's KenLM 5-gram), rank the corpus by mean
     * log-prob, and split into `head` / `middle` / `tail` tertiles —
     * the classic "keep head+middle, drop tail" curation gate. The
-    * graded form uses exact `ntile(3)` over the total order
-    * (avg_logprob DESC, id) so both engines bucket identically.
-    *
-    * Scale: exact global ntile is a total sort; at production scale
-    * swap the tertile boundaries for percentile thresholds computed
-    * once and broadcast (the [[percentileGate]] shape) — same buckets
-    * up to boundary ties, no global sort. The graded output is the
-    * per-bucket aggregate (3 rows), not the per-doc assignment, so
-    * the contract survives that swap.
+    * graded form is exact `ntile(3)` SEMANTICS over the total order
+    * (avg_logprob DESC, id) so both engines bucket identically — but
+    * computed via [[graft.operators.Ranking.globalNtile]]: tertile
+    * boundaries as exact order statistics over the skinny
+    * (avg_logprob, id) projection, broadcast back, buckets assigned by
+    * comparison. No partition-less WindowExec anywhere in the plan
+    * (the previous `ntile(3).over(Window.orderBy(…))` moved every doc
+    * to ONE task — the single straggler a 100 TB corpus cannot pay);
+    * value-identical because (avg_logprob, id) is a strict total
+    * order, so no tie can straddle a boundary.
     */
   def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.7): DataFrame = {
-    val lp = bigramLogProb(docs, idCol, textCol, lambda)
-    lp.withColumn("t", ntile(3).over(
-        Window.orderBy(col("avg_logprob").desc, col(idCol))))
+    val lp = graft.GraftCache.registered(bigramLogProb(docs, idCol, textCol, lambda))
+    Ranking.globalNtile(lp,
+        Seq(Ranking.Key(col("avg_logprob"), asc = false), Ranking.Key(col(idCol))), 3, "t")
       .withColumn("bucket",
         when(col("t") === 1, "head").when(col("t") === 2, "middle")
           .otherwise("tail"))

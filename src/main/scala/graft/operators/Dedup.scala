@@ -150,14 +150,31 @@ object Dedup {
   /** LSH banding: candidate pairs = docs agreeing on an entire band of
     * the signature. Bands are hashed to one key column and self-joined
     * on (band, band_key) — the shuffle key is the bucket, so
-    * cross-corpus pairs never materialize. The banded frame is skinny
-    * (doc_id, band, key), read by both join sides, and persisted
-    * partitioned ON the join key, so the cache's HashPartitioning
-    * satisfies both sides and the candidate stage needs no exchange.
+    * cross-corpus pairs never materialize.
+    *
+    * The banded frame is skinny (doc_id, band, key) and read by both
+    * join sides. At CONTRACT geometries (double-digit bands — the
+    * frame is bands× the corpus) it is persisted partitioned ON the
+    * join key, so the cache's HashPartitioning satisfies both sides
+    * and the candidate stage needs no exchange. At narrow legacy
+    * geometries the cache is MISPRICED: both join sides are the
+    * identical subtree, so Catalyst already reuses one exchange
+    * (ReusedExchange), and the cache insert (write + two cache reads)
+    * costs more than the nothing it saves — r12's unconditional
+    * persist took q72 (bands = 1) from 0.37 s to 2.02 s with no code
+    * change to the query. Gate: persist only at
+    * `bands >= graft.dedup.bandCacheMinBands` (default 8 — between
+    * the legacy 1–4 band family and the shallowest contract geometry;
+    * measured break-even in NOTES_r13).
     */
   def minhashCandidates(sigs: DataFrame, k: Int = 8, bands: Int = 2): DataFrame = {
-    val banded = graft.GraftCache.registered(
-      bandKeys(sigs, k, bands).repartition(col("band"), col("band_key")))
+    val minBands = sigs.sparkSession.conf
+      .get("graft.dedup.bandCacheMinBands", "8").toInt
+    val banded =
+      if (bands >= minBands)
+        graft.GraftCache.registered(
+          bandKeys(sigs, k, bands).repartition(col("band"), col("band_key")))
+      else bandKeys(sigs, k, bands)
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -611,6 +628,81 @@ object Dedup {
         s"(the simhash must stay in a signed long): relax the radius, raise targetBucket " +
         s"(coarser buckets), or pre-block the corpus")
     (bits, bands)
+  }
+
+  /** [[simhashGeometryFor]] under a LINEAR PER-ROW CANDIDATE BUDGET at
+    * a stated design size — the SimHash member of the budget family
+    * ([[minhashGeometryForBudget]] / [[graft.operators.Similarity.cosineLshGeometryForBudget]]),
+    * replacing [[simhashGeometryFor]]'s bucket-population heuristic
+    * (which is a fraction-of-pairs admission in disguise: ~targetBucket
+    * candidates PER ROW regardless of n) with an explicit contract:
+    * "radius-complete for hamming ≤ maxHamming, ≤ candPerRow false
+    * candidates per row at n = designN".
+    *
+    * Model: bands = maxHamming + 1 (pigeonhole completeness — recall
+    * is exactly 1 inside the radius, never an S-curve bet), and a
+    * background pair agrees on one band of width h with probability
+    * pAgree^h (pAgree = per-bit agreement of UNRELATED docs; 0.5 for
+    * ideal unbiased bits — real corpora run higher, measure with
+    * [[simhashRecallAudit]] and pass it in). Union bound over bands:
+    *   fp ≤ bands · pAgree^h  ≤  2·candPerRow / n
+    * evaluated EXACTLY in BigInt micros (bands·pAgreeMicro^h·n ≤
+    * 2·candPerRow·1e6^h — no doubles, so the oracle replays the same
+    * integer decision). Returns the narrowest feasible (bits, bands).
+    *
+    * FEASIBILITY FRONTIER (the reason this advisor exists): widening
+    * a band cuts fp geometrically (pAgree^h), but the signature must
+    * fit a signed long — bands·h ≤ 63. At n = 1e9 with 64
+    * candidates/row and ideal bits, radius 1 RESOLVES to (48, 2)
+    * (h = 24: 2·2^-24·1e9 ≈ 119 ≤ 128, well inside the 31-bit cap),
+    * radius 2 (3 bands ≤ 21 bits each, fp ≥ 3·2^-21 ≈ 1.4e-6 →
+    * ~1430/row) REFUSES, and every radius beyond refuses harder. Radius-complete SimHash banding is
+    * word-size-limited where MinHash's (bg/J)^r decay is not
+    * ([[minhashGeometryForBudget]] resolves J ≥ 0.7 at the same
+    * scale) — the two advisor outcomes that say WHY shingle-MinHash,
+    * not SimHash, is the wide-radius text-dedup workhorse at 100 TB,
+    * and why SimHash remains the right tool at radius ≤ 1 (typo-class
+    * dups) where its signature is 8× cheaper to store.
+    */
+  def simhashGeometryForBudget(n: Long, maxHamming: Int,
+      pAgreeMicro: Long = 500000L, candPerRow: Long = 64L,
+      minBandBits: Int = 8): (Int, Int) = {
+    require(n >= 2, s"design size n must be >= 2, got $n")
+    require(maxHamming >= 1, s"maxHamming must be >= 1, got $maxHamming")
+    require(pAgreeMicro >= 1 && pAgreeMicro < 1000000,
+      s"pAgreeMicro must be in [1, 1e6), got $pAgreeMicro")
+    require(candPerRow >= 1, s"candPerRow must be >= 1, got $candPerRow")
+    val bands = maxHamming + 1
+    val M = BigInt(1000000)
+    val budgetOk = (h: Int) =>
+      BigInt(bands) * BigInt(pAgreeMicro).pow(h) * BigInt(n) <=
+        BigInt(2) * BigInt(candPerRow) * M.pow(h)
+    (minBandBits to 63 / bands).find(budgetOk).map(h => (bands * h, bands))
+      .getOrElse {
+        val hMax = 63 / bands
+        throw new IllegalArgumentException(
+          s"radius-complete SimHash banding cannot meet <= $candPerRow candidates/row at " +
+            s"n = $n for hamming radius $maxHamming: $bands bands cap band width at " +
+            s"$hMax bits (bands x width <= 63, one signed long), leaving fp >= " +
+            s"bands x pAgree^$hMax — the word-size frontier. Relax the radius " +
+            s"(radius 1 resolves at n = 1e9), pre-block the corpus (smaller n per " +
+            s"block), or switch family: minhashGeometryForBudget's (bg/J)^r decay " +
+            s"is not word-size-limited")
+      }
+  }
+
+  /** [[simhashPairs]] at the geometry the BUDGET advisor resolves for
+    * a stated design size — the SimHash twin of [[minhashPairsBudget]]:
+    * recall inside the radius is pigeonhole-exact and n-independent,
+    * so the design geometry run on a smaller validation corpus is the
+    * same pair set contract, while candidate volume at the design
+    * scale stays linear by construction.
+    */
+  def simhashPairsBudget(docs: DataFrame, idCol: String, textCol: String,
+      designN: Long, maxHamming: Int = 1, pAgreeMicro: Long = 500000L,
+      candPerRow: Long = 64L): DataFrame = {
+    val (bits, bands) = simhashGeometryForBudget(designN, maxHamming, pAgreeMicro, candPerRow)
+    simhashPairs(docs, idCol, textCol, bits, maxHamming, bands)
   }
 
   /** SimHash banding recall audit — the q253 pattern applied to the
@@ -1374,19 +1466,39 @@ object Dedup {
     * collisions, never corpus text bytes.
     */
   def dedupAgainstIndexContract(newDocs: DataFrame, idCol: String, textCol: String,
-      path: String): DataFrame = {
-    val spark = newDocs.sparkSession
-    val g = spark.read.parquet(s"$path/_geometry").collect()
-    require(g.length == 1,
-      s"dedupAgainstIndexContract: $path/_geometry must hold exactly one geometry row " +
-        s"(found ${g.length}) — was the index written by writeDedupIndexContract?")
-    val r = g.head.getAs[Int]("rows")
-    val b = g.head.getAs[Int]("bands")
-    val threshold = g.head.getAs[Long]("threshold_micro").toDouble / 1000000.0
+      path: String): DataFrame =
+    dedupAgainstIndexContract(newDocs, idCol, textCol, path,
+      readDedupIndexGeometry(newDocs.sparkSession, path))
+
+  /** The contract probe with the geometry ALREADY READ — for callers
+    * that probe the same index many times (a micro-batch stream): read
+    * `_geometry/` once with [[readDedupIndexGeometry]] at pipeline
+    * construction, then probe per batch without re-reading the
+    * metadata. Same refusal semantics (the read refuses a legacy
+    * index); passing a hand-built tuple instead of the read's result
+    * re-opens the drift hole the contract closes — don't.
+    */
+  def dedupAgainstIndexContract(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, geometry: (Int, Int, Double)): DataFrame = {
+    val (r, b, threshold) = geometry
     val k = r * b
     val sigSets = graft.GraftCache.registered(
       sigSetsAffine(shingleHashes(newDocs, idCol, textCol), k))
     dedupAgainstIndexCore(newDocs, idCol, textCol, path, sigSets, k, b, threshold)
+  }
+
+  /** Read a [[writeDedupIndexContract]] index's persisted geometry:
+    * (rows, bands, threshold). Refuses (no `_geometry/`, or not
+    * exactly one row) on a legacy caller-trusted-geometry index.
+    */
+  def readDedupIndexGeometry(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Double) = {
+    val g = spark.read.parquet(s"$path/_geometry").collect()
+    require(g.length == 1,
+      s"dedupAgainstIndexContract: $path/_geometry must hold exactly one geometry row " +
+        s"(found ${g.length}) — was the index written by writeDedupIndexContract?")
+    (g.head.getAs[Int]("rows"), g.head.getAs[Int]("bands"),
+      g.head.getAs[Long]("threshold_micro").toDouble / 1000000.0)
   }
 
   /** Substring-level dedup: drop every token covered by a

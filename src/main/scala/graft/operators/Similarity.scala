@@ -806,11 +806,19 @@ object Similarity {
   }
 
   /** Per-unit cell probe ORDER against driver-held centroids, as a rank
-    * array: element c+1 = the 1-based rank of cell c by (round-9
+    * array: element i+1 = the 1-based rank of `cents(i)` by (round-9
     * squared distance, cell) — the same (d, cell) rule [[assignCells]]
     * and [[ivfSearch]] apply, so rank 1 IS the plain assignment.
     * Shared by the cell-recall audit (pair catch depth) and the
     * multi-probe contract dedup (top-p cells = ranks <= p).
+    *
+    * Keyed by POSITION IN `cents`, not by cell-id value:
+    * [[kmeansCellsLocal]] seeds cell ids from the k lowest vec_ids, so
+    * on a corpus whose ids are not dense from 0 the ids are sparse —
+    * indexing the array by id would hit `array_position`'s 0 not-found
+    * sentinel and silently report depth 0 (= inflated recall) for
+    * every pair. Consumers index by the same cents position, so the
+    * contract is id-layout-independent.
     */
   private def cellRankArray(cents: Seq[(Int, Seq[Double])]): Column = {
     val scored = array(cents.map { case (cell, cvec) =>
@@ -820,8 +828,7 @@ object Similarity {
       struct(round(d, 9).as("d"), lit(cell).as("cell"))
     }: _*)
     val order = transform(array_sort(scored), x => x.getField("cell"))
-    transform(sequence(lit(0), lit(cents.size - 1)),
-      c => array_position(order, c.cast("int")))
+    transform(array(cents.map(c => lit(c._1)): _*), c => array_position(order, c))
   }
 
   /** Cell-cohabitation recall curve for the SemDeDup family — the
@@ -848,10 +855,22 @@ object Similarity {
       thresholdMicro: Long = 400000L, sampleQ: Int = 16): DataFrame = {
     require(cells >= 1 && iters >= 0 && sampleQ >= 1,
       s"need cells >= 1, iters >= 0, sampleQ >= 1, got ($cells, $iters, $sampleQ)")
-    val spark = emb.sparkSession
     val embD = graft.GraftCache.registered(
       emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
-    val cents = kmeansCellsLocal(embD, cells, iters)
+    semanticCellRecallAuditWith(emb, dim, kmeansCellsLocal(embD, cells, iters),
+      thresholdMicro, sampleQ)
+  }
+
+  /** [[semanticCellRecallAudit]] against ALREADY-TRAINED cells — the
+    * overload the contract path uses so the (iters-round, corpus-scan)
+    * quantizer training runs ONCE per pipeline instead of once for the
+    * audit and again for the assignment stage.
+    */
+  def semanticCellRecallAuditWith(emb: DataFrame, dim: Int,
+      cents: Seq[(Int, Seq[Double])], thresholdMicro: Long,
+      sampleQ: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val cells = cents.size
     val probes = graft.GraftCache.registered(
       blendLadder(emb.filter(col("vec_id") < sampleQ), dim)
         .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
@@ -879,13 +898,25 @@ object Similarity {
     */
   def semanticCellProbesFor(emb: DataFrame, dim: Int, cells: Int, iters: Int,
       thresholdMicro: Long, targetRecallMicro: Long, sampleQ: Int = 16): Int = {
+    val embD = graft.GraftCache.registered(
+      emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
+    semanticCellProbesForWith(emb, dim, kmeansCellsLocal(embD, cells, iters),
+      thresholdMicro, targetRecallMicro, sampleQ)
+  }
+
+  /** [[semanticCellProbesFor]] against ALREADY-TRAINED cells (the
+    * train-once overload the contract dedup composes).
+    */
+  def semanticCellProbesForWith(emb: DataFrame, dim: Int,
+      cents: Seq[(Int, Seq[Double])], thresholdMicro: Long,
+      targetRecallMicro: Long, sampleQ: Int = 16): Int = {
     require(targetRecallMicro >= 0 && targetRecallMicro <= 1000000,
       s"targetRecallMicro must be in [0, 1e6], got $targetRecallMicro")
-    val curve = semanticCellRecallAudit(emb, dim, cells, iters, thresholdMicro, sampleQ)
+    val curve = semanticCellRecallAuditWith(emb, dim, cents, thresholdMicro, sampleQ)
       .select(col("nprobe"), col("recall_micro"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     curve.collectFirst { case (p, r) if r >= targetRecallMicro => p }
-      .getOrElse(cells)
+      .getOrElse(cents.size)
   }
 
   /** [[semanticDedup]] under a recall CONTRACT — the production
@@ -903,15 +934,20 @@ object Similarity {
   def semanticDedupCellsContract(emb: DataFrame, dim: Int, cells: Int,
       iters: Int, thresholdMicro: Long, targetRecallMicro: Long,
       sampleQ: Int = 16): DataFrame = {
-    val nprobe = semanticCellProbesFor(emb, dim, cells, iters,
-      thresholdMicro, targetRecallMicro, sampleQ)
+    // train ONCE; the audit/advisor and the assignment stage share the
+    // same driver-held centroids (training is deterministic, but with
+    // iters > 0 re-training doubled the corpus-scan Lloyd rounds)
     val embD = graft.GraftCache.registered(
       emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e")))
     val cents = kmeansCellsLocal(embD, cells, iters)
+    val nprobe = semanticCellProbesForWith(emb, dim, cents,
+      thresholdMicro, targetRecallMicro, sampleQ)
+    // "cell" below is the POSITION in cents (cellRankArray's key — id-
+    // layout-independent), used purely as a cohabitation join key
     val assigned = graft.GraftCache.registered(
       embD.select(col("vec_id"), col("e"), cellRankArray(cents).as("rk"))
         .select(col("vec_id"), col("e"),
-          explode(filter(sequence(lit(0), lit(cells - 1)),
+          explode(filter(sequence(lit(0), lit(cents.size - 1)),
             c => element_at(col("rk"), c.cast("int") + 1) <= nprobe)).as("cell")))
     Dedup.requireBoundedBlocks(assigned, Seq(col("cell")),
       s"more cells (cells > $cells: cell population ~ nprobe*N/cells) or semanticDedupLshContract")

@@ -62,16 +62,27 @@ object HyperplaneKernel {
 /** `array<long>` of per-table LSH buckets for an `array<double>`
   * embedding column. `weights` is the flattened (tables*planes) x dim
   * plane matrix (plane-major), fixed per query plan.
+  *
+  * `weights` is an IndexedSeq, NOT a raw array: a case-class field of
+  * type Array gets reference equals/hashCode, so two semantically
+  * identical expressions built from separately tabulated weight
+  * arrays would never compare equal — breaking Catalyst
+  * canonicalization, subexpression elimination, and CacheManager
+  * `sameResult` matching across independently built frames. The
+  * IndexedSeq compares element-wise; the hot path still runs on a raw
+  * `double[]` materialized once per plan (lazily for eval, via
+  * `addReferenceObj` for codegen).
   */
-case class HyperplaneBuckets(child: Expression, weights: Array[Double],
+case class HyperplaneBuckets(child: Expression, weights: IndexedSeq[Double],
     dim: Int, planes: Int, tables: Int) extends UnaryExpression {
   require(weights.length == tables * planes * dim,
     s"weights must be tables*planes*dim = ${tables * planes * dim} doubles, got ${weights.length}")
+  @transient private lazy val wArr: Array[Double] = weights.toArray
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(e: Any): Any =
-    HyperplaneKernel.buckets(e.asInstanceOf[ArrayData], weights, dim, planes, tables)
+    HyperplaneKernel.buckets(e.asInstanceOf[ArrayData], wArr, dim, planes, tables)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val wRef = ctx.addReferenceObj("hyperplaneWeights", weights, "double[]")
+    val wRef = ctx.addReferenceObj("hyperplaneWeights", wArr, "double[]")
     defineCodeGen(ctx, ev,
       c => s"graft.plans.HyperplaneKernel.buckets($c, $wRef, $dim, $planes, $tables)")
   }
@@ -81,5 +92,6 @@ case class HyperplaneBuckets(child: Expression, weights: Array[Double],
 
 object HyperplaneBuckets {
   def buckets(e: Column, weights: Array[Double], dim: Int, planes: Int, tables: Int): Column =
-    GraftBridge.column(HyperplaneBuckets(GraftBridge.expression(e), weights, dim, planes, tables))
+    GraftBridge.column(HyperplaneBuckets(GraftBridge.expression(e),
+      weights.toIndexedSeq, dim, planes, tables))
 }

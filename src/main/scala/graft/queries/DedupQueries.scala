@@ -856,6 +856,21 @@ object DedupQueries {
         designN = 1000000000L, threshold = 0.7)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // the SimHash member completing the budget family: radius-complete
+    // (hamming <= 1) pairs at the geometry the budget advisor resolves
+    // for "<= 64 candidates/row at n = 1e6" — (28, 2) from the exact
+    // BigInt decision bands·pAgree^h·n <= 2·cand·1e6^h. The FRONTIER
+    // contrast lives in the advisor (spec-pinned): radius 1 resolves
+    // at n = 1e9 as (48, 2), radius >= 2 REFUSES — bands·width <= 63
+    // (one signed long) caps the fp decay where MinHash's (bg/J)^r
+    // (q270) is unbounded. Recall inside the radius is pigeonhole-
+    // exact and n-independent, so the design geometry graded on the
+    // gate corpus is the same contract.
+    "q271_simhash_budget_pairs" -> ((s, dir) =>
+      Dedup.simhashPairsBudget(t(s, dir, "documents"), "doc_id", "text",
+        designN = 1000000L, maxHamming = 1)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // the third empirical contract member, closing the LAST
     // uncontracted dedup path (q125's k-means cells): a near-dup pair
     // split across a cell boundary is missed ENTIRELY by within-cell
@@ -944,22 +959,22 @@ object DedupQueries {
     }),
 
     // THE round-9 at-rest pieces composed as the production corpus
-    // refresh loop: the corpus lives in a Versioned table + a
-    // writeDedupIndex at rest; a new batch is verdicted against the
-    // index alone (probe cost tracks the batch), survivors upsert as
-    // ONE new committed snapshot (readers never see a half-applied
-    // refresh). Graded on the final committed corpus.
+    // refresh loop: the corpus lives in a Versioned table + a CONTRACT
+    // dedup index at rest (advisor-derived geometry, persisted in
+    // _geometry/ — the probe side reads it back, so writer and prober
+    // cannot drift on width the way the legacy caller-trusted pair
+    // could, q115); a new batch is verdicted against the index alone
+    // (probe cost tracks the batch), survivors upsert as ONE new
+    // committed snapshot (readers never see a half-applied refresh).
+    // Graded on the final committed corpus.
     "q134_corpus_refresh" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val base = java.nio.file.Files.createTempDirectory("graft_refresh").toString
       val corpus = docs.filter(col("doc_id") < 400)
       graft.operators.Versioned.commit(s"$base/table", corpus)
-      Dedup.writeDedupIndex(corpus, "doc_id", "text", s"$base/idx")
+      Dedup.writeDedupIndexContract(corpus, "doc_id", "text", s"$base/idx")
       val batch = docs.filter(col("doc_id") >= 400)
-      val keptIds = Dedup.dedupAgainstIndex(batch, "doc_id", "text", s"$base/idx")
-        .filter(col("verdict") === "kept").select(col("doc_id"))
-      graft.operators.Versioned.upsert(s, s"$base/table",
-        batch.join(keptIds, Seq("doc_id")), "doc_id")
+      graft.examples.CorpusPipeline.refresh(s, s"$base/table", s"$base/idx", batch)
       graft.operators.Versioned.read(s, s"$base/table")
         .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
         .orderBy(col("doc_id"))
@@ -1578,10 +1593,14 @@ object DedupQueries {
                  ELSE 'kept' END AS verdict
           FROM nfp ORDER BY nfp.doc_id"""
     },
-    // q115's verdict replay (no synthetic re-ingest row) + the merge:
-    // final corpus = base ∪ kept batch rows
+    // q266's CONTRACT verdict replay (no synthetic re-ingest row) +
+    // the merge: final corpus = base ∪ kept batch rows. Geometry
+    // resolved by the SAME minhashGeometryFor call the index writer
+    // makes, signatures from the index-generated affine family.
     "q134_corpus_refresh" -> {
-      val bandCond = (0 until 2).map(b => bandEq("", b, 4)).mkString(" OR ")
+      val (r134, b134) = Dedup.minhashGeometryFor(600000L, 900000L)
+      val k134 = r134 * b134
+      val bandCond = (0 until b134).map(bb => bandEq("", bb, r134)).mkString(" OR ")
       s"""WITH corpus AS (SELECT doc_id, text FROM $DocsPq WHERE doc_id < 400),
           nw AS (SELECT doc_id, text FROM $DocsPq WHERE doc_id >= 400),
           cfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
@@ -1592,8 +1611,8 @@ object DedupQueries {
                   FROM (${sqlShingles("SELECT doc_id, text FROM corpus")})),
           nsh AS (SELECT doc_id, ${sqlH31("shingle")} AS h
                   FROM (${sqlShingles("SELECT doc_id, text FROM nw")})),
-          csig AS (SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")} FROM csh GROUP BY doc_id),
-          nsig AS (SELECT doc_id, ${(0 until 8).map(sqlPerm).mkString(", ")} FROM nsh GROUP BY doc_id),
+          csig AS (SELECT doc_id, ${(0 until k134).map(sqlPermAffine).mkString(", ")} FROM csh GROUP BY doc_id),
+          nsig AS (SELECT doc_id, ${(0 until k134).map(sqlPermAffine).mkString(", ")} FROM nsh GROUP BY doc_id),
           cand AS (SELECT l.doc_id AS new_id, r.doc_id AS corpus_id
                    FROM nsig l JOIN csig r ON ($bandCond)),
           csets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM csh GROUP BY doc_id),
@@ -1735,6 +1754,15 @@ object DedupQueries {
       s"""WITH ${sqlPairsCtesFromHashesAffine(
         s"SELECT doc_id, ${sqlH31("shingle")} AS h FROM ($SqlShingles)", 0.7, r, b)}
           SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"""
+    },
+    // the banded-hamming replay at the geometry the SimHash BUDGET
+    // advisor resolves for the stated design size — the advisor runs
+    // at oracle-build time too, so query and oracle cannot drift
+    "q271_simhash_budget_pairs" -> {
+      val (bits, bands) = Dedup.simhashGeometryForBudget(1000000L, 1)
+      sqlSimhashPairsWith(s"${bits - 1}", s"${bits / bands}",
+        s"${1L << (bits / bands)}", "",
+        bandsMaxExpr = s"${bands - 1}", maxHamming = 1)
     },
     // same replay shape as q261, at the geometry the BUDGET advisor
     // resolves for the stated design size — the advisor runs at

@@ -108,24 +108,31 @@ object FeatureQueries {
         minSupport = 3, minPair = 2, maxPerBasket = 64, k = 50)),
 
     // RFM segmentation: per-user recency/frequency/monetary quartiles
-    // (ntile with full user_id tie-breaks), graded as per-segment
-    // population + monetary mass.
+    // (ntile SEMANTICS with full user_id tie-breaks), graded as
+    // per-segment population + monetary mass. Quartiles via
+    // Ranking.globalNtile — three boundary-selection passes over the
+    // persisted per-user frame, assignment map-side against 3x3
+    // broadcast boundary tuples. The previous form ran three
+    // partition-less ntile windows, i.e. three single-task sorts of
+    // the whole user population.
     "q188_rfm" -> ((s, dir) => {
       val e = Q.events(s, dir).filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").cast("date").as("day"),
           Q.cents(col("value")).as("cents"))
       val maxd = e.agg(max(col("day")).as("maxd"))
-      val per = e.groupBy(col("user_id"))
+      val per = graft.GraftCache.registered(e.groupBy(col("user_id"))
         .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
           sum(col("cents")).as("m_cents"))
         .crossJoin(broadcast(maxd))
         .select(col("user_id"), datediff(col("maxd"), col("last_day")).as("r_days"),
-          col("f"), col("m_cents"))
-      import org.apache.spark.sql.expressions.Window
-      val q = per.select(col("user_id"), col("f"), col("m_cents"),
-        ntile(4).over(Window.orderBy(col("r_days"), col("user_id"))).as("r_q"),
-        ntile(4).over(Window.orderBy(col("f"), col("user_id"))).as("f_q"),
-        ntile(4).over(Window.orderBy(col("m_cents"), col("user_id"))).as("m_q"))
+          col("f"), col("m_cents")))
+      import graft.operators.Ranking
+      val q = Ranking.globalNtile(
+        Ranking.globalNtile(
+          Ranking.globalNtile(per,
+            Seq(Ranking.Key(col("r_days")), Ranking.Key(col("user_id"))), 4, "r_q"),
+          Seq(Ranking.Key(col("f")), Ranking.Key(col("user_id"))), 4, "f_q"),
+        Seq(Ranking.Key(col("m_cents")), Ranking.Key(col("user_id"))), 4, "m_q")
       q.groupBy(col("r_q"), col("f_q"), col("m_q"))
         .agg(count(lit(1)).cast("int").as("n_users"),
           sum(col("m_cents")).as("sum_cents"))
@@ -275,12 +282,16 @@ object FeatureQueries {
     // "how concentrated is this corpus/revenue on few contributors"
     // audit. Rank-formula numerator exact in integers; one double
     // division round-6.
+    // Rank via Ranking.globalRankCumsum (range-partitioned two-pass
+    // prefix) — the old row_number window had no partition spec, a
+    // single-task sort of every user.
     "q197_gini" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Ranking
       val per = Q.events(s, dir).filter(col("event_type") === "purchase")
         .groupBy(col("user_id")).agg(sum(Q.cents(col("value"))).as("x"))
-      val ranked = per.select(col("x"),
-        row_number().over(Window.orderBy(col("x"), col("user_id"))).as("rk"))
+      val ranked = Ranking.globalRankCumsum(per,
+          Seq(Ranking.Key(col("x")), Ranking.Key(col("user_id"))), "rk")
+        .select(col("x"), col("rk"))
       ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(col("rk") * col("x")).as("srx"))
         .select(col("n"), col("sx"),
@@ -292,18 +303,20 @@ object FeatureQueries {
     // lang='en', cut into score deciles — per-bin observed positive
     // rate in exact integer micro. The reliability-diagram readout
     // beside q184's AUC.
+    // Deciles via Ranking.globalNtile over the persisted scored frame
+    // (9 broadcast boundary tuples, map-side assignment) — the old
+    // ntile window moved every scored doc to one task.
     "q198_calibration" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Ranking
       val docs = t(s, dir, "documents")
-      val scored = docs
+      val scored = graft.GraftCache.registered(docs
         .join(TextFunctions.tokenAggregates(docs, "doc_id", "text"), Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           round(TextFunctions.qualityFromScores(col("text")) * 1000000).cast("long")
             .as("score_micro"),
-          (col("lang") === "en").cast("long").as("y"))
-      scored
-        .withColumn("decile",
-          ntile(10).over(Window.orderBy(col("score_micro"), col("doc_id"))))
+          (col("lang") === "en").cast("long").as("y")))
+      Ranking.globalNtile(scored,
+          Seq(Ranking.Key(col("score_micro")), Ranking.Key(col("doc_id"))), 10, "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
           sum(col("score_micro")).as("ssum"))
@@ -713,14 +726,19 @@ object FeatureQueries {
     // 10/20/50 percent of users — the "how top-heavy is this corpus"
     // readout beside q197's single-number Gini. One ranked window over
     // per-user aggregates + a 3-row percent spine join.
+    // Rank + running revenue share via Ranking.globalRankCumsum — one
+    // range shuffle, exact LONG prefix sums from broadcast partition
+    // offsets. The old form stacked TWO partition-less windows
+    // (row_number, then a running sum over it): the whole user
+    // population through one task, twice.
     "q212_pareto" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Ranking
       val per = Q.events(s, dir).filter(col("event_type") === "purchase")
         .groupBy(col("user_id")).agg(sum(Q.cents(col("value"))).as("x"))
-      val ranked = per.select(col("x"),
-        row_number().over(Window.orderBy(col("x").desc, col("user_id"))).as("rk"))
-        .withColumn("cum", sum(col("x")).over(
-          Window.orderBy(col("rk")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ranked = Ranking.globalRankCumsum(per,
+          Seq(Ranking.Key(col("x"), asc = false), Ranking.Key(col("user_id"))),
+          "rk", cumsumOf = Some("x"), cumCol = "cum")
+        .select(col("x"), col("rk"), col("cum"))
       val tot = broadcast(per.agg(count(lit(1)).as("nu"), sum(col("x")).as("tx")))
       val spine = s.range(1).select(explode(array(lit(10), lit(20), lit(50))).as("pct"))
       spine.crossJoin(tot)

@@ -318,6 +318,11 @@ object EventStream {
         graft.operators.Dedup
           .dedupAgainstIndex(batch, "doc_id", "text", indexPath, threshold)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        // the probe registers a persisted signature frame per batch; a
+        // long-running stream must return that storage every batch or
+        // persisted blocks grow without bound (GraftCache's documented
+        // release-after-terminal-action discipline)
+        graft.GraftCache.releaseAll()
       }
 
   /** [[incrementalDedupStream]] against a CONTRACT index: the probe
@@ -328,18 +333,25 @@ object EventStream {
     * legacy path leaves to caller discipline (every batch signed at a
     * mismatched k cohabits NO band and every near-dup is "kept").
     * Same foreachBatch/idempotent-sink harness; refuses an index
-    * without geometry metadata at the first micro-batch.
+    * without geometry metadata AT STREAM CONSTRUCTION (the `_geometry/`
+    * read happens once, here — not per micro-batch), and releases the
+    * per-batch signature persist every batch so a long-running stream's
+    * cached blocks stay bounded.
     */
   def incrementalDedupContractStream(newDocs: DataFrame, indexPath: String,
       outPath: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val geometry = graft.operators.Dedup
+      .readDedupIndexGeometry(newDocs.sparkSession, indexPath)
     newDocs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Dedup
-          .dedupAgainstIndexContract(batch, "doc_id", "text", indexPath)
+          .dedupAgainstIndexContract(batch, "doc_id", "text", indexPath, geometry)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        graft.GraftCache.releaseAll()
       }
+  }
 
   /** Streaming CDC into a [[graft.operators.Versioned]] table: each
     * micro-batch upserts by `key` as one new committed snapshot, so a

@@ -109,4 +109,35 @@ class ExamplesSpec extends SparkSpec {
     assert(best.values.sum >= std.values.sum - 1e-9)
     graft.GraftCache.releaseAll()
   }
+
+  test("refresh commits base + kept batch rows, and REFUSES a legacy geometry-less index") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Versioned}
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "completely different corpus content in this document here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "The  quick brown fox jumps over the lazy dog tonight"), // exact dup after normalization
+      (12L, "entirely fresh material nothing like the indexed corpus att all")
+    ).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_refresh_spec").toString
+    Versioned.commit(s"$base/table", corpus)
+    Dedup.writeDedupIndexContract(corpus, "doc_id", "text", s"$base/idx")
+    val v = graft.examples.CorpusPipeline.refresh(spark, s"$base/table", s"$base/idx", batch)
+    assert(v === 1L)
+    assert(Versioned.read(spark, s"$base/table").select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(0L, 1L, 12L))
+    // the refresh COMPOSITION must refuse a legacy caller-trusted-
+    // geometry index (no _geometry/) — probing it at a guessed width
+    // is the silent-recall-loss hazard the contract closes — and the
+    // refused refresh must leave no new committed version behind
+    Dedup.writeDedupIndex(corpus, "doc_id", "text", s"$base/idx_legacy")
+    intercept[Exception] {
+      graft.examples.CorpusPipeline.refresh(spark, s"$base/table", s"$base/idx_legacy", batch)
+    }
+    assert(Versioned.latestVersion(s"$base/table") === Some(1L))
+    graft.GraftCache.releaseAll()
+  }
 }

@@ -438,6 +438,23 @@ class OperatorsSpec extends SparkSpec {
     assert(kernel.exceptAll(tree).isEmpty && tree.exceptAll(kernel).isEmpty)
   }
 
+  test("HyperplaneBuckets canonicalizes across separately tabulated weight arrays") {
+    // a raw Array field would give reference equality — two frames
+    // built from independently computed (but equal) plane matrices
+    // would never sameResult-match, silently defeating subexpression
+    // elimination and cache reuse
+    import org.apache.spark.sql.GraftBridge
+    val w1 = Array.tabulate(2 * 3 * 4)(i => Similarity.planeWeightLocal(i / 4, i % 4))
+    val w2 = Array.tabulate(2 * 3 * 4)(i => Similarity.planeWeightLocal(i / 4, i % 4))
+    assert(!(w1 eq w2))
+    // same child (col() nodes carry per-call Origins; in a real plan
+    // the children are resolved attributes) — only the weights differ
+    val ec = col("e")
+    val a = GraftBridge.expression(graft.plans.HyperplaneBuckets.buckets(ec, w1, 4, 3, 2))
+    val b = GraftBridge.expression(graft.plans.HyperplaneBuckets.buckets(ec, w2, 4, 3, 2))
+    assert(a == b && a.hashCode == b.hashCode && a.semanticEquals(b))
+  }
+
   test("minhashGeometryForBudget: rows tighten with corpus size, contract holds, frontier beats sign-bit LSH") {
     import graft.operators.Dedup
     val geoms = Seq(10000L, 1000000L, 1000000000L).map { n =>
@@ -486,6 +503,41 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("false candidates") ||
       err.getMessage.contains("unreachable"))
+  }
+
+  test("simhashGeometryForBudget: width tightens with n, exact decision, word-size frontier") {
+    import graft.operators.Dedup
+    // bands are pinned by the radius (pigeonhole completeness); the
+    // band WIDTH must tighten as the design corpus grows
+    val geoms = Seq(10000L, 1000000L, 1000000000L).map { n =>
+      val (bits, bands) = Dedup.simhashGeometryForBudget(n, maxHamming = 1)
+      assert(bands === 2 && bits % bands === 0 && bits <= 63)
+      // the resolved geometry meets its own budget: bands·(1/2)^h·n <= 2·64
+      val h = bits / bands
+      assert(BigInt(bands) * BigInt(500000).pow(h) * BigInt(n) <=
+        BigInt(2 * 64) * BigInt(1000000).pow(h))
+      bits
+    }
+    assert(geoms === geoms.sorted && geoms.head < geoms.last,
+      s"band width must tighten with design n, got $geoms")
+    // q271's design point and the n = 1e9 radius-1 resolution, pinned
+    // so the graded oracle's constants cannot drift silently
+    assert(Dedup.simhashGeometryForBudget(1000000L, 1) === ((28, 2)))
+    assert(Dedup.simhashGeometryForBudget(1000000000L, 1) === ((48, 2)))
+    // THE FRONTIER: radius >= 2 at n = 1e9 cannot fit a signed long —
+    // 3 bands cap band width at 21 bits, fp >= 3·2^-21 ≈ 1430/row.
+    // MinHash resolves the same scale (q270); SimHash must refuse.
+    val err = intercept[IllegalArgumentException] {
+      Dedup.simhashGeometryForBudget(1000000000L, maxHamming = 2)
+    }
+    assert(err.getMessage.contains("word-size frontier"))
+    // biased bits (measured per-bit agreement > 1/2) tighten or refuse,
+    // never loosen: at pAgree = 0.75 the same radius-1 1e9 contract
+    // needs more than the 31-bit cap — refuse
+    val err2 = intercept[IllegalArgumentException] {
+      Dedup.simhashGeometryForBudget(1000000000L, 1, pAgreeMicro = 750000L)
+    }
+    assert(err2.getMessage.contains("word-size frontier"))
   }
 
   test("semanticCellRecallAudit: monotone curve, exact 1e6 at depth = cells, constant truth mass") {

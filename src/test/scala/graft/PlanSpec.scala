@@ -695,4 +695,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     graft.GraftCache.releaseAll()
   }
+
+  test("no corpus-sized partition-less WindowExec in the global rank/ntile queries") {
+    // q140/q188/q197/q198/q212 rank or ntile a frame proportional to
+    // corpus size; since round 13 they run through Ranking.globalNtile
+    // / globalRankCumsum (broadcast order-statistic boundaries, range-
+    // partitioned two-pass prefix sums). A Window.orderBy with no
+    // partitionBy over those frames would move the whole corpus to ONE
+    // task — the driver's bench tail used to log 'WindowExec: No
+    // Partition Defined' for every one of them.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    for (name <- Seq("q140_ccnet_buckets", "q188_rfm", "q197_gini",
+        "q198_calibration", "q212_pareto")) {
+      val df = q(name)
+      def scan(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+        p.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+          case a: AdaptiveSparkPlanExec => scan(a.inputPlan)
+        }.flatten
+      val bad = scan(df.queryExecution.executedPlan)
+      assert(bad.isEmpty, s"$name plans a partition-less WindowExec:\n" +
+        df.queryExecution.executedPlan.toString.take(1500))
+      graft.GraftCache.releaseAll()
+    }
+  }
 }

@@ -269,6 +269,7 @@ class StreamingSpec extends SparkSpec {
     graft.operators.Dedup.writeDedupIndexContract(corpus, "doc_id", "text", s"$base/idx")
 
     val input = MemoryStream[EventStream.StreamDoc]
+    val pendingBefore = graft.GraftCache.pendingCount
     val q = EventStream.incrementalDedupContractStream(
       input.toDF(), s"$base/idx", s"$base/out").start()
     input.addData(
@@ -279,6 +280,10 @@ class StreamingSpec extends SparkSpec {
       EventStream.StreamDoc(12L, corpusText + " again tonight", ts(12)),
       EventStream.StreamDoc(13L, "one more brand new document with its own words", ts(13)))
     q.processAllAvailable(); q.stop()
+    // a long-running stream must return its per-batch signature
+    // persists: the registry may not have GROWN across the batches
+    assert(graft.GraftCache.pendingCount <= pendingBefore,
+      s"stream grew the persist registry: $pendingBefore -> ${graft.GraftCache.pendingCount}")
 
     val streamed = spark.read.parquet(s"$base/out")
       .select("doc_id", "verdict").as[(Long, String)].collect().toMap
@@ -295,17 +300,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(12L) === "near_dup")
     assert(streamed(11L) === "kept" && streamed(13L) === "kept")
 
-    // a legacy index (no _geometry/) must refuse at the first batch,
+    // a legacy index (no _geometry/) must refuse AT STREAM
+    // CONSTRUCTION (the geometry is read once, not per micro-batch),
     // not silently probe at a guessed width
     graft.operators.Dedup.writeDedupIndex(corpus, "doc_id", "text", s"$base/legacy")
     val input2 = MemoryStream[EventStream.StreamDoc]
-    val q2 = EventStream.incrementalDedupContractStream(
-      input2.toDF(), s"$base/legacy", s"$base/out2").start()
-    input2.addData(EventStream.StreamDoc(20L, corpusText, ts(20)))
-    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q2.processAllAvailable()
+    val err = intercept[Exception] {
+      EventStream.incrementalDedupContractStream(
+        input2.toDF(), s"$base/legacy", s"$base/out2")
     }
-    q2.stop()
     assert(err.getMessage.contains("_geometry") ||
       Option(err.getCause).exists(_.getMessage.contains("_geometry")))
   }
