@@ -134,6 +134,11 @@ object ScaleSoak {
     // budget bound is ~2000x slack, so the rung measures the fixed
     // k = 312 signature cost, which is the linear term that matters
     "q270_minhash_budget_pairs",
+    // q271 runs its n = 1e6 design geometry; x100 (~500k docs) sits
+    // just under the design size, so the rung measures the contract
+    // at (half) the scale it was stated for — radius-complete recall
+    // is n-independent, candidate volume is the budgeted linear term
+    "q271_simhash_budget_pairs",
     // event-sequence family (events replicated as disjoint user
     // populations on the same calendar)
     "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",
