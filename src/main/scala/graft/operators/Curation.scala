@@ -789,18 +789,20 @@ object Curation {
         max(col("avg_logprob")).as("max_lp"))
   }
 
-  /** The PRODUCTION shape of [[ccnetBuckets]]: tertile THRESHOLDS
-    * from one exact-percentile aggregate (broadcast back — no global
-    * sort, no single-partition window), then a value comparison per
-    * doc. VALUE semantics, not rank semantics: with distinct scores
-    * the two forms agree up to at most one doc per boundary
-    * (interpolated-threshold placement — pinned in ScaleOpsSpec);
-    * TIED scores all land in one bucket here where ntile splits them
-    * by rank. That divergence under ties is why the GATE grades the
-    * ntile form: exact rank semantics replay in SQL, interpolated
-    * thresholds compared in doubles do not. At corpus scale swap
-    * `percentile` for `percentile_approx` and the whole pass is two
-    * scans and kilobytes of state.
+  /** The VALUE-SEMANTICS alternative to [[ccnetBuckets]]: tertile
+    * THRESHOLDS from one exact-percentile aggregate (broadcast back),
+    * then a value comparison per doc. Since round 13 the graded form
+    * is scale-safe too (order-statistic boundaries via
+    * [[graft.operators.Ranking.globalNtile]] — exact RANK semantics,
+    * no single-partition window), so the remaining trade is pure
+    * semantics + cost: with distinct scores the two forms agree up to
+    * at most one doc per boundary (interpolated-threshold placement —
+    * pinned in ScaleOpsSpec); TIED scores all land in one bucket here
+    * where ntile splits them by rank. Rank semantics replay exactly
+    * in SQL (why the gate grades ntile); this form is one aggregate
+    * cheaper, and at corpus scale `percentile_approx` makes the whole
+    * pass two scans and kilobytes of state where the rank form still
+    * pays a range shuffle of the skinny key projection.
     */
   def ccnetBucketsByThreshold(docs: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.7): DataFrame = {
