@@ -119,9 +119,22 @@ object Ranking {
     * rank and short-circuits after the last one.
     */
   private def selectRanks(sorted: DataFrame, ranksFor: Long => Seq[Long]): (Long, Map[Long, Row]) = {
-    val counts = sorted.rdd
-      .mapPartitionsWithIndex { (pid, it) => Iterator((pid, it.size.toLong)) }
-      .collect().sortBy(_._1).map(_._2)
+    // `sorted` is the skinny key-only projection, so anyNull here means
+    // a NULL SORT KEY — the comparison-based bucket assignment would
+    // silently undercount (null > x is null, never true), so refuse
+    // loudly instead. Costs nothing: same scan as the size pass.
+    val stats = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var cnt = 0L; var nulls = 0L
+        it.foreach { r => cnt += 1; if (r.anyNull) nulls += 1 }
+        Iterator((pid, cnt, nulls))
+      }
+      .collect().sortBy(_._1)
+    require(stats.map(_._3).sum == 0L,
+      s"globalNtile: ${stats.map(_._3).sum} rows have a NULL sort key — the strict " +
+        "total-order contract requires non-null keys (coalesce them, or filter nulls " +
+        "into their own bucket first)")
+    val counts = stats.map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val n = if (offsets.isEmpty) 0L else offsets.last
     val ranks = ranksFor(n).distinct.filter(r => r >= 1 && r <= n)
@@ -143,6 +156,54 @@ object Ranking {
       }
     }.collect()
     (n, found.toMap)
+  }
+
+  /** Exact (count, total, running-sum-at-rank) for SELECTED global
+    * ranks — the point lookup [[globalRankCumsum]] generalizes: when a
+    * query needs the running sum only at a handful of ranks (Pareto
+    * top-p% readouts, percentile cut masses), materializing the full
+    * ranked frame is O(n) wasted work. Same range-sorted frame and
+    * per-partition (count, sum) offsets; each requested rank then
+    * costs a scan of ONE partition up to its local position (early-
+    * terminated), so total extra work is bounded by partition size,
+    * not corpus size. `valueCol` must be LONG (exact prefix sums).
+    * `ranksFor(n)` maps the discovered total count to the wanted
+    * 1-based ranks; out-of-range ranks are ignored.
+    */
+  def cumsumAtRanks(df: DataFrame, keys: Seq[Key], valueCol: String,
+      ranksFor: Long => Seq[Long]): (Long, Long, Map[Long, Long]) = {
+    val sorted = sortedWithKeys(df, keys)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(vIdx).dataType == LongType,
+      s"cumsumAtRanks: running sums are LONG-only for exactness; '$valueCol' is ${sorted.schema(vIdx).dataType}")
+    val stats = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cnt = 0L; var s = 0L
+      it.foreach { r => cnt += 1; s += r.getLong(vIdx) }
+      Iterator((pid, cnt, s))
+    }.collect().sortBy(_._1)
+    val rankOff = stats.map(_._2).scanLeft(0L)(_ + _)
+    val sumOff = stats.map(_._3).scanLeft(0L)(_ + _)
+    val n = if (rankOff.isEmpty) 0L else rankOff.last
+    val total = if (sumOff.isEmpty) 0L else sumOff.last
+    val ranks = ranksFor(n).distinct.filter(r => r >= 1 && r <= n)
+    if (ranks.isEmpty) return (n, total, Map.empty)
+    val byPart: Map[Int, Set[Long]] = ranks
+      .groupBy(r => rankOff.lastIndexWhere(_ < r))
+      .map { case (p, rs) => (p, rs.toSet) }
+    val found = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      byPart.get(pid) match {
+        case None => Iterator.empty
+        case Some(rs) =>
+          val off = rankOff(pid)
+          var c = sumOff(pid)
+          val last = rs.max
+          it.zipWithIndex
+            .map { case (row, i) => c += row.getLong(vIdx); (off + i + 1, c) }
+            .takeWhile(_._1 <= last)
+            .filter { case (g, _) => rs.contains(g) }
+      }
+    }.collect()
+    (n, total, found.toMap)
   }
 
   /** Exact global `row_number()` (1-based LONG `rankCol`) over the

@@ -726,27 +726,29 @@ object FeatureQueries {
     // 10/20/50 percent of users — the "how top-heavy is this corpus"
     // readout beside q197's single-number Gini. One ranked window over
     // per-user aggregates + a 3-row percent spine join.
-    // Rank + running revenue share via Ranking.globalRankCumsum — one
-    // range shuffle, exact LONG prefix sums from broadcast partition
-    // offsets. The old form stacked TWO partition-less windows
-    // (row_number, then a running sum over it): the whole user
-    // population through one task, twice.
+    // Running revenue share via Ranking.cumsumAtRanks: the query only
+    // reads the cumulative sum AT THREE ranks (top 10/20/50% cuts), so
+    // the full ranked frame is never materialized — one range shuffle
+    // of the per-user frame, per-partition (count, sum) offsets, then
+    // one early-terminated scan of the single partition holding each
+    // cut. The old form stacked TWO partition-less windows (row_number,
+    // then a running sum over it): the whole user population through
+    // one task, twice.
     "q212_pareto" -> ((s, dir) => {
       import graft.operators.Ranking
       val per = Q.events(s, dir).filter(col("event_type") === "purchase")
         .groupBy(col("user_id")).agg(sum(Q.cents(col("value"))).as("x"))
-      val ranked = Ranking.globalRankCumsum(per,
-          Seq(Ranking.Key(col("x"), asc = false), Ranking.Key(col("user_id"))),
-          "rk", cumsumOf = Some("x"), cumCol = "cum")
-        .select(col("x"), col("rk"), col("cum"))
-      val tot = broadcast(per.agg(count(lit(1)).as("nu"), sum(col("x")).as("tx")))
-      val spine = s.range(1).select(explode(array(lit(10), lit(20), lit(50))).as("pct"))
-      spine.crossJoin(tot)
-        .select(col("pct"), expr("greatest(1, (nu * pct) div 100)").as("k"),
-          col("nu"), col("tx"))
-        .join(ranked.select(col("rk"), col("cum")), col("k") === col("rk"))
-        .select(col("pct"), col("k").as("k_users"), col("cum").as("cum_cents"),
-          expr("(cum * 1000000) div tx").as("share_micro"))
+      val pcts = Seq(10L, 20L, 50L)
+      def kFor(nu: Long)(pct: Long): Long = math.max(1L, nu * pct / 100)
+      val (nu, tx, cums) = Ranking.cumsumAtRanks(per,
+        Seq(Ranking.Key(col("x"), asc = false), Ranking.Key(col("user_id"))),
+        "x", n => pcts.map(kFor(n)))
+      import s.implicits._
+      pcts.filter(_ => nu > 0).map { pct =>
+        val k = kFor(nu)(pct)
+        val cum = cums(k)
+        (pct.toInt, k, cum, cum * 1000000L / tx)
+      }.toDF("pct", "k_users", "cum_cents", "share_micro")
         .orderBy(col("pct"))
     }),
 

@@ -80,6 +80,31 @@ class RankingSpec extends SparkSpec {
     assert(got.filter(col("rk") =!= col("id") + 1).count() === 0)
   }
 
+  test("cumsumAtRanks == full running sum read at the selected ranks") {
+    val keys = Seq(Key(col("v"), asc = false), Key(col("id")))
+    val full = Ranking.globalRankCumsum(tied, keys, "rk",
+      cumsumOf = Some("v"), cumCol = "cum")
+      .select("rk", "cum").as[(Long, Long)].collect().toMap
+    val (n, total, at) = Ranking.cumsumAtRanks(tied, keys, "v",
+      n => Seq(1L, 7L, 23L, n, n + 5 /* ignored */, -2L /* ignored */))
+    assert(n === 40L)
+    assert(total === (0L until 40L).map(i => i * 13 % 7).sum)
+    assert(at.keySet === Set(1L, 7L, 23L, 40L))
+    at.foreach { case (r, c) => assert(c === full(r), s"rank $r") }
+    assert(at(40L) === total)
+    // empty frame: totals zero, no ranks served
+    val (n0, t0, a0) = Ranking.cumsumAtRanks(tied.filter(col("id") < 0), keys, "v", _ => Seq(1L))
+    assert(n0 === 0L && t0 === 0L && a0.isEmpty)
+  }
+
+  test("globalNtile refuses NULL sort keys instead of silently undercounting buckets") {
+    val d = Seq((Some(1L), 1L), (None, 2L), (Some(3L), 3L)).toDF("v", "id")
+    val e = intercept[IllegalArgumentException] {
+      Ranking.globalNtile(d, Seq(Key(col("v")), Key(col("id"))), 2, "b").collect()
+    }
+    assert(e.getMessage.contains("NULL sort key"))
+  }
+
   test("globalRankCumsum refuses non-LONG running-sum columns") {
     val d = Seq((1L, 1.5)).toDF("id", "x")
     val e = intercept[IllegalArgumentException] {
