@@ -290,10 +290,19 @@ object Features {
     * standard KM presentation.
     */
   def kaplanMeier(subjects: DataFrame, t: Column, ev: Column): DataFrame = {
-    val g = subjects.select(t.cast("long").as("t"), ev.cast("int").as("ev"))
-      .groupBy(col("t"))
-      .agg(sum(col("ev")).cast("long").as("d"),
-        sum(lit(1) - col("ev")).cast("long").as("c"))
+    // the ordered window below runs over the distinct-time frame —
+    // bounded only if the caller's time granularity is coarse (days,
+    // not epoch-seconds). Same discipline as aucExact/ksTest: refuse
+    // loudly instead of planning a corpus-sized single-task window,
+    // and register BEFORE the guard count so the corpus scan+aggregate
+    // materializes once (unpersisted, the guard doubled the q193
+    // x1000 rung: 8.6 -> 20.0 s — measured, then fixed).
+    val g = graft.GraftCache.registered(
+      subjects.select(t.cast("long").as("t"), ev.cast("int").as("ev"))
+        .groupBy(col("t"))
+        .agg(sum(col("ev")).cast("long").as("d"),
+          sum(lit(1) - col("ev")).cast("long").as("c")))
+    requireBoundedDistinct(g, "kaplanMeier's distinct-time frame")
     val total = broadcast(g.agg(sum(col("d") + col("c")).as("n_total")))
     val w = Window.orderBy(col("t"))
     val left = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)

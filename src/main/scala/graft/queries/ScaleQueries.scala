@@ -827,15 +827,18 @@ object ScaleQueries {
     // exact micro units -> ntile(10) with full tie-break -> per-decile
     // population/mass/bounds. The BI segmentation staple; the window
     // ranks USERS (corpus-count-of-users rows, not events).
+    // Deciles via Ranking.globalNtile (broadcast order-statistic
+    // boundaries, map-side assignment) — this was the SIXTH
+    // corpus-sized partition-less ntile window, found by a multiline
+    // sweep after the r12 verdict's five were fixed.
     "q178_ltv_deciles" -> ((s, dir) => {
-      val perUser = t(s, dir, "events")
+      import graft.operators.Ranking
+      val perUser = graft.GraftCache.registered(t(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
-        .agg(sum(round(col("value") * 1e6).cast("long")).as("ltv_micro"))
-      perUser
-        .withColumn("decile", ntile(10).over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("ltv_micro"), col("user_id"))))
+        .agg(sum(round(col("value") * 1e6).cast("long")).as("ltv_micro")))
+      Ranking.globalNtile(perUser,
+          Seq(Ranking.Key(col("ltv_micro")), Ranking.Key(col("user_id"))), 10, "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).cast("int").as("n_users"),
           sum(col("ltv_micro")).as("sum_micro"),

@@ -707,7 +707,7 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     for (name <- Seq("q140_ccnet_buckets", "q188_rfm", "q197_gini",
-        "q198_calibration", "q212_pareto")) {
+        "q198_calibration", "q212_pareto", "q178_ltv_deciles")) {
       val df = q(name)
       def scan(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
         p.collect {
