@@ -545,10 +545,14 @@ object Dedup {
         "derive (bits, bands) from simhashGeometryFor(maxHamming, n)")
     val bandBits = bits / bands
     val sh = graft.GraftCache.registered(simhash(docs, idCol, textCol, bits))
-    val banded = (0 until bands).map { b =>
-      sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-        expr(s"(simhash >> ${b * bandBits}) % ${1L << bandBits}").as("band_key"))
-    }.reduce(_.union(_))
+    // posexplode over bands, not a bands-way union of per-band selects:
+    // same rationale (and measured lesson) as [[bandKeys]] — one scan
+    // of the cached signature frame emits every (band, band_key) and
+    // the partition count stays flat, where the union form multiplies
+    // task count by `bands` on both self-join sides for no work.
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        expr(s"(simhash >> ${b * bandBits}) % ${1L << bandBits}")): _*)).as(Seq("band", "band_key")))
     requireBoundedBlocks(banded, Seq(col("band"), col("band_key")),
       s"a wider simhash (bits > $bits: buckets/band = 2^(bits/$bands), currently ${1L << bandBits})")
     banded.as("l").join(banded.as("r"),

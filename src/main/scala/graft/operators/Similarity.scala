@@ -430,12 +430,17 @@ object Similarity {
     require(dim % 8 == 0, s"dim must be divisible by 8 (the blend ladder), got $dim")
     val anchor = array((0 until dim).map(d => lit(anchorWeightLocal(d))): _*)
     val base = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
-    val units = (0 until 8).map { j =>
-      val cut = j * dim / 8
-      base.select(col("vec_id"), lit(j).as("rung"),
+    // posexplode over the 8 rung arrays, not an 8-way union of
+    // per-rung selects: one scan of the embedding frame builds every
+    // blend unit (pos = rung, matching the union form's lit(j)) and
+    // partition count stays flat — same measured lesson as
+    // [[graft.operators.Dedup.bandKeys]].
+    val units = base.select(col("vec_id"),
+      posexplode(array((0 until 8).map { j =>
+        val cut = j * dim / 8
         transform(col("e"), (x, i) =>
-          when(i < cut, element_at(anchor, i + 1)).otherwise(x)).as("u"))
-    }.reduce(_.union(_))
+          when(i < cut, element_at(anchor, i + 1)).otherwise(x))
+      }: _*)).as(Seq("rung", "u")))
     // HyperplaneBuckets kernel, not an array of lshBucketAt trees —
     // same 64 KB-codegen rationale as nearDupByLshMulti (an audit must
     // stay cheap at any geometry it is asked to measure)
