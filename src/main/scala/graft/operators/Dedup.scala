@@ -177,6 +177,20 @@ object Dedup {
   def minhashCandidates(sigs: DataFrame, k: Int = 8, bands: Int = 2): DataFrame = {
     val minBands = sigs.sparkSession.conf
       .get("graft.dedup.bandCacheMinBands", "8").toInt
+    // The narrow branch deliberately does NOT pin a shuffle join the
+    // way [[simhashPairs]] does. The simhash trap (Generate's size
+    // estimate is its child's, so a huge banded frame can still plan
+    // as a broadcast self-join with no exchange) does not transfer:
+    // simhash band keys live in a FIXED 2^h keyspace, so buckets grow
+    // linearly with corpus size and within-bucket pairs quadratically —
+    // a mis-planned broadcast join concentrates saturating work on few
+    // partitions. MinHash band keys are open-ended hash strings;
+    // bucket population tracks duplicate-cluster size, not corpus
+    // size, and the 72B/row signature frame crosses the broadcast
+    // threshold (→ planned exchanges + ReusedExchange) long before
+    // candidate volume is large. Measured: forcing merge here costs
+    // the narrow family 1.6x at sf0.1 (6.06 → 9.41 s over
+    // q51/q67/q72/q115) for no x100 change.
     val banded =
       if (bands >= minBands)
         graft.GraftCache.registered(
@@ -550,9 +564,26 @@ object Dedup {
     // of the cached signature frame emits every (band, band_key) and
     // the partition count stays flat, where the union form multiplies
     // task count by `bands` on both self-join sides for no work.
+    // posexplode over bands, not a bands-way union of per-band selects
+    // (one scan of the cached signature frame, flat partition count —
+    // the [[bandKeys]] lesson). TRAP that comes with it: Catalyst's
+    // size estimate for a Generate node is its CHILD's size — the
+    // bands-times fan-out is invisible to stats — so past the corpus
+    // size where the banded frame still *looks* broadcastable the
+    // planner picks a broadcast self-join with no exchange, and the
+    // quadratic within-bucket expansion runs on the cached frame's few
+    // AQE-coalesced partitions: a single-task straggler exactly where
+    // the work explodes (measured at the x100 soak tier: 118.7 s vs
+    // 7.4 s). The shuffle_hash hint pins the exchange on (band,
+    // band_key): both sides are the identical subtree, so one shuffle
+    // is planned and reused, and the expansion runs at full shuffle
+    // parallelism at any scale (merge over shuffle_hash: measured
+    // 7.5 s vs 10.6 s at x100 — the sort is cheap on 16-byte rows and
+    // SMJ streams the many-many groups instead of re-probing them).
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         expr(s"(simhash >> ${b * bandBits}) % ${1L << bandBits}")): _*)).as(Seq("band", "band_key")))
+      .hint("merge")
     requireBoundedBlocks(banded, Seq(col("band"), col("band_key")),
       s"a wider simhash (bits > $bits: buckets/band = 2^(bits/$bands), currently ${1L << bandBits})")
     banded.as("l").join(banded.as("r"),
