@@ -424,7 +424,15 @@ object ScaleSoak {
         (System.nanoTime() - t0) / 1e9
       }
       val cold = try run() catch { case e: Throwable => println(s"[soak] $name FAILED: $e"); -1.0 }
-      val warm = if (cold < 0) -1.0 else run()
+      var warm = if (cold < 0) -1.0 else run()
+      // Bench's inversion discipline, ported: a cached re-run slower
+      // than its own cold run means GC/eviction landed inside the
+      // measurement (seen on q256 at x100: warm 184 vs cold 127).
+      // Re-measure once after a GC and keep the minimum.
+      if (cold >= 0 && warm > cold) {
+        System.gc()
+        warm = math.min(warm, run())
+      }
       // release pipeline caches between queries so storage pressure
       // and cache hits don't leak across measurements
       GraftCache.releaseAll()

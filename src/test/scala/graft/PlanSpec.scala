@@ -103,6 +103,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"), p)
   }
 
+  test("simhash band self-join pins a shuffle join (Generate-stats trap)") {
+    // Catalyst sizes a Generate node by its CHILD — the bands-times
+    // fan-out is invisible — so the skinny banded frame can look
+    // broadcastable at exactly the corpus sizes where its FIXED-
+    // keyspace band buckets saturate, and a broadcast self-join would
+    // run the quadratic expansion on the upstream frame's few
+    // partitions (measured 16x at the x100 soak tier). The merge hint
+    // must survive planning: the band self-join is a SortMergeJoin
+    // with its exchange, never a broadcast join.
+    val p = plan(q("q69_simhash_pairs"))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("dedup pair queries never plan a corpus-wide cross product") {
     // every pair-producing query must join on a block/bucket/band key —
     // a CartesianProduct or nested-loop join over the corpus means the
