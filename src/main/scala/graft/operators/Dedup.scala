@@ -196,11 +196,16 @@ object Dedup {
         graft.GraftCache.registered(
           bandKeys(sigs, k, bands).repartition(col("band"), col("band_key")))
       else bandKeys(sigs, k, bands)
-    banded.as("l").join(banded.as("r"),
+    val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
+    // the distinct exists because a pair can cohabit SEVERAL bands; at
+    // bands == 1 (full-signature blocking, the q72 family) the join
+    // emits each pair exactly once and the distinct would shuffle the
+    // entire candidate set for nothing — at the x100 soak tier that
+    // set is ~16M rows
+    if (bands == 1) cand else cand.distinct()
   }
 
   /** Exact Jaccard over shingle sets for candidate pairs — the verify
