@@ -80,11 +80,16 @@ object Bench {
     // One cold + one warm measurement (with GC-retry on inversion) of a
     // single query, in its own session. Used by the main loop and by
     // the drift re-measurement pass below.
-    def measure(name: String): (Double, Double, Option[String]) = {
+    def measure(name: String): (Double, Double, Double, Option[String]) = {
       val fn = qfns(name)
       val sess = if (isolate) { System.gc(); spark.newSession() } else spark
       val (cold, coldErr) = timed(fn(sess, sfDir).count())
       var (warm, warmErr) = timed(fn(sess, sfDir).count())
+      // The FIRST warm measurement, before any GC-retry below — kept in
+      // the snapshot (queries_warm_raw) so the min-of-retries policy is
+      // auditable: inversion frequency across rounds is visible as
+      // warm_raw >> warm, instead of being silently absorbed by the min.
+      val warmRaw = warm
       // A cached re-run slower than its own cold run is physically
       // implausible — it means GC / storage-eviction / codegen-cache
       // interference landed inside the measurement. Re-measure after a
@@ -106,7 +111,7 @@ object Bench {
       // cold run's persisted frames (CacheManager plan-matching), same
       // as a real composed pipeline would.
       GraftCache.releaseAll()
-      (cold, warm, coldErr.orElse(warmErr))
+      (cold, warm, warmRaw, coldErr.orElse(warmErr))
     }
     // The COMMITTED snapshot (BENCH.json as it sits in the tree before
     // this run overwrites it) is the cross-run reference: a per-query
@@ -165,8 +170,8 @@ object Bench {
     val board = only.fold(SparkEntry.queries.toSeq)(sel =>
       SparkEntry.queries.filter(q => sel(q._1)).toSeq)
     val firstPass = board.sortBy(_._1).map { case (name, _) =>
-      val (cold, warm, err) = measure(name)
-      (name, cold, warm, err)
+      val (cold, warm, warmRaw, err) = measure(name)
+      (name, cold, warm, warmRaw, err)
     }
     chaosOn = false
     burners.foreach(_.join(1000))
@@ -192,7 +197,7 @@ object Bench {
     // sweep first produced a different one is signal about the
     // environment that round 6 lost (q67 read 19.1s with suspect=[]).
     val driftNames = scala.collection.mutable.ArrayBuffer[String]()
-    val results = firstPass.map { case r @ (name, cold, warm, err) =>
+    val results = firstPass.map { case r @ (name, cold, warm, warmRaw, err) =>
       snapshot.get(name) match {
         // 1.3x (was 2x): round-10 judging found four entries committed
         // at 1.3-2.1x their isolated value — end-of-sweep JVM state
@@ -205,14 +210,17 @@ object Bench {
           // snapshot, spend one more (state inflation is stochastic;
           // the min across attempts is the trustworthy floor)
           spark.sharedState.cacheManager.clearCache()
-          val (c2, w2, e2) = measure(name)
+          val (c2, w2, _, e2) = measure(name)
           val (c3, w3, e3) =
             if (e2.isEmpty && w2 > 1.3 * snap && w2 - snap > 0.5) {
-              System.gc(); measure(name)
+              System.gc(); val (c, w, _, e) = measure(name); (c, w, e)
             } else (c2, w2, e2)
+          // warmRaw stays the SWEEP's first warm value: the re-measured
+          // minimum repairs the headline, the raw value keeps the
+          // environment signal auditable.
           if (e2.isEmpty && e3.isEmpty)
-            (name, Seq(cold, c2, c3).min, Seq(warm, w2, w3).min, err)
-          else if (e2.isEmpty) (name, math.min(cold, c2), math.min(warm, w2), err)
+            (name, Seq(cold, c2, c3).min, Seq(warm, w2, w3).min, warmRaw, err)
+          else if (e2.isEmpty) (name, math.min(cold, c2), math.min(warm, w2), warmRaw, err)
           else r
         case _ => r
       }
@@ -222,46 +230,55 @@ object Bench {
     def short(k: String) = k.split("_")(0)
     val warmQs = fmt(results.map(r => r._1 -> r._3))
     val coldQs = fmt(results.map(r => r._1 -> r._2))
-    val errs = results.collect { case (n, _, _, Some(e)) => "\"" + n + "\":\"" + e + "\"" }
+    val warmRawQs = fmt(results.map(r => r._1 -> r._4))
+    val errs = results.collect { case (n, _, _, _, Some(e)) => "\"" + n + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     // Headline totals cover only the queries that RAN: an errored query
     // typically fails fast, and summing its tiny elapsed time would let
     // a breaking regression read as a speedup. n_errors flags the gap.
-    val ok = results.filter(_._4.isEmpty)
+    val ok = results.filter(_._5.isEmpty)
     val warmTotal = ok.map(_._3).sum
     val coldTotal = ok.map(_._2).sum
-    val nErrors = results.count(_._4.nonEmpty)
+    val nErrors = results.count(_._5.nonEmpty)
     // Per-query numbers whose warm run STILL exceeds 1.5x their own
     // cold run after the GC-retry above are measurement artifacts, not
     // plan costs — named here so nobody (including the judge) trusts
     // them individually.
-    val suspects = ok.collect { case (n, c, w, _) if w > 1.5 * c => "\"" + n + "\"" }
+    val suspects = ok.collect { case (n, c, w, _, _) if w > 1.5 * c => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val drift = driftNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val tail = s""""cold_total":$coldTotal,"errors":$errs,"n_errors":$nErrors,"suspect":$suspects,"drift":$drift,"snapshot_entries":${snapshot.size},"isolate":$isolate,"calib_1t_ms":$calib1t,"calib_nt_ms":$calibNt,"calib_cores":$nCores,"mode":"warm=min(steady-state runs; re-measured after GC on warm>cold inversion; re-measured isolated on >2x snapshot drift) over non-errored queries; cold=first-run incl. codegen compile; calib=fixed 200M-iter xorshift per thread, 1 thread vs all cores — divide query secs by calib ratio before cross-round compares","sf":"$sfDir""""
-    val json = s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$warmQs,"queries_cold":$coldQs,$tail}"""
-    // Full JSON goes to a file (stdout alone is fragile under sbt's log
-    // interleaving — the driver's tail capture truncated it mid-line two
-    // rounds running). Stdout gets a TRIMMED variant (no queries_cold,
-    // ~half the bytes) printed as the very last thing after spark.stop(),
-    // so sbt/Spark shutdown noise can't interleave and the driver's tail
-    // window has the best chance of holding the whole line.
+    val json = s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$warmQs,"queries_cold":$coldQs,"queries_warm_raw":$warmRawQs,$tail}"""
+    // Full JSON (full-precision values + warm_raw + errors) goes to a
+    // file; stdout gets the machine-readable line (totals + rounded
+    // per-query maps) printed as the very last thing after
+    // spark.stop(), so sbt/Spark shutdown noise can't interleave with
+    // the line the driver parses.
     if (only.isEmpty) // a subset run never overwrites the full snapshot
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     else // adjudication runs still need calib for cross-round compares
       println("[bench-only] " + json)
     spark.stop()
-    // The very last stdout line is TOTALS-ONLY: the driver's tail
-    // capture holds ~2000 bytes, and even the short-key per-query map
-    // grew past it at 248 queries ("parsed": null four rounds
-    // running). Totals + suspects + drift + calib is ~300 bytes and
-    // always fits; the full per-query map lives in BENCH.json.
+    // The very last stdout line is the machine-readable contract:
+    // totals + calibration PLUS the full per-query warm/cold maps
+    // ("per_query"/"per_query_cold", full query names, ms precision).
+    // The maps were added in round 14 — additions-only, every prior key
+    // kept byte-identical — because the driver's cross-round comparison
+    // and scaling table can only be built from per-query numbers in the
+    // parsed last line (PERF_r13 came back with n_common=0 and an empty
+    // scaling block with only a total here). The earlier four rounds of
+    // "parsed": null were sbt's [info] prefix (fixed in build.sbt via
+    // outputStrategy), NOT line length, so the full maps are safe to
+    // print; spark.stop() has already run so nothing can interleave.
     val warmTotal3 = math.rint(warmTotal * 1000) / 1000
     val coldTotal3 = math.rint(coldTotal * 1000) / 1000
-    val suspects3 = ok.collect { case (n, c, w, _) if w > 1.5 * c => "\"" + short(n) + "\"" }
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val suspects3 = ok.collect { case (n, c, w, _, _) if w > 1.5 * c => "\"" + short(n) + "\"" }
       .mkString("[", ",", "]")
     val drift3 = driftNames.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$warmTotal3,"unit":"sec","n_queries":${results.size},"cold_total":$coldTotal3,"n_errors":$nErrors,"suspect":$suspects3,"drift":$drift3,"snapshot_entries":${snapshot.size},"calib_1t_ms":$calib1t,"calib_nt_ms":$calibNt,"sf":"$sfDir"}""")
+    val perQ = fmt(results.map(r => r._1 -> r3(r._3)))
+    val perQCold = fmt(results.map(r => r._1 -> r3(r._2)))
+    println(s"""{"metric":"total","value":$warmTotal3,"unit":"sec","n_queries":${results.size},"cold_total":$coldTotal3,"n_errors":$nErrors,"suspect":$suspects3,"drift":$drift3,"snapshot_entries":${snapshot.size},"calib_1t_ms":$calib1t,"calib_nt_ms":$calibNt,"sf":"$sfDir","per_query":$perQ,"per_query_cold":$perQCold}""")
   }
 }

@@ -139,6 +139,12 @@ object ScaleSoak {
     // at (half) the scale it was stated for — radius-complete recall
     // is n-independent, candidate volume is the budgeted linear term
     "q271_simhash_budget_pairs",
+    // q272 is q260's pair semantics at q269's budget geometry — the
+    // x100 rung (~1.6M vectors ≈ its 1e6 design size) measures the
+    // linear-candidate contract exactly where q260's fraction
+    // admission was measured at 207.9 s; same design-size discipline
+    // as q269: do not run above x100
+    "q272_cosine_budget_multi",
     // event-sequence family (events replicated as disjoint user
     // populations on the same calendar)
     "q146_funnel", "q147_cohorts", "q150_transitions", "q151_attribution",
@@ -425,6 +431,11 @@ object ScaleSoak {
       }
       val cold = try run() catch { case e: Throwable => println(s"[soak] $name FAILED: $e"); -1.0 }
       var warm = if (cold < 0) -1.0 else run()
+      // The first warm value is kept in the row (queries_warm_first)
+      // so the min-of-retries policy below stays auditable: an
+      // inversion shows as warm_first >> warm instead of vanishing
+      // into the minimum.
+      val warmFirst = warm
       // Bench's inversion discipline, ported: a cached re-run slower
       // than its own cold run means GC/eviction landed inside the
       // measurement (seen on q256 at x100: warm 184 vs cold 127).
@@ -437,12 +448,19 @@ object ScaleSoak {
       // and cache hits don't leak across measurements
       GraftCache.releaseAll()
       println(f"[soak] $name%-28s cold=$cold%8.2f warm=$warm%8.2f")
-      (name, cold, warm)
+      (name, cold, warm, warmFirst)
     }
-    val qs = results.map { case (n, _, w) => "\"" + n + "\":" + w }.mkString("{", ",", "}")
+    val qs = results.map { case (n, _, w, _) => "\"" + n + "\":" + w }.mkString("{", ",", "}")
+    val wfQs = results.map { case (n, _, _, wf) => "\"" + n + "\":" + wf }.mkString("{", ",", "}")
     val total = results.filter(_._3 >= 0).map(_._3).sum
     val mode = if (materialize) "materialize" else "count"
-    val json = s"""{"soak_factor":$factor,"src":"$srcDir","mode":"$mode","total_warm":$total,"cpus":$cpus,"queries":$qs}"""
+    // Provenance: rows measured on an experimental (uncommitted /
+    // later-rejected) build must be self-describing — ADVICE r13 found
+    // two rejected-variant q258 rows indistinguishable from HEAD
+    // measurements. SPARK_GRAFT_SOAK_VARIANT names the experiment
+    // ("HEAD" = the committed tree this soak ran against).
+    val variant = sys.env.getOrElse("SPARK_GRAFT_SOAK_VARIANT", "HEAD")
+    val json = s"""{"soak_factor":$factor,"src":"$srcDir","mode":"$mode","variant":"$variant","total_warm":$total,"cpus":$cpus,"queries":$qs,"queries_warm_first":$wfQs}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("SOAK.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),

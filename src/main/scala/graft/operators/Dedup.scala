@@ -790,10 +790,20 @@ object Dedup {
     requireBoundedBlocks(blocked, Seq(col("h")),
       s"a smaller maxDf (currently $maxDf: rare-shingle blocking saturates when maxDf " +
         "admits boilerplate shingles)")
-    val cand = blocked.as("l").join(blocked.as("r"),
-        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
+    // The truth pair set is persisted so the TRUTH JOIN (rare-shingle
+    // blocked self-join + distinct — the expensive quadratic-ish stage)
+    // is cache-isolated from the band probe below: without this the
+    // warm re-run recomputes the whole self-join inside the same plan
+    // that probes bands, and under x100 memory pressure the two stages'
+    // spill + the persisted signature frames evict each other (measured
+    // warm 93-179 s run-to-run spread at the x100 soak tier, contained
+    // only by the GC-retry). Bounded: the blocked join is behind
+    // requireBoundedBlocks, so truth volume is linear in corpus size.
+    val cand = graft.GraftCache.registered(
+      blocked.as("l").join(blocked.as("r"),
+          col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct())
     val sig = graft.GraftCache.registered(
       simhash(texts, "doc_id", "txt", bits)
         .join(texts.select(col("doc_id"), col("m")), "doc_id"))
@@ -1775,10 +1785,16 @@ object Dedup {
     val blocked = sh.join(rare, "h")
     requireBoundedBlocks(blocked, Seq(col("h")),
       s"a smaller maxDf (currently $maxDf: rare-shingle blocking saturates when maxDf admits boilerplate shingles)")
-    val cand = blocked.as("l").join(blocked.as("r"),
-        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
+    // persisted for the same reason as [[simhashRecallAudit]]'s truth
+    // pairs: cache-isolate the TRUTH stage (blocked self-join +
+    // distinct) from the banding probe, so a warm re-run rides the
+    // materialized pair set instead of re-running the self-join inside
+    // the same plan that probes bands. Bounded by requireBoundedBlocks.
+    val cand = graft.GraftCache.registered(
+      blocked.as("l").join(blocked.as("r"),
+          col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct())
     val truth = scoredCandidates(cand, classes.select(col("doc_id"), col("hs")))
       .select(col("doc_a"), col("doc_b"),
         expr("(cast(inter as bigint) * 1000000) div " +

@@ -430,32 +430,51 @@ object Similarity {
     require(dim % 8 == 0, s"dim must be divisible by 8 (the blend ladder), got $dim")
     val anchor = array((0 until dim).map(d => lit(anchorWeightLocal(d))): _*)
     val base = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
-    // posexplode over the 8 rung arrays, not an 8-way union of
-    // per-rung selects: one scan of the embedding frame builds every
-    // blend unit (pos = rung, matching the union form's lit(j)) and
-    // partition count stays flat — same measured lesson as
-    // [[graft.operators.Dedup.bandKeys]].
-    val units = base.select(col("vec_id"),
-      posexplode(array((0 until 8).map { j =>
-        val cut = j * dim / 8
-        transform(col("e"), (x, i) =>
-          when(i < cut, element_at(anchor, i + 1)).otherwise(x))
-      }: _*)).as(Seq("rung", "u")))
     // HyperplaneBuckets kernel, not an array of lshBucketAt trees —
     // same 64 KB-codegen rationale as nearDupByLshMulti (an audit must
     // stay cheap at any geometry it is asked to measure)
     val allW = Array.tabulate(tables * planes * dim)(i =>
       planeWeightLocal(i / dim, i % dim))
-    val withBks = graft.GraftCache.registered(units
-      .withColumn("nrm", norm(col("u")))
-      .withColumn("bks",
-        graft.plans.HyperplaneBuckets.buckets(col("u"), allW, dim, planes, tables)))
-    withBks.as("l").join(withBks.as("r"),
-        col("l.vec_id") === col("r.vec_id") && col("l.rung") < col("r.rung"))
-      .select(
-        round(cosineWithNorms(col("l.u"), col("r.u"), col("l.nrm"), col("r.nrm")), 6).as("cos_sim"),
-        when(exists(zip_with(col("l.bks"), col("r.bks"), (a, b) => a === b),
+    // ALL 8 rung units of a vector live in ONE row (the embedding frame
+    // is one row per vec_id already), so the truth pairs — strictly
+    // WITHIN-vector by construction — need no self-join at all: the r13
+    // form exploded units to 8 rows and SMJ'd the persisted frame on
+    // vec_id, shuffling the full double-typed unit payload once and
+    // sorting it twice, which at the 40M-row x1000 tier was the §5
+    // memory-pressure driver behind the 1.11 growth exponent. The
+    // persist below is a MATERIALIZATION BARRIER, not a reuse cache:
+    // without it CollapseProject inlines the unit construction into the
+    // pair expressions (each unit participates in 7 pairs → the
+    // 64-element transform and the bucket kernel re-evaluate per pair;
+    // the r13 session-3 barrier-less variant measured 32.6 s vs 3.2 at
+    // x100 on exactly this). Values are bit-identical to the join form:
+    // same unit/norm/bucket expressions, and cosineWithNorms' array_dot
+    // kernel sums in index order, so pair (j, k) computes the identical
+    // doubles the SMJ row pair did.
+    val unitStructs = (0 until 8).map { j =>
+      val cut = j * dim / 8
+      val u = transform(col("e"), (x, i) =>
+        when(i < cut, element_at(anchor, i + 1)).otherwise(x))
+      struct(u.as("u"), norm(u).as("nrm"),
+        graft.plans.HyperplaneBuckets.buckets(u, allW, dim, planes, tables).as("bks"))
+    }
+    val grouped = graft.GraftCache.registered(
+      base.select(col("vec_id"), array(unitStructs: _*).as("us")))
+    // 28 (j < k) rung pairs, computed map-side over the cached row —
+    // the emitted rows are SKINNY (cos_sim, caught), so the only
+    // exchange left in the audit is the final 11-bucket aggregate.
+    val pairCols = for { j <- 0 until 8; k <- j + 1 until 8 } yield {
+      val l = col("us").getItem(j)
+      val r = col("us").getItem(k)
+      struct(
+        round(cosineWithNorms(l.getField("u"), r.getField("u"),
+          l.getField("nrm"), r.getField("nrm")), 6).as("cos_sim"),
+        when(exists(zip_with(l.getField("bks"), r.getField("bks"), (a, b) => a === b),
           (x: Column) => x), 1L).otherwise(0L).as("caught"))
+    }
+    grouped
+      .select(explode(array(pairCols: _*)).as("p"))
+      .select(col("p.cos_sim").as("cos_sim"), col("p.caught").as("caught"))
       .filter(col("cos_sim") >= 0) // div truncates vs floors on negatives; ladder mass is >= 0
       .groupBy(expr("cast(round(cos_sim * 1000000, 0) as bigint) div 100000")
         .cast("int").as("c_bucket"))

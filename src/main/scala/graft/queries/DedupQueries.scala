@@ -740,6 +740,11 @@ object DedupQueries {
     // behind q259's curve — candidates from the OR of the contract's
     // tables, verified at q71's 0.25 threshold so the graded delta vs
     // the single-table family IS the recall the contract buys.
+    // SCALE NOTE: the fraction-of-pairs admission behind this geometry
+    // is O(n²) in the corpus (measured 207.9 s solo at the x100 soak
+    // tier, dominated by false-candidate verification) — q272 below is
+    // the same pair semantics under the linear per-row BUDGET and is
+    // the form a corpus-scale run should call.
     "q260_cosine_lsh_multi" -> ((s, dir) => {
       val (p, tb) = Similarity.cosineLshGeometryFor(900000L, 800000L)
       Similarity.nearDupByLshMulti(t(s, dir, "embeddings"), p, tb, dim = 64,
@@ -870,6 +875,22 @@ object DedupQueries {
       Dedup.simhashPairsBudget(t(s, dir, "documents"), "doc_id", "text",
         designN = 1000000L, maxHamming = 1)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // q260's PAIR semantics under the linear candidate BUDGET — the
+    // production escape from the fraction-of-pairs admission: q260's
+    // fixed-fraction geometry admits O(n²) false candidates as the
+    // corpus grows (measured 207.9 s solo at the x100 soak tier,
+    // almost all of it verifying false candidates), while this form
+    // resolves its geometry from "≤ 64 candidates/row at n = 1e6"
+    // (q269's advisor), so the candidate stage stays linear by
+    // construction. Recall is n-independent (the S-curve is per-pair),
+    // so the design geometry graded here is the same pair contract —
+    // the corpus-scale alternative a 100 TB run should call.
+    "q272_cosine_budget_multi" -> ((s, dir) => {
+      val (p, tb) = Similarity.cosineLshGeometryForBudget(1000000L, 900000L, 800000L)
+      Similarity.nearDupByLshMulti(t(s, dir, "embeddings"), p, tb, dim = 64,
+        threshold = 0.25).orderBy(col("vec_a"), col("vec_b"))
+    }),
 
     // the third empirical contract member, closing the LAST
     // uncontracted dedup path (q125's k-means cells): a near-dup pair
@@ -1770,6 +1791,13 @@ object DedupQueries {
     "q269_budget_dedup_contract" -> {
       val (p, tb) = Similarity.cosineLshGeometryForBudget(1000000L, 900000L, 800000L)
       sqlSemanticDedupContract(p, tb, 0.9)
+    },
+    // q260's pair replay at the geometry the BUDGET advisor resolves —
+    // the advisor runs at oracle-build time too, so query and oracle
+    // cannot drift
+    "q272_cosine_budget_multi" -> {
+      val (p, tb) = Similarity.cosineLshGeometryForBudget(1000000L, 900000L, 800000L)
+      sqlCosineLshPairsMulti(p, tb, 0.25)
     },
     "q267_cell_probe_audit" ->
       s"""WITH ${sqlCellProbeCtes(8, 16, 0.4)}

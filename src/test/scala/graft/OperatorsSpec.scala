@@ -1005,6 +1005,45 @@ class OperatorsSpec extends SparkSpec {
     assert(amp.values.map(_._2).sum > one.values.map(_._2).sum)
   }
 
+  test("cosineLshRecallAudit: map-side pair form is value-identical to the join form") {
+    // The r14 rewrite computes the 28 within-vector rung pairs map-side
+    // over one grouped cached row instead of self-joining the exploded
+    // unit frame on vec_id. This pins the window-equivalence law: the
+    // reference below IS the replaced join form, inlined.
+    val emb = graft.queries.Q.t(spark, sf001, "embeddings").filter(col("vec_id") < 40)
+    val planes = 8; val tables = 2; val dim = 64
+    val anchor = array((0 until dim).map(d => lit(Similarity.anchorWeightLocal(d))): _*)
+    val base = emb.select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
+    val units = base.select(col("vec_id"),
+      posexplode(array((0 until 8).map { j =>
+        val cut = j * dim / 8
+        transform(col("e"), (x, i) =>
+          when(i < cut, element_at(anchor, i + 1)).otherwise(x))
+      }: _*)).as(Seq("rung", "u")))
+    val allW = Array.tabulate(tables * planes * dim)(i =>
+      Similarity.planeWeightLocal(i / dim, i % dim))
+    val withBks = units
+      .withColumn("nrm", Similarity.norm(col("u")))
+      .withColumn("bks",
+        graft.plans.HyperplaneBuckets.buckets(col("u"), allW, dim, planes, tables))
+    val ref = withBks.as("l").join(withBks.as("r"),
+        col("l.vec_id") === col("r.vec_id") && col("l.rung") < col("r.rung"))
+      .select(
+        round(Similarity.cosineWithNorms(col("l.u"), col("r.u"), col("l.nrm"), col("r.nrm")), 6)
+          .as("cos_sim"),
+        when(exists(zip_with(col("l.bks"), col("r.bks"), (a, b) => a === b),
+          (x: org.apache.spark.sql.Column) => x), 1L).otherwise(0L).as("caught"))
+      .filter(col("cos_sim") >= 0)
+      .groupBy(expr("cast(round(cos_sim * 1000000, 0) as bigint) div 100000")
+        .cast("int").as("c_bucket"))
+      .agg(count(lit(1)).as("n_truth"), sum(col("caught")).as("n_caught"))
+      .withColumn("recall_micro", expr("(n_caught * 1000000) div n_truth"))
+      .orderBy(col("c_bucket")).collect().map(_.toSeq).toSeq
+    val got = Similarity.cosineLshRecallAudit(emb, planes, tables, dim = 64)
+      .collect().map(_.toSeq).toSeq
+    assert(got === ref)
+  }
+
   test("blendLadder: 8 units per vector, rung 0 is the original, per-vector anchors decorrelate") {
     // filter, not limit: an unordered limit re-executes per union
     // branch of the ladder, so rungs of one vector could come from
