@@ -223,7 +223,12 @@ object Dedup {
     */
   def jaccardVerifyHashed(sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
     verifyCandidatesWithSets(candidates,
-      sh.groupBy(col("doc_id")).agg(sort_array(collect_set(col("h"))).as("hs")), threshold)
+      // int sets: h is a 31-bit hash, so the cast is lossless and the
+      // sort order is unchanged — §2.3 narrower types, halves the hs
+      // payload the verify joins replicate per candidate pair (the
+      // dominant bytes of every blocked-Jaccard verify at soak tiers)
+      sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("h").cast("int"))).as("hs")), threshold)
 
   /** Shared verify tail: attach each candidate pair's (doc_id, hs) hash
     * sets via two hash joins (AQE broadcasts the set side when it
@@ -286,10 +291,13 @@ object Dedup {
     * between shuffling kilobytes and shuffling the candidate arrays.
     */
   def pairsFromHashes(sh: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
+    // hs as array<int>: the 31-bit hash is lossless in an int and the
+    // sort order is unchanged — §2.3 narrower types, halves the set
+    // payload in the cached frame and in the verify joins' replication
     val sigSets = graft.GraftCache.registered(sh.groupBy(col("doc_id"))
       .agg(min(permuted(col("h"), 0)).as("mh0"),
         (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")) :+
-          sort_array(collect_set(col("h"))).as("hs"): _*))
+          sort_array(collect_set(col("h").cast("int"))).as("hs"): _*))
     // band join + skinny-candidate dedup and the verify tail are the
     // single shared implementations — the extra hs column rides along
     // harmlessly through minhashCandidates' projection
@@ -1770,10 +1778,17 @@ object Dedup {
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("txt"))
       .groupBy(col("txt"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("mt")))
+    // hs as array<int> (lossless for the 31-bit hash, same sort order):
+    // §2.3 — the audit's dominant x100 stage is attaching hs_a/hs_b to
+    // ~148M truth-candidate pairs through two exchanges (stage-break in
+    // NOTES_r14), and the int sets halve exactly those bytes. The `h`
+    // column downstream (rare/blocked/sigs) inherits int; the affine
+    // permutations multiply by long literals, so every derived value is
+    // bit-identical.
     val classes = graft.GraftCache.registered(
       shingleHashes(texts, "doc_id", "txt").distinct()
         .groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("h"))).as("hs"))
+        .agg(sort_array(collect_set(col("h").cast("int"))).as("hs"))
         .join(texts.select(col("doc_id"), col("mt")), "doc_id")
         .groupBy(col("hs"))
         .agg(min(col("doc_id")).as("doc_id"), sum(col("mt")).as("m")))
